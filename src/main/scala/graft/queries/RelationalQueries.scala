@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator layer (SURVEY.md §2) demonstrated over the
+  * driver testdata, each with a DuckDB-oracle SQL twin.
+  *
+  * Design rules applied to every query (scale-first):
+  *  - filters/projections are plain Column exprs so Catalyst pushes
+  *    them into the parquet scan (PushedFilters / ReadSchema);
+  *  - joins against dimension tables go through `broadcast(...)` —
+  *    at 100 TB the fact side never shuffles for a dim join;
+  *  - every aggregate is aliased identically in Spark and SQL (the
+  *    driver's compare is name-keyed);
+  *  - double aggregates are rounded (2–6 dp) so Spark's and DuckDB's
+  *    summation orders can't produce last-bit hash mismatches;
+  *  - every query ends with a deterministic ORDER BY.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q1: TPC-H Q1-style scan + aggregate (SURVEY A1/A5 analog).
+    * Map-side partial aggregation; no join. Reference: mean over
+    * per-sample attribute vectors (Attributes.java:446-475). */
+  private val q1_agg: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q2: fact ⋈ broadcast dims with agg (SURVEY J5/J6 lookup-join).
+    * part/supplier/nation/region are broadcast — zero fact shuffle
+    * before the groupBy. */
+  private val q2_join_dims: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** q3: global top-k by computed score (SURVEY T2 IDRank:
+    * orderBy(score.desc).limit(k)). Spark runs this as TakeOrdered —
+    * no full sort at scale. */
+  private val q3_topk_orders: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** q4: per-group top-k via window row_number (SURVEY T1 top-k
+    * similar / T3 serial numbers). */
+  private val q4_window_rank: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"rn")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** q5: semi join — EXISTS (SURVEY P3 kill-list family). */
+  private val q5_semijoin: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val bigOrders = Tables.orders(s, d).filter($"o_totalprice" > 400000)
+    cust.join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** q6: anti join — NOT EXISTS (SURVEY J4 kill-list anti-join:
+    * SparkStreamingApp.java:253-256). */
+  private val q6_antijoin: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val recentOrders = Tables.orders(s, d).filter(year($"o_orderdate") >= 1996)
+    cust.join(recentOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** q7: full outer equi-join of two aggregated legs (SURVEY J1 —
+    * tracklets ⟗ attributes, PedestrianReIDUsingAttrApp.java:156-158)
+    * plus the presence-split predicates (P5) expressed as a status
+    * column. */
+  private val q7_fullouter: Q = (s, d) => {
+    import s.implicits._
+    val ords = Tables.orders(s, d)
+    val a = ords.filter(year($"o_orderdate") === 1994)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt_a"))
+    val b = ords.filter(year($"o_orderdate") === 1995)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt_b"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(
+        $"o_custkey",
+        $"cnt_a",
+        $"cnt_b",
+        when($"cnt_a".isNotNull && $"cnt_b".isNotNull, "both")
+          .when($"cnt_a".isNotNull, "a_only")
+          .otherwise("b_only").as("presence"))
+      .orderBy($"o_custkey")
+  }
+
+  /** q8: 3-way union of disjoint legs + downstream agg (SURVEY U1/U2
+    * — instant ∪ late-tracklet ∪ late-attr). */
+  private val q8_union: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val l1 = ev.filter($"event_type" === "click").select($"user_id", $"value", lit("leg_click").as("leg"))
+    val l2 = ev.filter($"event_type" === "purchase").select($"user_id", $"value", lit("leg_purchase").as("leg"))
+    val l3 = ev.filter($"event_type" === "signup").select($"user_id", $"value", lit("leg_signup").as("leg"))
+    l1.unionByName(l2).unionByName(l3)
+      .groupBy($"leg")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"leg")
+  }
+
+  /** q9: exact dedup (SURVEY P6 — duplicated-storing-request check;
+    * DataManagingApp.java:447-455): distinct rows then count per key
+    * space. */
+  private val q9_distinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q10: rollup — grouping-set aggregates Catalyst gives for free
+    * over the tabular model (SURVEY §2.5 note). */
+  private val q10_rollup: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** q11: time-tree bucketing (SURVEY F4/G3 — Year→Month→Day→Hour
+    * tree, Neo4jConnector.java:152-169) via date_trunc derivation. */
+  private val q11_timetree: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        year($"ts").as("y"),
+        month($"ts").as("m"),
+        dayofmonth($"ts").as("day"),
+        hour($"ts").as("h"),
+        $"value")
+      .groupBy($"y", $"m", $"day", $"h")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"y", $"m", $"day", $"h")
+  }
+
+  /** q12: scalar function family (SURVEY F1/F2/F12-adjacent):
+    * trackletID-style concat `videoID + "_tarid" + serial`
+    * (Tracklet.java:136-138) and basename-minus-extension regexp
+    * (PedestrianTrackingApp.java:171-173). */
+  private val q12_scalar_fns: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_id" < 1000)
+      .select(
+        $"event_id",
+        concat($"user_id".cast("string"), lit("_tarid"), $"event_id".cast("string")).as("tracklet_id"),
+        upper($"event_type").as("event_type_uc"),
+        length($"props").as("props_len"),
+        regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int").as("prop_k"))
+      .orderBy($"event_id")
+  }
+
+  /** q13: point lookup (SURVEY G4/S7 — tracklet retrieve / get path).
+    * At scale this is a partition-pruned single-key read. */
+  private val q13_point_lookup: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .filter($"c_custkey" === 42)
+      .select($"c_custkey", $"c_name", $"c_nationkey", round($"c_acctbal", 2).as("acctbal"), $"c_mktsegment")
+  }
+
+  /** q14: two-hop pattern join (SURVEY J6 — Cypher
+    * (p1)-[:Similar]->(p2) as relational self/dim joins). */
+  private val q14_twohop: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    cust.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_customers"), round(avg($"c_acctbal"), 4).as("avg_bal"))
+      .orderBy($"r_name")
+  }
+
+  /** q15: running window aggregate per key (SURVEY A5 per-batch
+    * bookkeeping / T3 ordering semantics). */
+  private val q15_running_sum: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter($"user_id" < 20)
+      .select($"user_id", $"event_id", $"value")
+      .withColumn("running_value", round(sum($"value").over(w), 2))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** q16: tumbling processing-window aggregate, batch analog of the
+    * streaming micro-batch count (SURVEY W1/W2) — 5-minute epoch
+    * buckets, expressed portably as epoch div. */
+  private val q16_tumbling_window: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select((floor(unix_timestamp($"ts") / 300) * 300).cast("long").as("bucket_start"), $"event_type", $"value")
+      .groupBy($"bucket_start", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("v"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1_agg,
+    "q2_join_dims" -> q2_join_dims,
+    "q3_topk_orders" -> q3_topk_orders,
+    "q4_window_rank" -> q4_window_rank,
+    "q5_semijoin" -> q5_semijoin,
+    "q6_antijoin" -> q6_antijoin,
+    "q7_fullouter" -> q7_fullouter,
+    "q8_union" -> q8_union,
+    "q9_distinct" -> q9_distinct,
+    "q10_rollup" -> q10_rollup,
+    "q11_timetree" -> q11_timetree,
+    "q12_scalar_fns" -> q12_scalar_fns,
+    "q13_point_lookup" -> q13_point_lookup,
+    "q14_twohop" -> q14_twohop,
+    "q15_running_sum" -> q15_running_sum,
+    "q16_tumbling_window" -> q16_tumbling_window)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_dims" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q3_topk_orders" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_window_rank" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q5_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_antijoin" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND EXTRACT(year FROM o_orderdate) >= 1996)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_fullouter" ->
+      """SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  a.cnt_a, b.cnt_b,
+        |  CASE WHEN a.cnt_a IS NOT NULL AND b.cnt_b IS NOT NULL THEN 'both'
+        |       WHEN a.cnt_a IS NOT NULL THEN 'a_only'
+        |       ELSE 'b_only' END AS presence
+        |FROM
+        |  (SELECT o_custkey, count(*) AS cnt_a FROM orders
+        |   WHERE EXTRACT(year FROM o_orderdate) = 1994 GROUP BY o_custkey) a
+        |FULL OUTER JOIN
+        |  (SELECT o_custkey, count(*) AS cnt_b FROM orders
+        |   WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_custkey) b
+        |ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q8_union" ->
+      """SELECT leg, count(*) AS n, round(sum(value), 2) AS total_value FROM (
+        |  SELECT user_id, value, 'leg_click' AS leg FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, value, 'leg_purchase' AS leg FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, value, 'leg_signup' AS leg FROM events WHERE event_type = 'signup') t
+        |GROUP BY leg
+        |ORDER BY leg""".stripMargin,
+    "q9_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q11_timetree" ->
+      """SELECT EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS m,
+        |  EXTRACT(day FROM ts) AS day, EXTRACT(hour FROM ts) AS h,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY y, m, day, h""".stripMargin,
+    "q12_scalar_fns" ->
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) || '_tarid' || CAST(event_id AS VARCHAR) AS tracklet_id,
+        |  upper(event_type) AS event_type_uc,
+        |  length(props) AS props_len,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS prop_k
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin,
+    "q13_point_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+    "q14_twohop" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "q15_running_sum" ->
+      """SELECT user_id, event_id, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events
+        |WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q16_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS v
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin)
+}
