@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Attribute-recognition stage (SURVEY X2/A1/F7/F8).
+  *
+  * The reference recognizer is a black-box UDF tracklet→attributes
+  * (`alg/pedestrian/attr/Recognizer.java:31-40`) whose per-sample
+  * outputs are mean-combined per tracklet
+  * (`DeepMARCaffe2Native.java:197-207`, field-wise float mean via
+  * `Attributes.add`/`div`, `Attributes.java:446-475`).
+  *
+  * Engine design:
+  *  - the recognizer itself stays a pluggable black box; the
+  *    deterministic stand-in below is pure column arithmetic (codegen'd,
+  *    no UDF), mirroring the role of the reference's FakeRecognizer;
+  *  - the mean over per-sample vectors is a *distributed* aggregation:
+  *    posexplode → partial sums per (key, pos) → re-assemble, i.e.
+  *    map-side combine everywhere, never a collect_list of whole
+  *    vectors on the hot path.
+  */
+object AttributeOps {
+
+  /** Deterministic per-detection attribute score for demo/test
+    * pipelines: engine-portable integer arithmetic scaled to [0,1).
+    * dim selects one of the attribute positions. */
+  def fakeScore(id: Column, dim: Int): Column =
+    ((id * lit(31 + dim * 2) + lit(7 + dim)) % 997) / lit(997.0)
+
+  /** Deterministic attribute vector of `dims` scores (array<double>). */
+  def fakeAttributeVector(id: Column, dims: Int): Column =
+    array((0 until dims).map(d => fakeScore(id, d)): _*)
+
+  /** Field-wise mean of vector columns per key — the A1 aggregation.
+    * Input: df with keyCols and an array<numeric> column `vecCol`
+    * (all rows same length). Output: keyCols + `mean_vec` array<double>
+    * + `n_samples`.
+    *
+    * Implementation: posexplode then two-level agg. The per-(key,pos)
+    * partial aggregation is map-side combinable, so at 100 TB this
+    * shuffles only (key, pos, partialSum, partialCnt) — never the raw
+    * vectors. */
+  def meanVectors(df: DataFrame, keyCols: Seq[String], vecCol: String): DataFrame = {
+    val keyed = df.select(
+      keyCols.map(col) :+ posexplode(col(vecCol)).as(Seq("pos", "v")): _*)
+    keyed
+      .groupBy((keyCols :+ "pos").map(col): _*)
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        transform(
+          array_sort(
+            collect_list(struct(col("pos"), (col("s") / col("c")).as("m"))),
+            (a, b) => when(a("pos") < b("pos"), -1)
+              .when(a("pos") > b("pos"), 1).otherwise(0)),
+          e => e("m")).as("mean_vec"),
+        max(col("c")).as("n_samples"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+
+/** Document deduplication family — first-class training-data-pipeline
+  * operators (exact, MinHash+LSH, SimHash, n-gram Jaccard). The
+  * reference's own dedup is only idempotence checking (SURVEY P6,
+  * `vpe/data/DataManagingApp.java:447-455`); the content-level family
+  * here is what a 100 TB corpus pipeline needs.
+  *
+  * Scale design:
+  *  - exact dedup: one hash-groupBy shuffle on a 128-bit key (never on
+  *    the document text);
+  *  - MinHash/LSH: signatures are per-row column math (no shuffle);
+  *    candidate generation shuffles on (band, bandHash) — pairs are
+  *    only formed inside identical LSH buckets, so the O(n²) pair space
+  *    never materializes;
+  *  - SimHash: 64-bit fingerprint per row, near-dup = small Hamming
+  *    distance within bucket prefixes.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: md5 over the raw text. */
+  def exactDupGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct-shingle 32-bit hashes for a text column (set semantics). */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(array_distinct(shingles(text, k)), g => hash32(g))
+
+  /** MinHash signature (MinHashCoeffs.length values) as one array. */
+  def minHashSignature(text: Column, k: Int): Column = {
+    val hashes = shingleHashes(text, k)
+    array(MinHashCoeffs.indices.map(j => minHashSig(hashes, j)): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of the MinHash
+    * signature. rowsPerBand consecutive signature values form a band.
+    * Returns distinct (id_a, id_b) with id_a < id_b. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = MinHashCoeffs.length / rowsPerBand
+    val sig = docs.select(col(idCol).as("doc_id"),
+      minHashSignature(col(textCol), k).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(nBands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (pairsDf: id_a, id_b). Joins each side to its shingle set, then
+    * |A∩B| / |A∪B| via array ops — pair list is assumed pre-pruned
+    * (LSH or key-window), never all-pairs. */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
+                      idCol: String, textCol: String, k: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("jid"),
+      array_distinct(shingles(col(textCol), k)).as("jset"))
+    pairs
+      .join(sets.withColumnRenamed("jid", "id_a").withColumnRenamed("jset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("jid", "id_b").withColumnRenamed("jset", "set_b"), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("jaccard_bp",
+        floor(col("n_inter") * 10000 / col("n_union")).cast("long"))
+      .drop("set_a", "set_b")
+  }
+
+  /** 32-bit SimHash from whitespace tokens: bit b of the fingerprint is
+    * the majority vote of bit b across token hash32 values. Pure column
+    * arithmetic (sum per bit of ±1), fully codegen'd. */
+  def simHash32(text: Column): Column = {
+    val tokenHashes = transform(split(text, " "), t => hash32(t))
+    val bitCols = (0 until 32).map { b =>
+      val votes = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two long fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity kernels + neighbor queries (SURVEY X4/T1/G9).
+  *
+  * Reference surface: `PedestrianComparerUsingAttr` (pair → float
+  * similarity, `alg/pedestrian/reid/PedestrianComparerUsingAttr.java:30-41`)
+  * and the top-k-by-similarity graph query
+  * (`vpe/data/Neo4jConnector.java:752-779`, ORDER BY similarity DESC).
+  *
+  * Kernels are pure higher-order-function expressions — inside
+  * whole-stage codegen, no UDF. `dotQuantized` works on integer-
+  * quantized vectors so results are EXACT (bit-identical across
+  * engines); `cosine` is IEEE-double with left-to-right accumulation.
+  */
+object Similarity {
+
+  /** Quantize a float vector to integer milli-units: exact cross-engine
+    * arithmetic (values up to ~2^40 stay exact in any engine). */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Integer dot product over quantized vectors — exact. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Double dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-key top-k rows by (score desc, tieCol asc) — the G9/T1 shape.
+    * Window + row_number: one shuffle on partitionCol, then
+    * partition-local. */
+  def topKPerKey(df: DataFrame, partitionCol: String, scoreCol: String,
+                 tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Brute-force k-NN of `probes` against `candidates` on quantized dot
+    * product. Probes are broadcast (the small side); candidates never
+    * shuffle — at 100 TB this is a single scan of the candidate table.
+    * Both inputs need (idCol, vecCol). */
+  def bruteForceTopK(probes: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pv"))
+    val c = candidates.select(col(idCol).as("candidate_id"), quantize(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("candidate_id"))
+      .select(col("probe_id"), col("candidate_id"),
+        dotLong(col("pv"), col("cv")).as("score"))
+    topKPerKey(scored, "probe_id", "score", "candidate_id", k)
+      .select(col("probe_id"), col("rank"), col("candidate_id"), col("score"))
+  }
+
+  /** LSH bucketing by random-hyperplane signs (the ANN scale path):
+    * deterministic hyperplanes derived from fixed integer coefficients.
+    * nBits sign bits → bucket id; neighbor search then joins within
+    * buckets only. At 1000 executors this turns the O(n²) pair space
+    * into per-bucket blocks co-located by the bucket-key shuffle. */
+  def hyperplaneBucket(vec: Column, dims: Int, nBits: Int): Column = {
+    // hyperplane h, component i: pseudo-random fixed weight in [-500, 500]
+    def w(h: Int, i: Int): Int = {
+      val v = (1103515245L * (h * dims + i + 12345) + 54321) % 1001
+      (v - 500).toInt
+    }
+    val bits = (0 until nBits).map { h =>
+      val proj = aggregate(
+        zip_with(vec, array((0 until dims).map(i => lit(w(h, i))): _*),
+          (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << h)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+
+/** Text-analysis operators for training-data pipelines: token/char
+  * statistics, quality scoring, language-ID heuristic, content
+  * fingerprinting. All pure column arithmetic (codegen'd, no UDF), and
+  * integer-exact where a DuckDB oracle checks them.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: spaces + 1 (exact integer; avoids engine
+    * differences in split-on-empty semantics). */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Number of non-overlapping occurrences of `needle`. */
+  def countOccurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast("long")
+
+  /** Mean token length in basis points ((chars-without-spaces * 10000)
+    * div tokens) — integer-exact. */
+  def avgTokenLenBp(text: Column): Column =
+    floor((length(text) - (tokenCount(text) - 1)) * 10000 / tokenCount(text)).cast("long")
+
+  /** Stopword ratio in basis points: occurrences of ' the '/' a '/' of '
+    * per token. Integer-exact quality signal. */
+  def stopwordBp(text: Column): Column = {
+    val hits = countOccurrences(text, " the ") +
+      countOccurrences(text, " a ") + countOccurrences(text, " of ")
+    floor(hits * 10000 / tokenCount(text)).cast("long")
+  }
+
+  /** Composite quality score in basis points: weighted blend of
+    * stopword presence and token-length sanity (tokens of length 3-8
+    * considered "normal"; proxied by mean token length distance from
+    * 5). Deterministic integer arithmetic. */
+  def qualityScoreBp(text: Column): Column = {
+    val stop = least(stopwordBp(text), lit(2000L))
+    val lenPenalty =
+      least(floor(abs(avgTokenLenBp(text) - 50000L) / 10).cast("long"), lit(5000L))
+    (lit(5000L) + stop * 2 - lenPenalty).cast("long")
+  }
+
+  /** N-gram language-ID heuristic: score each candidate language by
+    * counting its marker tokens, pick the argmax (deterministic
+    * tie-break by fixed language order). The marker lists are the
+    * usual tiny-stopword sets. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(m => countOccurrences(text, m))
+      .reduce(_ + _)
+
+  def predictLang(text: Column): Column = {
+    val scored = langMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Order-insensitive 63-bit content fingerprint: sum of token hash32
+    * values mod 2^61-1. Integer-exact, engine-portable. */
+  def contentFingerprint(text: Column): Column =
+    aggregate(transform(split(text, " "), t => hash32(t)),
+      lit(0L), (acc, h) => (acc + h) % lit(2305843009213693951L))
+}

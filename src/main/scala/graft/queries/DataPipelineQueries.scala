@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HashFunctions
+import graft.operators._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed), and text analysis. Every hash
+  * path is integer-exact (md5-derived) so the DuckDB oracles match
+  * bit-for-bit.
+  */
+object DataPipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SHINGLE_K = 5
+
+  /** dedup_exact: hash-groupBy exact duplicate groups. */
+  private val dedup_exact: Q = (s, d) => {
+    Dedup.exactDupGroups(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("text_md5"))
+  }
+
+  /** dedup_minhash_sig: per-document MinHash signature (8 hashes over
+    * distinct 5-shingles) — the signature computation itself, exact. */
+  private val dedup_minhash_sig: Q = (s, d) => {
+    val sig = Dedup.minHashSignature(col("text"), SHINGLE_K)
+    Tables.documents(s, d)
+      .select(Seq(col("doc_id")) ++
+        HashFunctions.MinHashCoeffs.indices.map(j =>
+          element_at(sig, j + 1).as(s"sig$j")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** dedup_neardup_pairs: LSH candidate generation (4 bands × 2 rows)
+    * + exact n-gram Jaccard on the candidates only — the scalable
+    * near-dup join (pair space never materializes beyond buckets). */
+  private val dedup_neardup_pairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", SHINGLE_K, 4)
+    Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", SHINGLE_K)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard_bp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dedup_simhash: 32-bit SimHash fingerprint per document. */
+  private val dedup_simhash: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_stats: token/char statistics + quality scoring (integer
+    * basis-point arithmetic). */
+  private val text_stats: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      length(t).cast("long").as("text_len"),
+      TextAnalysis.avgTokenLenBp(t).as("avg_token_len_bp"),
+      TextAnalysis.stopwordBp(t).as("stopword_bp"),
+      TextAnalysis.qualityScoreBp(t).as("quality_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_langid: marker-token language-ID heuristic vs the labeled
+    * lang column. */
+  private val text_langid: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.predictLang(t).as("pred_lang"),
+      TextAnalysis.langScore(t, "en").as("score_en"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_fingerprint: order-insensitive content fingerprint (rolling
+    * token-hash accumulator). */
+  private val text_fingerprint: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ann_cosine_topk: brute-force cosine top-3 for 10 probe vectors —
+    * the ANN baseline (double-precision cosine, broadcast probes). */
+  private val ann_cosine_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val p = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val c = emb.select(col("vec_id").as("candidate_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("candidate_id"))
+      .select(col("probe_id"), col("candidate_id"),
+        Similarity.cosine(col("pv"), col("cv")).as("cos"))
+    Similarity.topKPerKey(scored, "probe_id", "cos", "candidate_id", 3)
+      .select(col("probe_id"), col("rank"), col("candidate_id"),
+        round(col("cos"), 3).as("cos_sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** ann_lsh_bucket: random-hyperplane LSH bucket assignment over
+    * quantized vectors (exact integer projections) — the ANN scale
+    * path's partitioning key. */
+  private val ann_lsh_bucket: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Similarity.hyperplaneBucket(
+          Similarity.quantize(col("embedding")), 64, 8).as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ann_lsh_topk: top-3 neighbors by exact quantized dot product
+    * within each LSH bucket — join keyed on the bucket, never all
+    * pairs. */
+  private val ann_lsh_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+    val a = emb.select(col("bucket"), col("vec_id").as("src"), col("qv").as("qa"))
+    val b = emb.select(col("bucket"), col("vec_id").as("dst"), col("qv").as("qb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.dotLong(col("qa"), col("qb")).as("score"))
+    Similarity.topKPerKey(pairs, "src", "score", "dst", 3)
+      .select(col("src"), col("rank"), col("dst"), col("score"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  /** multimodal_meta: opaque-binary column plumbing — byte length,
+    * 16-byte header hex, content digest (the schema/partition side of
+    * the decode stack; decode itself is the stubbed mapPartitions in
+    * [[graft.operators.Multimodal]]). */
+  private val multimodal_meta: Q = (s, d) => {
+    val payload = col("text").cast("binary")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(payload).cast("long").as("payload_bytes"),
+      upper(substring(hex(payload), 1, 32)).as("header_hex"),
+      md5(payload).as("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedup_exact,
+    "dedup_minhash_sig" -> dedup_minhash_sig,
+    "dedup_neardup_pairs" -> dedup_neardup_pairs,
+    "dedup_simhash" -> dedup_simhash,
+    "text_stats" -> text_stats,
+    "text_langid" -> text_langid,
+    "text_fingerprint" -> text_fingerprint,
+    "ann_cosine_topk" -> ann_cosine_topk,
+    "ann_lsh_bucket" -> ann_lsh_bucket,
+    "ann_lsh_topk" -> ann_lsh_topk,
+    "multimodal_meta" -> multimodal_meta)
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** DuckDB twin of HashFunctions.hash32. */
+  private def h32(e: String): String =
+    s"CAST(CAST('0x' || substr(md5($e), 1, 8) AS UBIGINT) AS BIGINT)"
+
+  /** DuckDB twin of Dedup.shingleHashes (distinct 5-shingle hashes). */
+  private val shingleHashesSql =
+    s"list_transform(list_distinct(list_transform(range(1, greatest(length(text) - ${SHINGLE_K - 1}, 1) + 1), i -> substr(text, i, $SHINGLE_K))), g -> ${h32("g")})"
+
+  private val minhashSigExprs: Seq[String] =
+    HashFunctions.MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${HashFunctions.MinHashPrime})) AS sig$j"
+    }
+
+  private val simhashBitExprs: String = (0 until 32).map { bIdx =>
+    s"(CASE WHEN list_sum(list_transform(th, h -> ((h >> $bIdx) & 1) * 2 - 1)) > 0 THEN ${1L << bIdx} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val tokenCountSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  private def occSql(needle: String): String =
+    s"((length(text) - length(replace(text, '$needle', ''))) // ${needle.length})"
+  private val stopwordBpSql =
+    s"((${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")}) * 10000 // $tokenCountSql)"
+  private val avgTokenLenBpSql =
+    s"((length(text) - ($tokenCountSql - 1)) * 10000 // $tokenCountSql)"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(occSql).mkString("(", " + ", ")")
+
+  /** DuckDB twin of Similarity.quantize. */
+  private val quantizeSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** DuckDB twin of Similarity.hyperplaneBucket (integer-exact). */
+  private val lshBucketSql: String = {
+    def w(h: Int, i: Int): Long =
+      (1103515245L * (h * 64 + i + 12345) + 54321) % 1001 - 500
+    (0 until 8).map { h =>
+      val weights = (0 until 64).map(i => w(h, i)).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(qv, $weights), z -> z[1] * z[2])) > 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_md5""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents)
+         |SELECT doc_id, ${minhashSigExprs.mkString(", ")}
+         |FROM hashed
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_neardup_pairs" ->
+      s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
+         |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
+         |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
+         |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         |sets AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(length(text) - ${SHINGLE_K - 1}, 1) + 1),
+         |      i -> substr(text, i, $SHINGLE_K))) AS jset
+         |  FROM documents)
+         |SELECT cand.id_a, cand.id_b,
+         |  length(list_intersect(sa.jset, sb.jset)) AS n_inter,
+         |  length(list_distinct(list_concat(sa.jset, sb.jset))) AS n_union,
+         |  (length(list_intersect(sa.jset, sb.jset)) * 10000)
+         |    // length(list_distinct(list_concat(sa.jset, sb.jset))) AS jaccard_bp
+         |FROM cand
+         |JOIN sets sa ON sa.doc_id = cand.id_a
+         |JOIN sets sb ON sb.doc_id = cand.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH th_t AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${h32("t")}) AS th
+         |  FROM documents)
+         |SELECT doc_id, $simhashBitExprs AS simhash
+         |FROM th_t
+         |ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST($tokenCountSql AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS text_len,
+         |  CAST($avgTokenLenBpSql AS BIGINT) AS avg_token_len_bp,
+         |  CAST($stopwordBpSql AS BIGINT) AS stopword_bp,
+         |  CAST(5000 + least($stopwordBpSql, 2000) * 2
+         |    - least(abs($avgTokenLenBpSql - 50000) // 10, 5000) AS BIGINT) AS quality_bp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        s"${langScoreSql(ms)} AS score_$l"
+      }.mkString(", ")
+      val best = TextAnalysis.langMarkers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+      val caseExpr = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+         |SELECT doc_id, lang, $caseExpr AS pred_lang,
+         |  CAST(score_en AS BIGINT) AS score_en
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(string_split(text, ' '), t -> ${h32("t")}))
+         |    % 2305843009213693951 AS BIGINT) AS fingerprint
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS candidate_id,
+        |    list_cosine_similarity(p.emb, c.emb) AS cos
+        |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, candidate_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, candidate_id) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, rank, candidate_id, round(cos, 3) AS cos_sim
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
+    "ann_lsh_bucket" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings)
+         |SELECT vec_id, CAST($lshBucketSql AS BIGINT) AS bucket
+         |FROM q
+         |ORDER BY vec_id""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |bq AS (SELECT vec_id, qv, CAST($lshBucketSql AS BIGINT) AS bucket FROM q),
+         |pairs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT src, dst, score,
+         |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+         |  FROM pairs)
+         |SELECT src, rank, dst, score FROM ranked WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        |  upper(substr(hex(encode(text)), 1, 32)) AS header_hex,
+        |  md5(text) AS payload_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+
+/** VPE-domain pipeline operators (SURVEY §2) demonstrated end-to-end
+  * over the testdata, each with a DuckDB oracle. The `events` table
+  * plays the role of the detection stream (one event = one bbox
+  * observation); `embeddings` plays the Feature1024 store.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** vpe_tracklets: tracking stage output (X1 tracker grouping + T3
+    * chronological serials + F1 tracklet id). */
+  private val vpe_tracklets: Q = (s, d) => {
+    Tracking.trackletSummaries(Tracking.detectionsFromEvents(Tables.events(s, d)))
+      .select(col("video_id"), col("serial"), col("tracklet_id"),
+        col("start_frame"), col("end_frame"), col("n_boxes"), col("num_tracklets"))
+      .orderBy(col("video_id"), col("serial"))
+  }
+
+  /** vpe_sample_even: A2 even-interval sampling — the real array
+    * operator (Sampling.evenSampleIndicesCol) summarized to scalars the
+    * oracle reproduces in closed form. */
+  private val vpe_sample_even: Q = (s, d) => {
+    val tr = Tracking.trackletSummaries(
+      Tracking.detectionsFromEvents(Tables.events(s, d)))
+    val kept = Sampling.evenSampleIndicesCol(col("n_boxes").cast("int"), 5)
+    tr.select(col("tracklet_id"), col("n_boxes"), kept.as("kept"))
+      .select(col("tracklet_id"), col("n_boxes"),
+        size(col("kept")).cast("long").as("n_kept"),
+        element_at(col("kept"), 1).cast("long").as("first_kept"),
+        element_at(col("kept"), -1).cast("long").as("last_kept"))
+      .orderBy(col("tracklet_id"))
+  }
+
+  /** vpe_attr_mean: A1 mean of per-sample attribute vectors, via the
+    * distributed posexplode aggregation (AttributeOps.meanVectors),
+    * 4 demo dims of the 128-dim surface. */
+  private val vpe_attr_mean: Q = (s, d) => {
+    val det = Tracking.detectionsFromEvents(Tables.events(s, d))
+      .withColumn("attrs", AttributeOps.fakeAttributeVector(col("frame_idx"), 4))
+    AttributeOps.meanVectors(det, Seq("video_id", "obj_key"), "attrs")
+      .select(col("video_id"), col("obj_key"),
+        round(element_at(col("mean_vec"), 1), 4).as("mean_a0"),
+        round(element_at(col("mean_vec"), 2), 4).as("mean_a1"),
+        round(element_at(col("mean_vec"), 3), 4).as("mean_a2"),
+        round(element_at(col("mean_vec"), 4), 4).as("mean_a3"),
+        col("n_samples"))
+      .orderBy(col("video_id"), col("obj_key"))
+  }
+
+  /** vpe_reid_join: the ReID stream join (J1 full outer on the
+    * composite key + P5 presence split + U1-style reconciliation),
+    * batch form: tracklet summaries ⟗ attribute means. */
+  private val vpe_reid_join: Q = (s, d) => {
+    val tr = Tracking.trackletSummaries(
+      Tracking.detectionsFromEvents(Tables.events(s, d)))
+      .select(col("video_id"), col("obj_key"), col("tracklet_id"), col("n_boxes"))
+      // simulate late/missing attrs legs: attrs only exist for some keys
+    val det = Tracking.detectionsFromEvents(Tables.events(s, d))
+      .filter(col("obj_key") =!= "error")
+      .withColumn("attrs", AttributeOps.fakeAttributeVector(col("frame_idx"), 4))
+    val am = AttributeOps.meanVectors(det, Seq("video_id", "obj_key"), "attrs")
+      .select(col("video_id"), col("obj_key"),
+        round(element_at(col("mean_vec"), 1), 4).as("attr0"), col("n_samples"))
+    tr.join(am, Seq("video_id", "obj_key"), "full_outer")
+      .select(col("video_id"), col("obj_key"), col("tracklet_id"),
+        col("n_boxes"), col("attr0"), col("n_samples"),
+        when(col("tracklet_id").isNotNull && col("attr0").isNotNull, "matched")
+          .when(col("tracklet_id").isNotNull, "tracklet_only")
+          .otherwise("attr_only").as("presence"))
+      .orderBy(col("video_id"), col("obj_key"))
+  }
+
+  /** vpe_reid_rank: X3/T2 IDRank — rank candidate gallery per probe by
+    * exact quantized dot product (X4 comparer kernel), top-5. */
+  private val vpe_reid_rank: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 5)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** vpe_similar_topk: G9/T1 top-k similar per person (ORDER BY
+    * similarity DESC over out-edges) — neighbors within the same label
+    * bucket by exact quantized dot product. */
+  private val vpe_similar_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
+    val a = emb.select(col("label"), col("vec_id").as("src"), col("qv").as("qa"))
+    val b = emb.select(col("label"), col("vec_id").as("dst"), col("qv").as("qb"))
+    val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Similarity.dotLong(col("qa"), col("qb")).as("score"))
+    Similarity.topKPerKey(pairs, "src", "score", "dst", 3)
+      .select(col("src"), col("rank"), col("dst"), col("score"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  /** vpe_routing: P1/P2 port-routing filters + U3 plan merge — build
+    * dest_ports arrays per record, then count consumption per port
+    * (array_contains = the Stream.filter of the reference). */
+  private val vpe_routing: Q = (s, d) => {
+    val env = Tables.events(s, d).select(
+      col("event_id"),
+      when(col("event_type") === "click", array(lit("attr-recog"), lit("save")))
+        .when(col("event_type") === "purchase", array(lit("attr-recog"), lit("reid"), lit("save")))
+        .when(col("event_type") === "view", array(lit("save")))
+        .otherwise(array(lit("monitor"))).as("dest_ports"))
+    val ports = Seq("attr-recog", "reid", "save", "monitor")
+    ports.map { p =>
+      env.filter(array_contains(col("dest_ports"), p))
+        .agg(count(lit(1)).as("n_records"))
+        .select(lit(p).as("port"), col("n_records"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("port"))
+  }
+
+  /** vpe_claim_check: O3 payload-or-pointer — spill oversize payloads
+    * to a pointer, then resolve via lookup join (J5) and prove
+    * round-trip integrity with md5. */
+  private val vpe_claim_check: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val threshold = 256
+    val enveloped = docs.select(
+      col("doc_id"),
+      when(length(col("text")) <= threshold, col("text")).as("inline_payload"),
+      when(length(col("text")) > threshold,
+        concat(lit("store://documents/"), col("doc_id"))).as("url"))
+    val store = docs.select(col("doc_id").as("store_id"), col("text").as("stored_text"))
+    enveloped
+      .join(store, enveloped("doc_id") === store("store_id"), "left")
+      .select(col("doc_id"),
+        col("url").isNotNull.as("spilled"),
+        md5(coalesce(col("inline_payload"), col("stored_text")).cast("binary")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** vpe_timetree_person: F3+G3 — tracklet start time from frame index
+    * at 12.5 fps anchored at each video's first event time, bucketed
+    * into the hour tree. */
+  private val vpe_timetree_person: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val videoStart = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("video_start"), min(col("event_id")).as("first_frame"))
+    val tr = Tracking.trackletSummaries(Tracking.detectionsFromEvents(ev))
+      .withColumn("user_id", expr("CAST(substr(video_id, 2) AS BIGINT)"))
+    tr.join(videoStart, Seq("user_id"))
+      .withColumn("start_ts", Tracking.trackletStartTime(
+        col("video_start"), col("start_frame") - col("first_frame")))
+      .select(col("tracklet_id"),
+        year(col("start_ts")).as("y"), month(col("start_ts")).as("m"),
+        dayofmonth(col("start_ts")).as("day"), hour(col("start_ts")).as("h"))
+      .orderBy(col("tracklet_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "vpe_tracklets" -> vpe_tracklets,
+    "vpe_sample_even" -> vpe_sample_even,
+    "vpe_attr_mean" -> vpe_attr_mean,
+    "vpe_reid_join" -> vpe_reid_join,
+    "vpe_reid_rank" -> vpe_reid_rank,
+    "vpe_similar_topk" -> vpe_similar_topk,
+    "vpe_routing" -> vpe_routing,
+    "vpe_claim_check" -> vpe_claim_check,
+    "vpe_timetree_person" -> vpe_timetree_person)
+
+  private val detectionsSql =
+    """SELECT 'v' || CAST(user_id AS VARCHAR) AS video_id,
+      |       event_type AS obj_key, event_id AS frame_idx
+      |FROM events"""
+      .stripMargin
+
+  private val trackletsSql =
+    s"""SELECT video_id, obj_key, start_frame, end_frame, n_boxes,
+       |  CAST(row_number() OVER (PARTITION BY video_id ORDER BY start_frame) - 1 AS INT) AS serial,
+       |  count(*) OVER (PARTITION BY video_id) AS num_tracklets
+       |FROM (
+       |  SELECT video_id, obj_key, min(frame_idx) AS start_frame,
+       |         max(frame_idx) AS end_frame, count(*) AS n_boxes
+       |  FROM ($detectionsSql) det
+       |  GROUP BY video_id, obj_key) g"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "vpe_tracklets" ->
+      s"""SELECT video_id, serial,
+         |  video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id,
+         |  start_frame, end_frame, n_boxes, num_tracklets
+         |FROM ($trackletsSql) t
+         |ORDER BY video_id, serial""".stripMargin,
+    "vpe_sample_even" ->
+      s"""WITH tr AS (SELECT video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id,
+         |    n_boxes, CAST(n_boxes AS BIGINT) AS n FROM ($trackletsSql) t),
+         |params AS (
+         |  SELECT tracklet_id, n_boxes, n,
+         |    n // 6 AS interval,
+         |    (n - 4 * (n // 6)) // 2 AS start
+         |  FROM tr),
+         |calc AS (
+         |  SELECT tracklet_id, n_boxes, n, interval,
+         |    CASE WHEN n <= 5 THEN NULL ELSE start % interval END AS first_mod
+         |  FROM params)
+         |SELECT tracklet_id, n_boxes,
+         |  CASE WHEN n <= 5 THEN n
+         |       ELSE (n - 1 - first_mod) // interval + 1 END AS n_kept,
+         |  CASE WHEN n <= 5 THEN 0 ELSE first_mod END AS first_kept,
+         |  CASE WHEN n <= 5 THEN n - 1
+         |       ELSE first_mod + ((n - 1 - first_mod) // interval) * interval END AS last_kept
+         |FROM calc
+         |ORDER BY tracklet_id""".stripMargin,
+    "vpe_attr_mean" ->
+      s"""SELECT video_id, obj_key,
+         |  round(avg(((frame_idx * 31 + 7) % 997) / 997.0), 4) AS mean_a0,
+         |  round(avg(((frame_idx * 33 + 8) % 997) / 997.0), 4) AS mean_a1,
+         |  round(avg(((frame_idx * 35 + 9) % 997) / 997.0), 4) AS mean_a2,
+         |  round(avg(((frame_idx * 37 + 10) % 997) / 997.0), 4) AS mean_a3,
+         |  count(*) AS n_samples
+         |FROM ($detectionsSql) det
+         |GROUP BY video_id, obj_key
+         |ORDER BY video_id, obj_key""".stripMargin,
+    "vpe_reid_join" ->
+      s"""WITH tr AS (
+         |  SELECT video_id, obj_key,
+         |    video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id, n_boxes
+         |  FROM ($trackletsSql) t),
+         |am AS (
+         |  SELECT video_id, obj_key,
+         |    round(avg(((frame_idx * 31 + 7) % 997) / 997.0), 4) AS attr0,
+         |    count(*) AS n_samples
+         |  FROM ($detectionsSql) det
+         |  WHERE obj_key <> 'error'
+         |  GROUP BY video_id, obj_key)
+         |SELECT coalesce(tr.video_id, am.video_id) AS video_id,
+         |  coalesce(tr.obj_key, am.obj_key) AS obj_key,
+         |  tr.tracklet_id, tr.n_boxes, am.attr0, am.n_samples,
+         |  CASE WHEN tr.tracklet_id IS NOT NULL AND am.attr0 IS NOT NULL THEN 'matched'
+         |       WHEN tr.tracklet_id IS NOT NULL THEN 'tracklet_only'
+         |       ELSE 'attr_only' END AS presence
+         |FROM tr FULL OUTER JOIN am
+         |  ON tr.video_id = am.video_id AND tr.obj_key = am.obj_key
+         |ORDER BY video_id, obj_key""".stripMargin,
+    "vpe_reid_rank" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS candidate_id,
+        |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv),
+        |      z -> z[1] * z[2])) AS BIGINT) AS score
+        |  FROM q p JOIN q c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, candidate_id, score,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY score DESC, candidate_id) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, rank, candidate_id, score
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "vpe_similar_topk" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      z -> z[1] * z[2])) AS BIGINT) AS score
+        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT src, dst, score,
+        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+        |  FROM pairs)
+        |SELECT src, rank, dst, score FROM ranked WHERE rank <= 3
+        |ORDER BY src, rank""".stripMargin,
+    "vpe_routing" ->
+      """WITH env AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'click' THEN ['attr-recog', 'save']
+        |         WHEN event_type = 'purchase' THEN ['attr-recog', 'reid', 'save']
+        |         WHEN event_type = 'view' THEN ['save']
+        |         ELSE ['monitor'] END AS dest_ports
+        |  FROM events),
+        |ports AS (SELECT unnest(['attr-recog', 'reid', 'save', 'monitor']) AS port)
+        |SELECT port, count(*) AS n_records
+        |FROM ports JOIN env ON list_contains(env.dest_ports, ports.port)
+        |GROUP BY port
+        |ORDER BY port""".stripMargin,
+    "vpe_claim_check" ->
+      """SELECT doc_id, length(text) > 256 AS spilled, md5(text) AS payload_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "vpe_timetree_person" ->
+      s"""WITH vs AS (
+         |  SELECT user_id, min(ts) AS video_start, min(event_id) AS first_frame
+         |  FROM events GROUP BY user_id),
+         |tr AS (
+         |  SELECT CAST(substr(video_id, 2) AS BIGINT) AS user_id,
+         |    video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id,
+         |    start_frame
+         |  FROM ($trackletsSql) t)
+         |SELECT tr.tracklet_id,
+         |  EXTRACT(year FROM start_ts) AS y, EXTRACT(month FROM start_ts) AS m,
+         |  EXTRACT(day FROM start_ts) AS day, EXTRACT(hour FROM start_ts) AS h
+         |FROM (
+         |  SELECT tr.tracklet_id,
+         |    make_timestamp((CAST(floor(epoch(vs.video_start)) AS BIGINT)
+         |      + ((tr.start_frame - vs.first_frame) * 2 // 25)) * 1000000) AS start_ts
+         |  FROM tr JOIN vs ON tr.user_id = vs.user_id) tr
+         |ORDER BY tracklet_id""".stripMargin)
+}

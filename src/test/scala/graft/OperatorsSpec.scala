@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("evenSampleIndices matches reference Tracklet.sample semantics") {
+    // n <= numSamples keeps all
+    assert(Sampling.evenSampleIndices(3, 5) == Seq(0, 1, 2))
+    // numSamples = -1 keeps all, 0 keeps none
+    assert(Sampling.evenSampleIndices(10, -1) == (0 until 10))
+    assert(Sampling.evenSampleIndices(10, 0).isEmpty)
+    // n=10, k=5: interval = 10/6 = 1 -> everything kept (reference quirk)
+    assert(Sampling.evenSampleIndices(10, 5) == (0 until 10))
+    // n=30, k=5: interval = 5, start = (30-20)/2 = 5 -> i % 5 == 0
+    assert(Sampling.evenSampleIndices(30, 5) == Seq(0, 5, 10, 15, 20, 25))
+    // n=13, k=2: interval = 4, start = (13-4)/2 = 4 -> i ≡ 0 (mod 4)
+    assert(Sampling.evenSampleIndices(13, 2) == Seq(0, 4, 8, 12))
+  }
+
+  test("evenSampleIndicesCol agrees with the Scala reference for all n in 1..200") {
+    val df = spark.range(1, 201).select($"id".cast("int").as("n"))
+      .withColumn("kept", Sampling.evenSampleIndicesCol($"n", 5))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n")
+      val got = r.getAs[scala.collection.Seq[Int]]("kept").toSeq
+      assert(got == Sampling.evenSampleIndices(n, 5), s"mismatch at n=$n")
+    }
+  }
+
+  test("samplePatches clears patch on non-sample boxes only") {
+    val seqCol = transform(sequence(lit(0), lit(29)),
+      i => struct(i.as("frame"), lit(Array[Byte](1, 2)).as("patch")))
+    val out = spark.range(1)
+      .select(Sampling.samplePatches(seqCol, 5).as("seq"))
+      .selectExpr("transform(seq, b -> b.patch is not null) as has_patch")
+      .as[Seq[Boolean]].head()
+    val expected = (0 until 30).map(Sampling.evenSampleIndices(30, 5).contains)
+    assert(out == expected)
+  }
+
+  test("meanVectors computes field-wise means distributed") {
+    val df = Seq(
+      ("a", Array(1.0, 2.0)), ("a", Array(3.0, 6.0)),
+      ("b", Array(10.0, 20.0))).toDF("k", "vec")
+    val out = AttributeOps.meanVectors(df, Seq("k"), "vec")
+      .orderBy("k").collect()
+    assert(out(0).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq == Seq(2.0, 4.0))
+    assert(out(0).getAs[Long]("n_samples") == 2L)
+    assert(out(1).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq == Seq(10.0, 20.0))
+  }
+
+  test("exact duplicates collapse to one group; near-dups found by LSH") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (4L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 3)
+    assert(groups.map(_.getAs[Long]("n_copies")).sorted.toSeq == Seq(1L, 1L, 2L))
+
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 5, 4)
+    val jac = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", 5).collect()
+    // exact dup pair must be found with jaccard 10000
+    val exact = jac.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(exact.isDefined && exact.get.getAs[Long]("jaccard_bp") == 10000L)
+    // near-dup (3) should pair with 1 or 2 at high jaccard
+    assert(jac.exists(r => r.getAs[Long]("id_b") == 3L && r.getAs[Long]("jaccard_bp") > 8000L))
+  }
+
+  test("simhash: near-dup texts have small hamming distance, different texts large") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "spark catalyst optimizer pushes filters into parquet scans for efficiency")
+    ).toDF("doc_id", "text")
+    val fp = docs.select($"doc_id", Dedup.simHash32($"text").as("f")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("f")).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+    assert(ham(fp(1L), fp(2L)) <= 8)
+  }
+
+  test("quantized dot product is exact and symmetric") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(1.0f, 0.5f, -1.0f))).toDF("id", "v")
+    val q = df.select($"id", Similarity.quantize($"v").as("q"))
+    val a = q.select($"id".as("ia"), $"q".as("qa"))
+    val b = q.select($"id".as("ib"), $"q".as("qb"))
+    val dots = a.crossJoin(b)
+      .select($"ia", $"ib", Similarity.dotLong($"qa", $"qb").as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("dot")).toMap
+    // 500*1000 + (-250)*500 + 1000*(-1000) = 500000 - 125000 - 1000000
+    assert(dots((1L, 2L)) == -625000L)
+    assert(dots((1L, 2L)) == dots((2L, 1L)))
+    assert(dots((1L, 1L)) == 500L * 500 + 250L * 250 + 1000L * 1000)
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val df = Seq((1L, Array(0.3f, 0.4f, 0.5f))).toDF("id", "v")
+    val c = df.select(Similarity.cosine($"v", $"v").as("c")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("tracklet serials are chronological 0..n-1 per video") {
+    val tr = Tracking.trackletSummaries(
+      Tracking.detectionsFromEvents(Tables.events(spark, sf)))
+    val byVideo = tr.select("video_id", "serial", "start_frame").collect()
+      .groupBy(_.getString(0))
+    byVideo.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("start_frame"))
+      assert(sorted.map(_.getAs[Int]("serial")).toSeq == rows.indices)
+    }
+  }
+
+  test("hyperplane bucket is deterministic and within 8-bit range") {
+    val b = Tables.embeddings(spark, sf)
+      .select(Similarity.hyperplaneBucket(
+        Similarity.quantize($"embedding"), 64, 8).as("b"))
+      .agg(min("b"), max("b")).head()
+    assert(b.getLong(0) >= 0L && b.getLong(1) <= 255L)
+  }
+}
