@@ -38,14 +38,26 @@ object Dedup {
     array(MinHashCoeffs.indices.map(j => minHashSig(hashes, j)): _*)
   }
 
-  /** LSH candidate pairs: docs sharing at least one band of the MinHash
-    * signature. rowsPerBand consecutive signature values form a band.
-    * Returns distinct (id_a, id_b) with id_a < id_b. */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, rowsPerBand: Int): DataFrame = {
+  /** Hashed-shingle sets, computed ONCE per corpus: (doc_id, hs) with
+    * hs = distinct shingle hash32 array. Everything downstream (MinHash
+    * signatures, LSH bands, Jaccard) derives from this — the md5 work
+    * per shingle is the expensive part and must not be recomputed per
+    * join branch. Callers joining this to itself should `.cache()` it. */
+  def shingleHashSets(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), k).as("hs"))
+
+  /** LSH candidate pairs from a (doc_id, hs) frame: docs sharing at
+    * least one band of the MinHash signature. rowsPerBand consecutive
+    * signature values form a band. Returns distinct (id_a, id_b) with
+    * id_a < id_b. Pairs are only formed inside identical (band,
+    * band_sig) buckets — the shuffle key — so the pair space stays
+    * bucket-local at any scale. */
+  def lshCandidatePairsFromHashes(hashed: DataFrame, rowsPerBand: Int): DataFrame = {
     val nBands = MinHashCoeffs.length / rowsPerBand
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minHashSignature(col(textCol), k).as("sig"))
+    val sig = hashed.select(col("doc_id"),
+      array(MinHashCoeffs.indices.map(j => minHashSig(col("hs"), j)): _*).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(nBands - 1)),
@@ -57,17 +69,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (pairsDf: id_a, id_b). Joins each side to its shingle set, then
-    * |A∩B| / |A∪B| via array ops — pair list is assumed pre-pruned
-    * (LSH or key-window), never all-pairs. */
-  def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
-                      idCol: String, textCol: String, k: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("jid"),
-      array_distinct(shingles(col(textCol), k)).as("jset"))
+  /** Exact Jaccard over hashed shingle sets for given candidate pairs
+    * (pairsDf: id_a, id_b). Set ops run on long arrays (8 bytes/elem),
+    * not strings; the pair list is assumed pre-pruned (LSH or
+    * key-window), never all-pairs. */
+  def jaccardForPairs(hashed: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
-      .join(sets.withColumnRenamed("jid", "id_a").withColumnRenamed("jset", "set_a"), "id_a")
-      .join(sets.withColumnRenamed("jid", "id_b").withColumnRenamed("jset", "set_b"), "id_b")
+      .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("set_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("set_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
       .withColumn("jaccard_bp",
@@ -75,18 +84,29 @@ object Dedup {
       .drop("set_a", "set_b")
   }
 
-  /** 32-bit SimHash from whitespace tokens: bit b of the fingerprint is
-    * the majority vote of bit b across token hash32 values. Pure column
-    * arithmetic (sum per bit of ±1), fully codegen'd. */
-  def simHash32(text: Column): Column = {
-    val tokenHashes = transform(split(text, " "), t => hash32(t))
+  /** Token hash32 array for a text column. Materialize this ONCE
+    * (cache or shuffle barrier) before fanning out into per-bit
+    * expressions — higher-order functions evaluate interpreted and
+    * Catalyst's projection collapse would otherwise duplicate the md5
+    * work per derived column. */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => hash32(t))
+
+  /** 32-bit SimHash from a precomputed token-hash array column: bit b
+    * of the fingerprint is the majority vote of bit b across token
+    * hashes (sum of ±1 per bit). */
+  def simHashFromHashes(th: Column): Column = {
     val bitCols = (0 until 32).map { b =>
-      val votes = aggregate(tokenHashes, lit(0L),
+      val votes = aggregate(th, lit(0L),
         (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
       when(votes > 0, lit(1L << b)).otherwise(0L)
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Convenience one-shot form (recomputes token hashes per reference —
+    * fine for single use, not for wide fan-out). */
+  def simHash32(text: Column): Column = simHashFromHashes(tokenHashes(text))
 
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -23,18 +23,21 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Integer dot product over quantized vectors — exact. */
+  /** Integer dot product over quantized vectors — exact, codegen'd
+    * ([[graft.functions.VectorFunctions.dot_long]]). */
   def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_long(a, b)
 
-  /** Double dot product. */
+  /** Double dot product (higher-order-function form; fine off the hot
+    * path, use the custom expressions on pair joins). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision — single-pass codegen'd
+    * expression ([[graft.functions.VectorFunctions.cosine_sim]]). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** Squared L2 distance. */
   def l2sq(a: Column, b: Column): Column =
@@ -79,10 +82,8 @@ object Similarity {
       (v - 500).toInt
     }
     val bits = (0 until nBits).map { h =>
-      val proj = aggregate(
-        zip_with(vec, array((0 until dims).map(i => lit(w(h, i))): _*),
-          (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, x) => acc + x)
+      val weights = array((0 until dims).map(i => lit(w(h, i).toLong)): _*)
+      val proj = graft.functions.VectorFunctions.dot_long(vec, weights)
       when(proj > 0, lit(1L << h)).otherwise(0L)
     }
     bits.reduce(_ + _)

@@ -26,11 +26,17 @@ object DataPipelineQueries {
   /** dedup_minhash_sig: per-document MinHash signature (8 hashes over
     * distinct 5-shingles) — the signature computation itself, exact. */
   private val dedup_minhash_sig: Q = (s, d) => {
-    val sig = Dedup.minHashSignature(col("text"), SHINGLE_K)
-    Tables.documents(s, d)
+    // hash the shingle sets once (cached); the 8 signature columns then
+    // only run the cheap affine-min transforms over the long array.
+    // repartition first: the source is a single small parquet file (one
+    // input split) and the md5 work is CPU-bound — spread it.
+    val hashed = Dedup.shingleHashSets(
+      Tables.documents(s, d).repartition(col("doc_id")),
+      "doc_id", "text", SHINGLE_K).cache()
+    hashed
       .select(Seq(col("doc_id")) ++
         HashFunctions.MinHashCoeffs.indices.map(j =>
-          element_at(sig, j + 1).as(s"sig$j")): _*)
+          HashFunctions.minHashSig(col("hs"), j).as(s"sig$j")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -38,17 +44,22 @@ object DataPipelineQueries {
     * + exact n-gram Jaccard on the candidates only — the scalable
     * near-dup join (pair space never materializes beyond buckets). */
   private val dedup_neardup_pairs: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", SHINGLE_K, 4)
-    Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", SHINGLE_K)
+    val hashed = Dedup.shingleHashSets(
+      Tables.documents(s, d).repartition(col("doc_id")),
+      "doc_id", "text", SHINGLE_K).cache()
+    val pairs = Dedup.lshCandidatePairsFromHashes(hashed, 4)
+    Dedup.jaccardForPairs(hashed, pairs)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard_bp"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   /** dedup_simhash: 32-bit SimHash fingerprint per document. */
   private val dedup_simhash: Q = (s, d) => {
-    Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+    // materialize token hashes once; the 32 per-bit vote expressions
+    // then scan the long array only
+    val th = Tables.documents(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("th")).cache()
+    th.select(col("doc_id"), Dedup.simHashFromHashes(col("th")).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -106,10 +117,11 @@ object DataPipelineQueries {
     * quantized vectors (exact integer projections) — the ANN scale
     * path's partitioning key. */
   private val ann_lsh_bucket: Q = (s, d) => {
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        Similarity.hyperplaneBucket(
-          Similarity.quantize(col("embedding")), 64, 8).as("bucket"))
+    // quantize once (cached) — the 8 hyperplane projections each scan qv
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv")).cache()
+    q.select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("qv"), 64, 8).as("bucket"))
       .orderBy(col("vec_id"))
   }
 
@@ -120,6 +132,7 @@ object DataPipelineQueries {
     val emb = Tables.embeddings(s, d).select(
       col("vec_id"),
       Similarity.quantize(col("embedding")).as("qv"))
+      .cache()
       .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
     val a = emb.select(col("bucket"), col("vec_id").as("src"), col("qv").as("qa"))
     val b = emb.select(col("bucket"), col("vec_id").as("dst"), col("qv").as("qb"))
@@ -140,7 +153,7 @@ object DataPipelineQueries {
     Tables.documents(s, d).select(
       col("doc_id"),
       length(payload).cast("long").as("payload_bytes"),
-      upper(substring(hex(payload), 1, 32)).as("header_hex"),
+      upper(hex(substring(col("text"), 1, 16).cast("binary"))).as("header_hex"),
       md5(payload).as("payload_md5"))
       .orderBy(col("doc_id"))
   }
@@ -225,11 +238,7 @@ object DataPipelineQueries {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-         |sets AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, greatest(length(text) - ${SHINGLE_K - 1}, 1) + 1),
-         |      i -> substr(text, i, $SHINGLE_K))) AS jset
-         |  FROM documents)
+         |sets AS (SELECT doc_id, hs AS jset FROM hashed)
          |SELECT cand.id_a, cand.id_b,
          |  length(list_intersect(sa.jset, sb.jset)) AS n_inter,
          |  length(list_distinct(list_concat(sa.jset, sb.jset))) AS n_union,
@@ -310,7 +319,7 @@ object DataPipelineQueries {
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-        |  upper(substr(hex(encode(text)), 1, 32)) AS header_hex,
+        |  upper(hex(encode(substr(text, 1, 16)))) AS header_hex,
         |  md5(text) AS payload_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin)

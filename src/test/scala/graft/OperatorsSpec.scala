@@ -66,8 +66,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(groups.length == 3)
     assert(groups.map(_.getAs[Long]("n_copies")).sorted.toSeq == Seq(1L, 1L, 2L))
 
-    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 5, 4)
-    val jac = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", 5).collect()
+    val hashed = Dedup.shingleHashSets(docs, "doc_id", "text", 5)
+    val pairs = Dedup.lshCandidatePairsFromHashes(hashed, 4)
+    val jac = Dedup.jaccardForPairs(hashed, pairs).collect()
     // exact dup pair must be found with jaccard 10000
     val exact = jac.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
     assert(exact.isDefined && exact.get.getAs[Long]("jaccard_bp") == 10000L)
