@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{CompletionCounter, StreamingOps}
+
+/** Structured Streaming operators run to completion against the file
+  * source (single parquet file = single deterministic micro-batch) and
+  * dumped via memory sink, so the DuckDB oracle can check the exact
+  * result the streaming plan produced. Late-data/watermark behavior
+  * across multiple batches is covered by StreamingSpec (MemoryStream).
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** stream_enrich_join: stream-stream inner equi-join with the
+    * time-interval buffer (SURVEY J1/J2 shape, event-time form of the
+    * ReID assembly join). */
+  private val stream_enrich_join: Q = (s, d) => {
+    val ev = StreamingOps.eventsStream(s, d)
+    val trackletLeg = ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val attrLeg = ev.select(col("event_id"), col("ts"), col("value"))
+    val joined = StreamingOps.reidAssemblyJoin(trackletLeg, attrLeg, "event_id", "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+    StreamingOps.runToMemory(s, joined, "graft_stream_enrich", "append")
+      .orderBy(col("event_id"))
+  }
+
+  /** stream_windowed_agg: event-time tumbling window aggregation
+    * (SURVEY W1/W2) — 5-minute windows per event type. */
+  private val stream_windowed_agg: Q = (s, d) => {
+    val ev = StreamingOps.eventsStream(s, d)
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("v"))
+    StreamingOps.runToMemory(s, agg, "graft_stream_winagg", "complete")
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** stream_completion: flatMapGroupsWithState completion counter
+    * (SURVEY A3/K4) — a "pack job" fires exactly once per video when
+    * all 5 expected per-type tracklets have been saved. */
+  private val stream_completion: Q = (s, d) => {
+    import s.implicits._
+    val ev = StreamingOps.eventsStream(s, d)
+    val saves = ev.select(
+      concat(lit("v"), col("user_id").cast("string")).as("task_id"),
+      when(col("event_type") === "click", 0)
+        .when(col("event_type") === "purchase", 1)
+        .when(col("event_type") === "signup", 2)
+        .when(col("event_type") === "view", 3)
+        .otherwise(4).as("serial"),
+      lit(5).as("num_tracklets"))
+      .as[CompletionCounter.SaveEvent]
+    val jobs = CompletionCounter.completionJobs(saves).toDF()
+      .select(col("task_id"), col("n_saved").cast("long").as("n_saved"))
+    StreamingOps.runToMemory(s, jobs, "graft_stream_completion", "append")
+      .orderBy(col("task_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_enrich_join" -> stream_enrich_join,
+    "stream_windowed_agg" -> stream_windowed_agg,
+    "stream_completion" -> stream_completion)
+
+  val oracles: Map[String, String] = Map(
+    "stream_enrich_join" ->
+      """SELECT a.event_id, a.user_id, a.event_type, round(b.value, 2) AS value
+        |FROM events a JOIN events b
+        |  ON a.event_id = b.event_id
+        |  AND b.ts >= a.ts - INTERVAL 10 MINUTE
+        |  AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY a.event_id""".stripMargin,
+    "stream_windowed_agg" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS v
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "stream_completion" ->
+      """SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,
+        |  count(DISTINCT event_type) AS n_saved
+        |FROM events
+        |GROUP BY user_id
+        |HAVING count(DISTINCT event_type) = 5
+        |ORDER BY task_id""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming building blocks (SURVEY §2.9).
+  *
+  * The reference runs DStream micro-batches with processing-time
+  * window buffers (`SparkStreamingApp.java:129-190`, 1 s batches,
+  * 600 s late-data windows). Here the same semantics are re-expressed
+  * event-time-correct: watermarks replace the explicit window buffer
+  * (W2/W3), checkpointed sources replace manual offset commit (W4/W5),
+  * and `maxOffsetsPerTrigger`-style rate limits replace backpressure
+  * (W6). Kafka ingress/egress uses the same code path
+  * (`readStream.format("kafka")`) — the container has no broker, so
+  * tests drive file and memory sources through identical plans.
+  */
+object StreamingOps {
+
+  /** Schema of the events table as written (ts is TIMESTAMP(NANOS),
+    * which Spark must read as long — see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (file source; one file = one
+    * micro-batch). The file source needs a directory, so the single
+    * table file is staged into a per-sfDir temp dir (idempotent).
+    * Mirrors Tables.events' nanos→µs conversion. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(sfDir.hashCode), "events")
+    Files.createDirectories(dir)
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+  }
+
+  /** Run a streaming DataFrame to completion into an in-memory table
+    * and return it as a batch DataFrame. Deterministic when the source
+    * yields a fixed batch sequence (single file = single batch). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+                  outputMode: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** The ReID assembly join, event-time form (SURVEY J1-J3): tracklet
+    * leg ⋈ attribute leg on the record key, inner within the watermark
+    * buffer. The reference buffered unmatched legs for 600 s of
+    * processing time (`PedestrianReIDUsingAttrApp.java:156-198`); a
+    * symmetric watermarked stream-stream join holds state for the same
+    * duration in event time and emits matches incrementally. */
+  def reidAssemblyJoin(trackletLeg: DataFrame, attrLeg: DataFrame,
+                       key: String, tsCol: String,
+                       buffer: String = "10 minutes"): DataFrame = {
+    val t = trackletLeg.withWatermark(tsCol, buffer)
+    val a = attrLeg
+      .withColumnRenamed(key, s"${key}_a")
+      .withColumnRenamed(tsCol, s"${tsCol}_a")
+      .withWatermark(s"${tsCol}_a", buffer)
+    t.join(a,
+      col(key) === col(s"${key}_a") &&
+        col(s"${tsCol}_a") >= col(tsCol) - expr(s"INTERVAL $buffer") &&
+        col(s"${tsCol}_a") <= col(tsCol) + expr(s"INTERVAL $buffer"))
+  }
+}

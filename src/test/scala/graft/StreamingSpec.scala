@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{CompletionCounter, StreamingOps}
+
+/** Multi-batch streaming semantics (what the single-batch Verify run
+  * can't show): late-data buffering in the ReID assembly join and
+  * exactly-once firing of the completion counter across batch splits.
+  * Mirrors reference behavior: instant match / late match within the
+  * buffer / drop beyond it (PedestrianReIDUsingAttrApp.java:156-198)
+  * and idempotent pack triggering (DataManagingApp.java:298-325). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("reid assembly join: instant match, late match within buffer, drop beyond") {
+    implicit val sqlCtx = spark.sqlContext
+    val trackletsIn = MemoryStream[(String, Timestamp)]
+    val attrsIn = MemoryStream[(String, Timestamp)]
+    val tracklets = trackletsIn.toDF().toDF("key", "ts")
+    val attrs = attrsIn.toDF().toDF("key", "ts")
+    val joined = StreamingOps.reidAssemblyJoin(tracklets, attrs, "key", "ts")
+      .select(col("key"))
+
+    val q = joined.writeStream.format("memory")
+      .queryName("reid_join_test").outputMode("append").start()
+    try {
+      // batch 1: both legs same batch -> instant match (J1)
+      trackletsIn.addData(("t1", ts(0)))
+      attrsIn.addData(("t1", ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("reid_join_test").as[String].collect().toSet == Set("t1"))
+
+      // batch 2: tracklet alone -> buffered, no output yet (J2 buffer)
+      trackletsIn.addData(("t2", ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("reid_join_test").count() == 1)
+
+      // batch 3: attr arrives 3 min later, within the 10-min buffer -> late match (J2/J3)
+      attrsIn.addData(("t2", ts(8)))
+      q.processAllAvailable()
+      assert(spark.table("reid_join_test").as[String].collect().toSet == Set("t1", "t2"))
+
+      // batch 4: attr 50 min after its tracklet -> outside the buffer, dropped (W3)
+      trackletsIn.addData(("t3", ts(10)))
+      attrsIn.addData(("t3", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("reid_join_test").as[String].collect().toSet == Set("t1", "t2"))
+    } finally q.stop()
+  }
+
+  test("completion counter fires exactly once, at the batch completing the set") {
+    implicit val sqlCtx = spark.sqlContext
+    val savesIn = MemoryStream[(String, Int, Int)]
+    val saves = savesIn.toDF().toDF("task_id", "serial", "num_tracklets")
+      .as[CompletionCounter.SaveEvent]
+    val jobs = CompletionCounter.completionJobs(saves).toDF()
+
+    val q = jobs.writeStream.format("memory")
+      .queryName("completion_test").outputMode("append").start()
+    try {
+      // task A needs 3 tracklets; first two arrive split across batches
+      savesIn.addData(("A", 0, 3), ("A", 1, 3))
+      q.processAllAvailable()
+      assert(spark.table("completion_test").count() == 0)
+
+      // duplicate save of serial 1 (reference: "duplicated storing
+      // request") must not advance the count
+      savesIn.addData(("A", 1, 3))
+      q.processAllAvailable()
+      assert(spark.table("completion_test").count() == 0)
+
+      // final serial arrives -> exactly one pack job
+      savesIn.addData(("A", 2, 3))
+      q.processAllAvailable()
+      val rows = spark.table("completion_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("task_id") == "A")
+      assert(rows.head.getAs[Int]("n_saved") == 3)
+
+      // replayed saves after completion must not re-fire (idempotent,
+      // like the har-exists short-circuit)
+      savesIn.addData(("A", 0, 3))
+      q.processAllAvailable()
+      assert(spark.table("completion_test").count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg equals its batch twin") {
+    val streamed = StreamingQueriesAccess.windowedAgg(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .select((floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("bucket_start"),
+        col("event_type"), col("value"))
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .orderBy(col("bucket_start"), col("event_type"))
+    assert(streamed.collect().sameElements(batch.collect()))
+  }
+}
+
+/** Test access to the streaming query registry. */
+object StreamingQueriesAccess {
+  def windowedAgg(spark: org.apache.spark.sql.SparkSession, sf: String) =
+    SparkEntry.queries("stream_windowed_agg")(spark, sf)
+}
