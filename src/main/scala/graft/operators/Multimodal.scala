@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: payloads are opaque `binary` columns with typed metadata;
+  * decode / feature-extract run as batched per-partition functions
+  * (the Scala analog of `mapInPandas`), mirroring the reference's
+  * batch-inference amortization (SURVEY O11/X2,
+  * `alg/pedestrian/attr/BatchRecognizer.java:28-37` →
+  * `DeepMARCaffe2Native.java:217-238` reused buffers).
+  *
+  * The actual codec is STUBBED — this container has no image/audio
+  * libraries — behind [[decodeStub]], a deterministic fake with the
+  * real decode signature. The Spark-side plumbing (schema, batching
+  * shape, partitioning, null passthrough) is real and tested,
+  * including the reference's batch ≡ single invariant
+  * (`RecognizerTest.java:158-173`).
+  */
+object Multimodal {
+
+  /** Decoded-payload metadata row (what a real image decode returns). */
+  case class BlobMeta(width: Int, height: Int, channels: Int, format: String)
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("format", StringType)))
+
+  /** STUB decode: a real implementation would call an image codec
+    * (JPEG imdecode — reference `HadoopHelper.java:262-268`). The fake
+    * derives deterministic dimensions from the payload header bytes so
+    * pipelines and tests have stable, content-dependent values. */
+  def decodeStub(bytes: Array[Byte]): BlobMeta = {
+    if (bytes == null || bytes.isEmpty) BlobMeta(0, 0, 0, "empty")
+    else {
+      val b0 = bytes(0) & 0xff
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      BlobMeta(16 * ((b0 % 64) + 1), 16 * ((b1 % 64) + 1), 3, "fakeimg")
+    }
+  }
+
+  /** Batched decode over a binary column: processes partitions in
+    * fixed-size batches (amortizing per-batch model setup, like the
+    * reference's BatchRecognizer), emits input columns + decoded meta
+    * struct. Null/empty payloads pass through with the sentinel meta. */
+  def decodeMeta(df: DataFrame, blobCol: String,
+                 batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` in one native call
+        batch.map { r =>
+          val m = decodeStub(r.getAs[Array[Byte]](blobIdx))
+          Row.fromSeq(r.toSeq :+ Row(m.width, m.height, m.channels, m.format))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling for video-like payloads: given a
+    * frame-count column, the kept frame indices under the reference's
+    * even-interval rule (A2) — shares Sampling's implementation. */
+  def sampleFrames(df: DataFrame, nFramesCol: String, numSamples: Int): DataFrame =
+    df.withColumn("sampled_frames",
+      Sampling.evenSampleIndicesCol(col(nFramesCol).cast("int"), numSamples))
+}

@@ -157,7 +157,30 @@ object PipelineQueries {
       .orderBy(col("tracklet_id"))
   }
 
+  /** vpe_plan_pipeline: the control-plane compiler executing the full
+    * TRACK_ATTRRECOG_REID DAG (SURVEY §2.12) — routing columns (P1),
+    * multicast, markExecuted (O2) and plan combine on the join (U3),
+    * observed at the save sinks. */
+  private val vpe_plan_pipeline: Q = (s, d) => {
+    graft.plans.PlanCompiler.executeFullPipeline(s, d)
+      .orderBy(col("tracklet_id"), col("payload_type"))
+  }
+
+  /** vpe_multimodal_decode: batched mapPartitions decode of opaque
+    * binary payloads (stub codec, real plumbing — SURVEY O11/X2). */
+  private val vpe_multimodal_decode: Q = (s, d) => {
+    val withBlob = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.operators.Multimodal.decodeMeta(withBlob, "payload")
+      .select(col("doc_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.channels").as("channels"),
+        col("meta.format").as("format"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "vpe_plan_pipeline" -> vpe_plan_pipeline,
+    "vpe_multimodal_decode" -> vpe_multimodal_decode,
     "vpe_tracklets" -> vpe_tracklets,
     "vpe_sample_even" -> vpe_sample_even,
     "vpe_attr_mean" -> vpe_attr_mean,
@@ -186,6 +209,24 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vpe_plan_pipeline" ->
+      s"""WITH tr AS (
+         |  SELECT video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id
+         |  FROM ($trackletsSql) t)
+         |SELECT tracklet_id, payload_type, executed_path FROM (
+         |  SELECT tracklet_id, 'tracklet' AS payload_type, 'tracking' AS executed_path FROM tr
+         |  UNION ALL
+         |  SELECT tracklet_id, 'attributes', 'attr-recog,tracking' FROM tr
+         |  UNION ALL
+         |  SELECT tracklet_id, 'idrank', 'attr-recog,reid,tracking' FROM tr) u
+         |ORDER BY tracklet_id, payload_type""".stripMargin,
+    "vpe_multimodal_decode" ->
+      """SELECT doc_id,
+        |  16 * ((ascii(substr(text, 1, 1)) % 64) + 1) AS width,
+        |  16 * ((ascii(substr(text, 2, 1)) % 64) + 1) AS height,
+        |  3 AS channels, 'fakeimg' AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "vpe_tracklets" ->
       s"""SELECT video_id, serial,
          |  video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id,
