@@ -69,4 +69,25 @@ object Multimodal {
   def sampleFrames(df: DataFrame, nFramesCol: String, numSamples: Int): DataFrame =
     df.withColumn("sampled_frames",
       Sampling.evenSampleIndicesCol(col(nFramesCol).cast("int"), numSamples))
+
+  /** DeepMAR-style pixel preprocessing (SURVEY F7, reference
+    * `alg/pedestrian/attr/DeepMAR.java:83-136`: mean 128, scale 1/256):
+    * byte/int pixel array → float array (x − 128) / 256. */
+  def preprocessPixels(pixels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(pixels, p => ((p.cast("float") - 128f) / 256f).cast("float"))
+
+  /** Video cutting / re-batching (SURVEY S6, reference
+    * `vpe/data/DataManagingApp.java:132-223`): group a frame stream
+    * into fragments of at most `maxFramesPerFragment` consecutive
+    * frames per video. Pure grouping-key arithmetic — one shuffle on
+    * (video, fragment). */
+  def fragmentFrames(frames: DataFrame, videoCol: String, frameIdxCol: String,
+                     maxFramesPerFragment: Int = 1000): DataFrame =
+    frames
+      .withColumn("fragment_id",
+        floor(col(frameIdxCol) / maxFramesPerFragment).cast("long"))
+      .groupBy(col(videoCol), col("fragment_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col(frameIdxCol)).as("first_frame"),
+        max(col(frameIdxCol)).as("last_frame"))
 }

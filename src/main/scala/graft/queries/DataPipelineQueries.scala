@@ -158,7 +158,26 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_embed_neardup: embedding-cosine near-duplicate detection —
+    * nearest same-label neighbor per vector with a duplicate-threshold
+    * flag (bucketed by label so the pair space stays block-local, the
+    * same shape the LSH path uses at scale). */
+  private val dedup_embed_neardup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.select(col("label"), col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("dst"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Similarity.cosine(col("ea"), col("eb")).as("cos"))
+    Similarity.topKPerKey(pairs, "src", "cos", "dst", 1)
+      .select(col("src"), col("dst").as("nearest_id"),
+        round(col("cos"), 3).as("cos_sim"),
+        (col("cos") > 0.9).as("is_near_dup"))
+      .orderBy(col("src"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_embed_neardup" -> dedup_embed_neardup,
     "dedup_exact" -> dedup_exact,
     "dedup_minhash_sig" -> dedup_minhash_sig,
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
@@ -216,6 +235,20 @@ object DataPipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(a.emb, b.emb) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT src, dst, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |  FROM pairs)
+        |SELECT src, dst AS nearest_id, round(cos, 3) AS cos_sim,
+        |  cos > 0.9 AS is_near_dup
+        |FROM ranked WHERE rn = 1
+        |ORDER BY src""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents

@@ -178,7 +178,47 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** vpe_killlist: the TERM_SIG cancellation filter (SURVEY P3/J4/W8,
+    * `vpe/ctrl/TaskController.java:36-88`): tasks that signalled an
+    * error become the kill list; their remaining records are dropped by
+    * a broadcast anti-join before processing. */
+  private val vpe_killlist: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val killList = ev.filter(col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    ev.join(broadcast(killList), Seq("user_id"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_survivors"),
+        countDistinct(col("user_id")).as("n_tasks"))
+      .orderBy(col("event_type"))
+  }
+
+  /** vpe_json_envelope: F10 wire-format round-trip — parse the props
+    * JSON payload (from_json) and re-serialize a record envelope
+    * (to_json), the Gson analog of Tracklet/Attributes JSON I/O. */
+  private val vpe_json_envelope: Q = (s, d) => {
+    val ev = Tables.events(s, d).filter(col("event_id") < 1000)
+    ev.select(
+      col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("prop_k"),
+      to_json(struct(col("event_id"), col("event_type"))).as("envelope_json"))
+      .orderBy(col("event_id"))
+  }
+
+  /** vpe_fragments: S6 video cutting — frames re-batched into ≤1000
+    * frame fragments per video. */
+  private val vpe_fragments: Q = (s, d) => {
+    val det = Tracking.detectionsFromEvents(Tables.events(s, d))
+    graft.operators.Multimodal.fragmentFrames(det, "video_id", "frame_idx", 1000)
+      .orderBy(col("video_id"), col("fragment_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "vpe_fragments" -> vpe_fragments,
+    "vpe_killlist" -> vpe_killlist,
+    "vpe_json_envelope" -> vpe_json_envelope,
     "vpe_plan_pipeline" -> vpe_plan_pipeline,
     "vpe_multimodal_decode" -> vpe_multimodal_decode,
     "vpe_tracklets" -> vpe_tracklets,
@@ -209,6 +249,27 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vpe_fragments" ->
+      s"""SELECT video_id, frame_idx // 1000 AS fragment_id,
+         |  count(*) AS n_frames, min(frame_idx) AS first_frame,
+         |  max(frame_idx) AS last_frame
+         |FROM ($detectionsSql) det
+         |GROUP BY video_id, frame_idx // 1000
+         |ORDER BY video_id, fragment_id""".stripMargin,
+    "vpe_killlist" ->
+      """SELECT event_type, count(*) AS n_survivors,
+        |  count(DISTINCT user_id) AS n_tasks
+        |FROM events
+        |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "vpe_json_envelope" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+        |  to_json({'event_id': event_id, 'event_type': event_type}) AS envelope_json
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin,
     "vpe_plan_pipeline" ->
       s"""WITH tr AS (
          |  SELECT video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id

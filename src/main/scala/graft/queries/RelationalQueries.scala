@@ -242,7 +242,18 @@ object RelationalQueries {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** q17: cube — full grouping-set lattice (SURVEY §2.5 note: Catalyst
+    * provides cube/rollup/grouping sets over the tabular model). */
+  private val q17_cube: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q17_cube" -> q17_cube,
     "q1_agg" -> q1_agg,
     "q2_join_dims" -> q2_join_dims,
     "q3_topk_orders" -> q3_topk_orders,
@@ -261,6 +272,12 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q17_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

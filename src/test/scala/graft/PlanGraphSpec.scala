@@ -93,6 +93,13 @@ class PlanGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("F7 pixel preprocessing: (x-128)/256 with float output") {
+    val out = Seq((1L, Seq(0, 128, 255))).toDF("id", "pixels")
+      .select(Multimodal.preprocessPixels($"pixels").as("p"))
+      .as[Seq[Float]].head()
+    assert(out == Seq(-0.5f, 0.0f, 127f / 256f))
+  }
+
   test("multimodal null/empty payload passes through with sentinel meta") {
     val df = Seq((1L, Array[Byte](65, 66)), (2L, Array.empty[Byte]))
       .toDF("id", "payload")
