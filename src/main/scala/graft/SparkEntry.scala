@@ -11,9 +11,12 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Runs the full TRACK_ATTRRECOG_REID control-plane pipeline
+    * (routing, multicast, join, plan-combine, three save sinks) — the
+    * engine's signature dataflow. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    PipelineQueries.queries("vpe_plan_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

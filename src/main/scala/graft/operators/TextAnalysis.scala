@@ -16,9 +16,10 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
 
-  /** Number of non-overlapping occurrences of `needle`. */
+  /** Number of non-overlapping occurrences of `needle` (literal string
+    * replace, not regex — faster and byte-identical to the SQL twin). */
   def countOccurrences(text: Column, needle: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+    ((length(text) - length(call_function("replace", text, lit(needle), lit(""))))
       / needle.length).cast("long")
 
   /** Mean token length in basis points ((chars-without-spaces * 10000)

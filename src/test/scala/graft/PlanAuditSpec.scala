@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties ARCHITECTURE.md
+  * claims must stay visible in the plans Catalyst actually produces. */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q1_agg: filter pushed to parquet, columns pruned, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+    assert(p.contains("partial_sum"), "map-side combine expected")
+  }
+
+  test("q2_join_dims: all dimension joins broadcast (fact side never shuffles pre-agg)") {
+    val p = plan("q2_join_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5/q6: semi and anti joins broadcast") {
+    assert(plan("q5_semijoin").contains("BroadcastHashJoin LeftSemi"))
+    assert(plan("q6_antijoin").contains("BroadcastHashJoin LeftAnti"))
+  }
+
+  test("vpe_killlist: kill list applied as broadcast anti-join") {
+    assert(plan("vpe_killlist").contains("BroadcastHashJoin LeftAnti"))
+  }
+
+  test("per-key top-k plans use partial top-k (WindowGroupLimit), not full sort") {
+    assert(plan("vpe_similar_topk").contains("WindowGroupLimit"))
+    assert(plan("q4_window_rank").contains("WindowGroupLimit"))
+  }
+
+  test("q3 global top-k is TakeOrdered, not a full sort") {
+    assert(plan("q3_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("custom vector expressions appear in plans (codegen path)") {
+    val p = plan("vpe_similar_topk")
+    assert(p.contains("dot_long") || p.toLowerCase.contains("dotproductlong"))
+  }
+}
