@@ -101,6 +101,7 @@ object DataPipelineQueries {
     * the ANN baseline (double-precision cosine, broadcast probes). */
   private val ann_cosine_topk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val p = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val c = emb.select(col("vec_id").as("candidate_id"), col("embedding").as("cv"))
@@ -163,8 +164,10 @@ object DataPipelineQueries {
     * flag (bucketed by label so the pair space stays block-local, the
     * same shape the LSH path uses at scale). */
   private val dedup_embed_neardup: Q = (s, d) => {
+    // pre-cast to double once per vector (not once per pair)
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
     val a = emb.select(col("label"), col("vec_id").as("src"), col("embedding").as("ea"))
     val b = emb.select(col("label"), col("vec_id").as("dst"), col("embedding").as("eb"))
     val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
