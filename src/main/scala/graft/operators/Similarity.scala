@@ -70,6 +70,58 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("candidate_id"), col("score"))
   }
 
+  /** Exact squared L2 over quantized (long) vectors — integer-exact
+    * like dotLong. */
+  def l2sqLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** IVF coarse assignment (the second ANN scale path, alongside LSH):
+    * each vector goes to its nearest centroid cell by exact quantized
+    * L2. `centroids` must be small (broadcast). A production pipeline
+    * would train centroids with k-means; any deterministic centroid
+    * set works for the index structure itself — the partitioning and
+    * search shape are identical.
+    *
+    * Returns vecs + `cell` (centroid id). Scale: one broadcast join +
+    * per-row argmin, no shuffle of the vector table. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val v = vecs.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("_qv"))
+    val c = centroids.select(col(idCol).as("_cid"), quantize(col(vecCol)).as("_qc"))
+    val scored = v.join(broadcast(c))
+      .select(col(idCol), col(vecCol), col("_qv"), col("_cid"),
+        l2sqLong(col("_qv"), col("_qc")).as("_d"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("_cid").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("_qv").as("qv"), col("_cid").as("cell"))
+  }
+
+  /** IVF probe search: for each probe, search only its `nProbe`
+    * nearest cells; rank candidates by exact quantized dot product.
+    * The candidate join is keyed on `cell` — block-local, never
+    * all-pairs. */
+  def ivfTopK(assigned: DataFrame, probes: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val c = centroids.select(col(idCol).as("_cid"), quantize(col(vecCol)).as("_qc"))
+    val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pqv"))
+    // nProbe nearest cells per probe
+    val pc = p.join(broadcast(c))
+      .select(col("probe_id"), col("pqv"), col("_cid"),
+        l2sqLong(col("pqv"), col("_qc")).as("_d"))
+    val wp = Window.partitionBy(col("probe_id")).orderBy(col("_d").asc, col("_cid").asc)
+    val probeCells = pc.withColumn("_rn", row_number().over(wp))
+      .filter(col("_rn") <= nProbe)
+      .select(col("probe_id"), col("pqv"), col("_cid").as("cell"))
+    // candidates from those cells only
+    val cands = assigned.select(col("cell"), col(idCol).as("candidate_id"), col("qv"))
+    val scored = probeCells.join(cands, "cell")
+      .filter(col("probe_id") =!= col("candidate_id"))
+      .select(col("probe_id"), col("candidate_id"),
+        dotLong(col("pqv"), col("qv")).as("score"))
+    topKPerKey(scored, "probe_id", "score", "candidate_id", k)
+      .select(col("probe_id"), col("rank"), col("candidate_id"), col("score"))
+  }
+
   /** LSH bucketing by random-hyperplane signs (the ANN scale path):
     * deterministic hyperplanes derived from fixed integer coefficients.
     * nBits sign bits → bucket id; neighbor search then joins within

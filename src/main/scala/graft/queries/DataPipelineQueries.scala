@@ -179,7 +179,21 @@ object DataPipelineQueries {
       .orderBy(col("src"))
   }
 
+  /** ann_ivf_topk: IVF-style ANN (the brief's second scale path):
+    * deterministic coarse centroids → exact-L2 cell assignment →
+    * probe search restricted to nProbe nearest cells. */
+  private val ann_ivf_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < 16)
+    val probes = emb.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    Similarity.ivfTopK(assigned, probes, centroids, "vec_id", "embedding",
+      nProbe = 4, k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_ivf_topk" -> ann_ivf_topk,
     "dedup_embed_neardup" -> dedup_embed_neardup,
     "dedup_exact" -> dedup_exact,
     "dedup_minhash_sig" -> dedup_minhash_sig,
@@ -237,7 +251,40 @@ object DataPipelineQueries {
     }.mkString(" + ")
   }
 
+  /** DuckDB twin of Similarity.l2sqLong over two qv lists. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT v.vec_id, v.qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM q v, cent c) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q
+         |  WHERE vec_id >= 16 AND vec_id < 26),
+         |pcells AS (SELECT probe_id, pqv, cell FROM (
+         |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM probes p, cent c) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN assigned a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |ranked AS (SELECT probe_id, candidate_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, candidate_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, candidate_id, score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     "dedup_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |pairs AS (

@@ -122,6 +122,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe search finds most of the brute-force top-k (recall)") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val centroids = emb.filter($"vec_id" < 16)
+    val probes = emb.filter($"vec_id" >= 16 && $"vec_id" < 26)
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(assigned, probes, centroids, "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("candidate_id"))).toSet
+    val brute = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("candidate_id"))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall vs brute force (4/16 cells probed)")
+    // every vector lands in exactly one cell
+    assert(assigned.count() == emb.count())
+    assert(assigned.groupBy("vec_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("hyperplane bucket is deterministic and within 8-bit range") {
     val b = Tables.embeddings(spark, sf)
       .select(Similarity.hyperplaneBucket(
