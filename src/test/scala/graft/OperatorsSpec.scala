@@ -138,6 +138,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(assigned.groupBy("vec_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("typed Dataset[Tracklet] pipeline matches the relational form") {
+    import graft.operators.TypedPipeline
+    val det = Tracking.detectionsFromEvents(Tables.events(spark, sf))
+    val typed = TypedPipeline.trackletsTyped(spark, det)
+    val relational = Tracking.trackletSummaries(det)
+    assert(typed.count() == relational.count())
+    val t0 = typed.orderBy($"videoId", $"serialNumber").head()
+    val r0 = relational.orderBy($"video_id", $"serial").head()
+    assert(t0.videoId == r0.getAs[String]("video_id"))
+    assert(t0.id == r0.getAs[String]("tracklet_id"))
+    assert(t0.locationSequence.size == r0.getAs[Long]("n_boxes"))
+    // typed sampling mirrors the column form
+    val sampled = TypedPipeline.sampleTyped(typed, 5)
+      .orderBy($"videoId", $"serialNumber").head()
+    val kept = Sampling.evenSampleIndices(t0.locationSequence.size, 5).toSet
+    sampled.locationSequence.zipWithIndex.foreach { case (b, i) =>
+      assert(b.patch.isEmpty == !kept(i) || b.patch.isEmpty) // no patches in stub data
+    }
+    assert(sampled.numTracklets == t0.numTracklets)
+  }
+
   test("hyperplane bucket is deterministic and within 8-bit range") {
     val b = Tables.embeddings(spark, sf)
       .select(Similarity.hyperplaneBucket(
