@@ -75,6 +75,36 @@ class PlanGraphSpec extends AnyFunSuite {
     assert(ordered == Seq("p2", "p4", "p3")) // similarity DESC
   }
 
+  test("tracklet store: save, compact on completion, idempotent repack, packed-first read") {
+    import graft.storage.{CompactionJob, TrackletStore}
+    val dir = java.nio.file.Files.createTempDirectory("graftstore").toString
+    val store = new TrackletStore(spark, dir)
+    val graph = new GraphStore(spark, dir + "/graph")
+    // K3: two saves for task A (small-files shape), one for task B
+    store.save(Seq(("A", 0, 10), ("A", 1, 11)).toDF("task_id", "serial", "start_frame"))
+    store.save(Seq(("A", 2, 12), ("B", 0, 20)).toDF("task_id", "serial", "start_frame"))
+    assert(store.readTask("A").count() == 3)
+    assert(!store.isPacked("A"))
+
+    // K4/K7: task A completes -> compact + repoint
+    graph.upsertPersons(Seq(("A", "raw/A"), ("B", "raw/B")).toDF("id", "path"))
+    val repointed = CompactionJob.run(spark, Seq("A"), store, graph)
+    assert(repointed.map(_._1) == Seq("A"))
+    assert(store.isPacked("A") && !store.isPacked("B"))
+    // packed-first read returns the same rows; raw partition removed
+    assert(store.readTask("A").select("serial").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    assert(!new java.io.File(dir + "/raw/task_id=A").exists())
+    // B untouched, still raw-readable
+    assert(store.readTask("B").count() == 1)
+    // metadata repointed for A only
+    assert(graph.getPerson("A").head().getAs[String]("path").contains("packed"))
+    assert(graph.getPerson("B").head().getAs[String]("path") == "raw/B")
+
+    // idempotence: re-running compaction is a no-op with same rows
+    CompactionJob.run(spark, Seq("A"), store, graph)
+    assert(store.readTask("A").count() == 3)
+  }
+
   test("multimodal decode: batch processing equals single-row processing") {
     val docs = Tables.documents(spark, sf).limit(100)
       .select($"doc_id", $"text".cast("binary").as("payload"))
