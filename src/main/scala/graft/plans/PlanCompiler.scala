@@ -102,7 +102,9 @@ object PlanCompiler {
       "reid", topo("reid"),
       prevExecuted = col("exec_prev")).drop("exec_prev")
 
-    // save sinks: union of everything routed to a *-save port
+    // save sinks: union of everything routed to a *-save port.
+    // observe() = the reference's per-batch bookkeeping (SURVEY A5):
+    // record counts flow to QueryExecutionListeners without an extra job.
     val saved =
       routeTo(trackOut, TrackletSavePort)
         .select(col("tracklet_id"), lit("tracklet").as("payload_type"), col("executed"))
@@ -110,7 +112,53 @@ object PlanCompiler {
           .select(col("tracklet_id"), lit("attributes").as("payload_type"), col("executed")))
         .unionByName(routeTo(reidOut, IdRankSavePort)
           .select(col("tracklet_id"), lit("idrank").as("payload_type"), col("executed")))
-    saved.select(col("tracklet_id"), col("payload_type"),
-      array_join(col("executed"), ",").as("executed_path"))
+    saved
+      .observe("graft_pipeline",
+        count(lit(1)).as("n_saved"),
+        approx_count_distinct(col("payload_type")).as("n_sinks"))
+      .select(col("tracklet_id"), col("payload_type"),
+        array_join(col("executed"), ",").as("executed_path"))
+  }
+
+  /** REID_ONLY command (SURVEY §2.12, reference
+    * `MessageHandlingApp.java:303-338`): no tracking/recognition runs —
+    * the PedestrianInfo join is FRONT-LOADED from storage: attributes
+    * from the graph store (G8) joined with stored tracklets (G4 path →
+    * S7 retrieve), then ranked against the gallery. `attrCols` are the
+    * attribute columns to rank on.
+    *
+    * Returns (probe_id, rank, candidate_id, score_bp): per probe, the
+    * gallery ordered by attribute-distance ascending — the reference
+    * reid's int[] rank as rows. */
+  def executeReidOnly(spark: SparkSession,
+                      graph: graft.storage.GraphStore,
+                      store: graft.storage.TrackletStore,
+                      probeIds: Seq[String],
+                      attrCol: String): DataFrame = {
+    val persons = graph.readPersons()
+    val probes = persons.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("probe_id"), col(attrCol).as("probe_attr"))
+    // resolve each probe's stored tracklet (G4 path -> S7 read) to prove
+    // the pointer is live; count boxes as payload evidence
+    val trackletCounts = probeIds.map { id =>
+      id -> (try store.readTask(id).count() catch { case _: Throwable => 0L })
+    }.toMap
+    val gallery = persons
+      .select(col("id").as("candidate_id"), col(attrCol).as("cand_attr"))
+    val scored = gallery.join(broadcast(probes),
+        col("probe_id") =!= col("candidate_id"))
+      .select(col("probe_id"), col("candidate_id"),
+        floor(abs(col("probe_attr") - col("cand_attr")) * 10000).cast("long").as("score_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score_bp").asc, col("candidate_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val countsDf = {
+      import spark.implicits._
+      trackletCounts.toSeq.toDF("probe_id", "n_boxes_stored")
+    }
+    ranked.join(broadcast(countsDf), "probe_id")
+      .select(col("probe_id"), col("rank"), col("candidate_id"),
+        col("score_bp"), col("n_boxes_stored"))
   }
 }

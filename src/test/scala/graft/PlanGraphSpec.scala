@@ -45,6 +45,24 @@ class PlanGraphSpec extends AnyFunSuite {
     assert(paths("idrank") == "attr-recog,reid,tracking")
   }
 
+  test("REID_ONLY command: front-loaded join from storage, gallery ranked") {
+    import graft.storage.{GraphStore, TrackletStore}
+    val dir = java.nio.file.Files.createTempDirectory("graftreid").toString
+    val graph = new GraphStore(spark, dir + "/g")
+    val store = new TrackletStore(spark, dir + "/s")
+    graph.upsertPersons(Seq(
+      ("p1", 0.10), ("p2", 0.12), ("p3", 0.50), ("p4", 0.90))
+      .toDF("id", "attr0"))
+    store.save(Seq(("p1", 0), ("p1", 1), ("p1", 2)).toDF("task_id", "serial"))
+    val out = PlanCompiler.executeReidOnly(spark, graph, store, Seq("p1"), "attr0")
+      .orderBy($"rank").collect()
+    // nearest by attribute distance first
+    assert(out.map(_.getAs[String]("candidate_id")).toSeq == Seq("p2", "p3", "p4"))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // stored tracklet resolved (G4 path -> S7 read)
+    assert(out.forall(_.getAs[Long]("n_boxes_stored") == 3L))
+  }
+
   test("graph store: upsert persons (G1/G2/G7), lookup (G4/G8)") {
     val dir = java.nio.file.Files.createTempDirectory("graftgraph").toString
     val store = new GraphStore(spark, dir)
