@@ -45,6 +45,35 @@ class PlanGraphSpec extends AnyFunSuite {
     assert(paths("idrank") == "attr-recog,reid,tracking")
   }
 
+  test("GraftSession: extensions + views make the surface SQL-reachable") {
+    // getOrCreate would return the extension-less shared test session;
+    // clear session slots (context is reused) and restore after
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = GraftSession.builder(master = "local[2]").getOrCreate()
+    try {
+      GraftSession.registerViews(s, sf)
+      // custom function by SQL name via extensions + events view with
+      // the nanos quirk handled
+      val r = s.sql(
+        """SELECT dot_long(array(1L,2L), array(3L,4L)) AS d,
+          |  (SELECT count(*) FROM events) AS n,
+          |  (SELECT cosine_sim(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>),
+          |                     CAST(array(1.0,0.0) AS ARRAY<DOUBLE>))) AS c
+          |""".stripMargin).head()
+      assert(r.getAs[Long]("d") == 11L)
+      assert(r.getAs[Long]("n") == 1000L)
+      assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    } finally {
+      // do NOT stop s (it shares the JVM's SparkContext); restore slots
+      prevDefault.foreach { p =>
+        org.apache.spark.sql.SparkSession.setDefaultSession(p)
+        org.apache.spark.sql.SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("REID_ONLY command: front-loaded join from storage, gallery ranked") {
     import graft.storage.{GraphStore, TrackletStore}
     val dir = java.nio.file.Files.createTempDirectory("graftreid").toString
