@@ -215,7 +215,28 @@ object PipelineQueries {
       .orderBy(col("video_id"), col("fragment_id"))
   }
 
+  /** vpe_attr_named: F8 — the fixed 128-entry projection from an FC8
+    * score vector to named attribute columns (AttributeNames), spot-
+    * checked on three names plus a full-vector checksum. */
+  private val vpe_attr_named: Q = (s, d) => {
+    import graft.functions.AttributeNames
+    val tr = Tracking.trackletSummaries(
+      Tracking.detectionsFromEvents(Tables.events(s, d)))
+      .withColumn("attrs",
+        AttributeOps.fakeAttributeVector(col("start_frame"), AttributeNames.size))
+    val named = AttributeNames.attrStruct(col("attrs"))
+    def pick(n: String) = named(AttributeNames.NAMES.indexOf(n))
+    tr.select(
+      col("tracklet_id"),
+      round(pick("gender_male"), 4).as("gender_male"),
+      round(pick("age_30"), 4).as("age_30"),
+      round(pick("upper_black"), 4).as("upper_black"),
+      round(aggregate(col("attrs"), lit(0.0), (acc, x) => acc + x), 4).as("attr_sum"))
+      .orderBy(col("tracklet_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "vpe_attr_named" -> vpe_attr_named,
     "vpe_fragments" -> vpe_fragments,
     "vpe_killlist" -> vpe_killlist,
     "vpe_json_envelope" -> vpe_json_envelope,
@@ -249,6 +270,24 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vpe_attr_named" -> {
+      import graft.functions.AttributeNames
+      def scoreSql(dim: Int) =
+        s"((start_frame * ${31 + dim * 2} + ${7 + dim}) % 997) / 997.0"
+      def idx(n: String) = AttributeNames.NAMES.indexOf(n)
+      s"""WITH tr AS (
+         |  SELECT video_id || '_tarid' || CAST(serial AS VARCHAR) AS tracklet_id,
+         |    start_frame
+         |  FROM ($trackletsSql) t)
+         |SELECT tracklet_id,
+         |  round(${scoreSql(idx("gender_male"))}, 4) AS gender_male,
+         |  round(${scoreSql(idx("age_30"))}, 4) AS age_30,
+         |  round(${scoreSql(idx("upper_black"))}, 4) AS upper_black,
+         |  round(list_sum(list_transform(range(0, ${AttributeNames.size}),
+         |    d -> ((start_frame * (31 + d * 2) + (7 + d)) % 997) / 997.0)), 4) AS attr_sum
+         |FROM tr
+         |ORDER BY tracklet_id""".stripMargin
+    },
     "vpe_fragments" ->
       s"""SELECT video_id, frame_idx // 1000 AS fragment_id,
          |  count(*) AS n_frames, min(frame_idx) AS first_frame,
