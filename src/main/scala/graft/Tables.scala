@@ -16,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, path): re-reading the same table re-lists
+  // files and re-reads footers; 48 registry queries touch the same ten
+  // tables, so reuse the immutable DataFrame plan. Keyed on the session
+  // too — plans are session-bound.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   /** Name-dispatched loader that applies per-table quirks (events'
     * TIMESTAMP(NANOS) handling). Prefer this over `table` for generic

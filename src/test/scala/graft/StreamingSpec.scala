@@ -92,6 +92,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained streaming topology: stage edges as durable storage (reference app-chaining)") {
+    // The reference chains apps via Kafka topics; here stage 1 writes a
+    // durable edge (files) that stage 2 consumes as its own stream —
+    // the same topology shape with storage as the broker.
+    val base = java.nio.file.Files.createTempDirectory("graftchain")
+    val edge = base.resolve("edge").toString
+    val ckpt1 = base.resolve("ckpt1").toString
+
+    // stage 1: tracking-ish projection of the event stream -> edge files
+    val stage1 = graft.streaming.StreamingOps.eventsStream(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val q1 = stage1.writeStream.format("parquet")
+      .option("path", edge).option("checkpointLocation", ckpt1)
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // stage 2: consumes the edge as ITS stream, aggregates per type
+    val stage2 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"))
+      .parquet(edge)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val out = graft.streaming.StreamingOps.runToMemory(
+      spark, stage2, "graft_chain_out", "complete")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val expected = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+  }
+
   test("streaming windowed agg equals its batch twin") {
     val streamed = StreamingQueriesAccess.windowedAgg(spark, sf)
     val batch = Tables.events(spark, sf)
