@@ -22,10 +22,15 @@ object Tables {
   // too — plans are session-bound.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val MaxCacheEntries = 256
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // bounded: entries strongly reference their session, so an
+    // unbounded map would pin stopped sessions for the JVM's life
+    if (cache.size() > MaxCacheEntries) cache.clear()
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
 
   /** Name-dispatched loader that applies per-table quirks (events'
     * TIMESTAMP(NANOS) handling). Prefer this over `table` for generic

@@ -80,7 +80,7 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
       .withColumn("jaccard_bp",
-        floor(col("n_inter") * 10000 / col("n_union")).cast("long"))
+        floor(col("n_inter").cast("long") * 10000 / col("n_union")).cast("long"))
       .drop("set_a", "set_b")
   }
 

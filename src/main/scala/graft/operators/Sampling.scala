@@ -38,9 +38,12 @@ object Sampling {
   /** Kept-index array as a column. `n` must be a positive int column.
     * Stays entirely inside codegen'd higher-order functions — no UDF. */
   def evenSampleIndicesCol(n: Column, numSamples: Int): Column = {
-    val all = sequence(lit(0), n - 1)
+    // sequence(0, n-1) with n=0 would produce the DESCENDING [0,-1]
+    // (Spark default step is -1 when start > stop) — guard empties.
+    val empty = array().cast("array<int>")
+    val all = when(n <= 0, empty).otherwise(sequence(lit(0), greatest(n, lit(1)) - 1))
     if (numSamples == -1) all
-    else if (numSamples == 0) array().cast("array<int>")
+    else if (numSamples == 0) empty
     else {
       val interval = floor(n / (numSamples + 1)).cast("int")
       val start = floor((n - lit(numSamples - 1) * interval) / 2).cast("int")

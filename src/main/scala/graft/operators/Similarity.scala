@@ -86,14 +86,26 @@ object Similarity {
     * per-row argmin, no shuffle of the vector table. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
-    val v = vecs.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("_qv"))
-    val c = centroids.select(col(idCol).as("_cid"), quantize(col(vecCol)).as("_qc"))
-    val scored = v.join(broadcast(c))
-      .select(col(idCol), col(vecCol), col("_qv"), col("_cid"),
-        l2sqLong(col("_qv"), col("_qc")).as("_d"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("_cid").asc)
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("_qv").as("qv"), col("_cid").as("cell"))
+    // Collect the (small, by contract) centroid set and inline it as
+    // literals: assignment becomes a pure per-row projection — no join,
+    // no shuffle of the vector table (a join+window argmin would
+    // hash-exchange the N×C expansion). Tie-break: smallest cell id,
+    // via lexicographic (distance, cid) struct min.
+    val cents: Array[(Long, Array[Long])] = centroids
+      .select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid set")
+    val qv = quantize(col(vecCol))
+    val distStructs = array(cents.map { case (cid, qc) =>
+      struct(
+        l2sqLong(col("qv"), array(qc.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    vecs.select(col(idCol), col(vecCol), qv.as("qv"))
+      .withColumn("cell", array_min(distStructs).getField("cid"))
   }
 
   /** IVF probe search: for each probe, search only its `nProbe`

@@ -139,10 +139,13 @@ object PlanCompiler {
     val probes = persons.filter(col("id").isin(probeIds: _*))
       .select(col("id").as("probe_id"), col(attrCol).as("probe_attr"))
     // resolve each probe's stored tracklet (G4 path -> S7 read) to prove
-    // the pointer is live; count boxes as payload evidence
-    val trackletCounts = probeIds.map { id =>
-      id -> (try store.readTask(id).count() catch { case _: Throwable => 0L })
-    }.toMap
+    // the pointer is live; one unioned plan -> a single Spark job, and
+    // a broken store path surfaces as an error instead of a silent 0
+    val countsDf = probeIds.map { id =>
+      store.readTask(id)
+        .groupBy().agg(count(lit(1)).as("n_boxes_stored"))
+        .select(lit(id).as("probe_id"), col("n_boxes_stored"))
+    }.reduce(_ unionByName _)
     val gallery = persons
       .select(col("id").as("candidate_id"), col(attrCol).as("cand_attr"))
     val scored = gallery.join(broadcast(probes),
@@ -153,10 +156,6 @@ object PlanCompiler {
       .partitionBy(col("probe_id"))
       .orderBy(col("score_bp").asc, col("candidate_id").asc)
     val ranked = scored.withColumn("rank", row_number().over(w))
-    val countsDf = {
-      import spark.implicits._
-      trackletCounts.toSeq.toDF("probe_id", "n_boxes_stored")
-    }
     ranked.join(broadcast(countsDf), "probe_id")
       .select(col("probe_id"), col("rank"), col("candidate_id"),
         col("score_bp"), col("n_boxes_stored"))

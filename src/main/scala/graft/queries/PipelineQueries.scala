@@ -322,9 +322,13 @@ object PipelineQueries {
          |ORDER BY tracklet_id, payload_type""".stripMargin,
     "vpe_multimodal_decode" ->
       """SELECT doc_id,
-        |  16 * ((ascii(substr(text, 1, 1)) % 64) + 1) AS width,
-        |  16 * ((ascii(substr(text, 2, 1)) % 64) + 1) AS height,
-        |  3 AS channels, 'fakeimg' AS format
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE 16 * ((ascii(substr(text, 1, 1)) % 64) + 1) END AS width,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       WHEN length(text) = 1 THEN 16
+        |       ELSE 16 * ((ascii(substr(text, 2, 1)) % 64) + 1) END AS height,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE 3 END AS channels,
+        |  CASE WHEN length(text) = 0 THEN 'empty' ELSE 'fakeimg' END AS format
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "vpe_tracklets" ->
@@ -425,8 +429,8 @@ object PipelineQueries {
         |         ELSE ['monitor'] END AS dest_ports
         |  FROM events),
         |ports AS (SELECT unnest(['attr-recog', 'reid', 'save', 'monitor']) AS port)
-        |SELECT port, count(*) AS n_records
-        |FROM ports JOIN env ON list_contains(env.dest_ports, ports.port)
+        |SELECT port, count(env.event_id) AS n_records
+        |FROM ports LEFT JOIN env ON list_contains(env.dest_ports, ports.port)
         |GROUP BY port
         |ORDER BY port""".stripMargin,
     "vpe_claim_check" ->

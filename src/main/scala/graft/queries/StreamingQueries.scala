@@ -83,9 +83,11 @@ object StreamingQueries {
         |ORDER BY bucket_start, event_type""".stripMargin,
     "stream_completion" ->
       """SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,
-        |  count(DISTINCT event_type) AS n_saved
+        |  count(DISTINCT CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+        |    WHEN 'signup' THEN 2 WHEN 'view' THEN 3 ELSE 4 END) AS n_saved
         |FROM events
         |GROUP BY user_id
-        |HAVING count(DISTINCT event_type) = 5
+        |HAVING count(DISTINCT CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+        |    WHEN 'signup' THEN 2 WHEN 'view' THEN 3 ELSE 4 END) = 5
         |ORDER BY task_id""".stripMargin)
 }

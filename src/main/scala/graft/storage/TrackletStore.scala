@@ -42,8 +42,11 @@ class TrackletStore(spark: SparkSession, dir: String) {
   def compactTask(taskId: String): String = {
     val packed = new File(packedDir(taskId))
     if (!packed.exists()) {
+      // drop task_id so packed and raw reads share one schema (the raw
+      // branch loses it as a partition column)
       val raw = spark.read.parquet(s"$dir/raw")
         .filter(col("task_id") === taskId)
+        .drop("task_id")
       raw.coalesce(1).write.mode(SaveMode.Overwrite).parquet(packedDir(taskId))
       val rawPath = new File(rawDir(taskId))
       if (rawPath.exists()) org.apache.commons.io.FileUtils.deleteDirectory(rawPath)

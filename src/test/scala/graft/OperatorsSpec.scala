@@ -22,8 +22,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.evenSampleIndices(13, 2) == Seq(0, 4, 8, 12))
   }
 
-  test("evenSampleIndicesCol agrees with the Scala reference for all n in 1..200") {
-    val df = spark.range(1, 201).select($"id".cast("int").as("n"))
+  test("evenSampleIndicesCol agrees with the Scala reference for all n in 0..200") {
+    val df = spark.range(0, 201).select($"id".cast("int").as("n"))
       .withColumn("kept", Sampling.evenSampleIndicesCol($"n", 5))
     val rows = df.collect()
     rows.foreach { r =>

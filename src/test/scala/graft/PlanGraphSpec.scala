@@ -150,6 +150,9 @@ class PlanGraphSpec extends AnyFunSuite {
     // idempotence: re-running compaction is a no-op with same rows
     CompactionJob.run(spark, Seq("A"), store, graph)
     assert(store.readTask("A").count() == 3)
+    // schema stability: packed and raw reads expose the same columns
+    assert(store.readTask("A").columns.sorted.toSeq ==
+      store.readTask("B").columns.sorted.toSeq)
   }
 
   test("multimodal decode: batch processing equals single-row processing") {
