@@ -5,7 +5,8 @@ package graft.model
   * Mirrors the reference's fixed-by-class schemas (SURVEY.md §1.2):
   *  - Tracklet / BoundingBox: reference
   *    `alg/pedestrian/tracking/Tracklet.java:42-269`
-  *  - Attributes: 128 named float scores,
+  *  - Attributes: named float scores (one per entry of the reference
+  *    ATTR_LIST — 125 names; see `AttributeNames.size`),
   *    `alg/pedestrian/attr/Attributes.java:36-419` — modeled here as
   *    `Array[Float]` + the name table in [[graft.functions.AttributeNames]]
   *    (array form keeps vector math cheap; the named-struct projection is

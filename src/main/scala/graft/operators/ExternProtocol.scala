@@ -30,6 +30,16 @@ object ExternProtocol {
   // ---- client-side codec ----
 
   def encodeRequest(samples: Seq[BoundingBox]): Array[Byte] = {
+    // Fail fast on malformed patches: the protocol (and decodeRequest)
+    // assumes exactly width*height*3 pixel bytes per box; a mismatch
+    // would silently desynchronize the shared wire stream for every
+    // subsequent sample on the connection.
+    samples.foreach { b =>
+      b.patch.foreach { p =>
+        require(p.length == b.width * b.height * 3,
+          s"patch length ${p.length} != width*height*3 = ${b.width * b.height * 3}")
+      }
+    }
     val patchBytes = samples.map(_.patch.map(_.length).getOrElse(0)).sum
     val buf = ByteBuffer.allocate(4 + samples.size * 16 + patchBytes)
     buf.putInt(samples.size)
@@ -93,22 +103,19 @@ object ExternProtocol {
       else {
         val socket = new Socket(host, port)
         socket.setTcpNoDelay(true)
+        // Close on task completion (success OR failure): draining alone
+        // would leak one connection per partition whenever the task
+        // fails mid-stream or a downstream limit stops consuming early.
+        Option(org.apache.spark.TaskContext.get()).foreach {
+          _.addTaskCompletionListener[Unit](_ => socket.close())
+        }
         val out = socket.getOutputStream
         val in = socket.getInputStream
-        val results = it.map { t =>
+        it.map { t =>
           val samples = t.locationSequence.filter(_.patch.isDefined)
           out.write(encodeRequest(samples))
           out.flush()
           Row(t.id, readResponse(in))
-        }
-        // close the socket after the iterator drains
-        new Iterator[Row] {
-          def hasNext: Boolean = {
-            val h = results.hasNext
-            if (!h) socket.close()
-            h
-          }
-          def next(): Row = results.next()
         }
       }
     }(enc)

@@ -58,9 +58,14 @@ object Sampling {
   def samplePatches(seqCol: Column, numSamples: Int): Column = {
     val n = size(seqCol)
     val kept = evenSampleIndicesCol(n, numSamples)
+    // Same n=0 pitfall as evenSampleIndicesCol: sequence(0, n-1) with
+    // n=0 yields the DESCENDING [0,-1] and zip_with would pad the
+    // shorter side with nulls — guard empties explicitly.
+    val idx = when(n <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), greatest(n, lit(1)) - 1))
     zip_with(
       seqCol,
-      sequence(lit(0), n - 1),
+      idx,
       (box, i) => when(array_contains(kept, i), box)
         .otherwise(box.withField("patch", lit(null).cast("binary"))))
   }

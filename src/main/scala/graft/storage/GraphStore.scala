@@ -33,17 +33,21 @@ class GraphStore(spark: SparkSession, dir: String) {
       spark.read.parquet(path)
     else schemaOf.limit(0)
 
-  /** Atomic-ish table rewrite: write to a staging dir, then swap. */
+  /** Atomic-ish table rewrite: write to a staging dir, then swap.
+    * Renames go through `Files.move(..., ATOMIC_MOVE)` so a failed swap
+    * (non-empty target, cross-device link) THROWS instead of leaving
+    * readers silently on the stale table. */
   private def rewrite(path: String, df: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val staging = path + ".staging"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
-    val dest = new java.io.File(path)
-    if (dest.exists()) {
+    val dest = Paths.get(path)
+    if (Files.exists(dest)) {
       val old = new java.io.File(path + ".old")
       if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      dest.renameTo(old)
+      Files.move(dest, old.toPath, StandardCopyOption.ATOMIC_MOVE)
     }
-    new java.io.File(staging).renameTo(dest)
+    Files.move(Paths.get(staging), dest, StandardCopyOption.ATOMIC_MOVE)
     val old = new java.io.File(path + ".old")
     if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
