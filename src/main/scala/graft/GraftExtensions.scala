@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{CosineSimilarityD, DotProductLong}
+import org.apache.spark.sql.graft.{ContentFingerprint, CosineSimilarityD, DotProductLong, L2SqLong, MinHashSigs, ShingleHash32, SimHash32, TokenHash32}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions available by SQL name in any session built
@@ -25,5 +25,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityD].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarityD(es.head, es(1))))
+    e.injectFunction((
+      new FunctionIdentifier("l2sq_long"),
+      new ExpressionInfo(classOf[L2SqLong].getName, "l2sq_long"),
+      (es: Seq[Expression]) => L2SqLong(es.head, es(1))))
+    // k must be a foldable integer literal (shingle width)
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hash32"),
+      new ExpressionInfo(classOf[ShingleHash32].getName, "shingle_hash32"),
+      (es: Seq[Expression]) =>
+        ShingleHash32(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new FunctionIdentifier("token_hash32"),
+      new ExpressionInfo(classOf[TokenHash32].getName, "token_hash32"),
+      (es: Seq[Expression]) => TokenHash32(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (es: Seq[Expression]) => MinHashSigs(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (es: Seq[Expression]) => SimHash32(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("content_fingerprint"),
+      new ExpressionInfo(classOf[ContentFingerprint].getName, "content_fingerprint"),
+      (es: Seq[Expression]) => ContentFingerprint(es.head)))
   }
 }

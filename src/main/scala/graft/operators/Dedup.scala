@@ -28,15 +28,17 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Distinct-shingle 32-bit hashes for a text column (set semantics). */
+  /** Distinct-shingle 32-bit hashes for a text column (set semantics).
+    * Native one-pass kernel ([[org.apache.spark.sql.graft.ShingleHash32]]);
+    * bit-identical to `transform(array_distinct(shingles(text,k)), hash32)`
+    * (property-checked in HashKernelsSpec). */
   def shingleHashes(text: Column, k: Int): Column =
-    transform(array_distinct(shingles(text, k)), g => hash32(g))
+    org.apache.spark.sql.graft.HashExpressions.shingle_hash32(text, k)
 
-  /** MinHash signature (MinHashCoeffs.length values) as one array. */
-  def minHashSignature(text: Column, k: Int): Column = {
-    val hashes = shingleHashes(text, k)
-    array(MinHashCoeffs.indices.map(j => minHashSig(hashes, j)): _*)
-  }
+  /** MinHash signature (MinHashCoeffs.length values) as one array —
+    * one pass over the shingle-hash set, all coefficients together. */
+  def minHashSignature(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.HashExpressions.minhash_sigs(shingleHashes(text, k))
 
   /** Hashed-shingle sets, computed ONCE per corpus: (doc_id, hs) with
     * hs = distinct shingle hash32 array. Everything downstream (MinHash
@@ -57,7 +59,7 @@ object Dedup {
   def lshCandidatePairsFromHashes(hashed: DataFrame, rowsPerBand: Int): DataFrame = {
     val nBands = MinHashCoeffs.length / rowsPerBand
     val sig = hashed.select(col("doc_id"),
-      array(MinHashCoeffs.indices.map(j => minHashSig(col("hs"), j)): _*).as("sig"))
+      org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(nBands - 1)),
@@ -84,25 +86,18 @@ object Dedup {
       .drop("set_a", "set_b")
   }
 
-  /** Token hash32 array for a text column. Materialize this ONCE
-    * (cache or shuffle barrier) before fanning out into per-bit
-    * expressions — higher-order functions evaluate interpreted and
-    * Catalyst's projection collapse would otherwise duplicate the md5
-    * work per derived column. */
+  /** Token hash32 array for a text column (split on single space,
+    * empty tokens kept — Spark `split(text," ")` semantics). Native
+    * one-pass kernel. */
   def tokenHashes(text: Column): Column =
-    transform(split(text, " "), t => hash32(t))
+    org.apache.spark.sql.graft.HashExpressions.token_hash32(text)
 
   /** 32-bit SimHash from a precomputed token-hash array column: bit b
     * of the fingerprint is the majority vote of bit b across token
-    * hashes (sum of ±1 per bit). */
-  def simHashFromHashes(th: Column): Column = {
-    val bitCols = (0 until 32).map { b =>
-      val votes = aggregate(th, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
-      when(votes > 0, lit(1L << b)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
+    * hashes (sum of ±1 per bit). One-pass native kernel (the HOF form
+    * was 32 interpreted `aggregate` scans of the array). */
+  def simHashFromHashes(th: Column): Column =
+    org.apache.spark.sql.graft.HashExpressions.simhash32(th)
 
   /** Convenience one-shot form (recomputes token hashes per reference —
     * fine for single use, not for wide fan-out). */

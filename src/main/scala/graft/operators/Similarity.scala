@@ -71,9 +71,10 @@ object Similarity {
   }
 
   /** Exact squared L2 over quantized (long) vectors — integer-exact
-    * like dotLong. */
+    * like dotLong; codegen'd single pass
+    * ([[org.apache.spark.sql.graft.L2SqLong]]). */
   def l2sqLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.HashExpressions.l2sq_long(a, b)
 
   /** IVF coarse assignment (the second ANN scale path, alongside LSH):
     * each vector goes to its nearest centroid cell by exact quantized

@@ -69,9 +69,9 @@ object TextAnalysis {
     }
   }
 
-  /** Order-insensitive 63-bit content fingerprint: sum of token hash32
-    * values mod 2^61-1. Integer-exact, engine-portable. */
+  /** Order-insensitive 61-bit content fingerprint: sum of token hash32
+    * values mod 2^61-1. Integer-exact, engine-portable; native one-pass
+    * kernel ([[org.apache.spark.sql.graft.ContentFingerprint]]). */
   def contentFingerprint(text: Column): Column =
-    aggregate(transform(split(text, " "), t => hash32(t)),
-      lit(0L), (acc, h) => (acc + h) % lit(2305843009213693951L))
+    org.apache.spark.sql.graft.HashExpressions.content_fingerprint(text)
 }

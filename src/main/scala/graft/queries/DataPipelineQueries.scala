@@ -26,17 +26,20 @@ object DataPipelineQueries {
   /** dedup_minhash_sig: per-document MinHash signature (8 hashes over
     * distinct 5-shingles) — the signature computation itself, exact. */
   private val dedup_minhash_sig: Q = (s, d) => {
-    // hash the shingle sets once (cached); the 8 signature columns then
-    // only run the cheap affine-min transforms over the long array.
+    // hash the shingle sets once (cached, shared with the neardup-pairs
+    // query whose plan prefix is identical); all signature values come
+    // from ONE pass over the hash array (native minhash_sigs kernel).
     // repartition first: the source is a single small parquet file (one
     // input split) and the md5 work is CPU-bound — spread it.
     val hashed = Dedup.shingleHashSets(
       Tables.documents(s, d).repartition(col("doc_id")),
       "doc_id", "text", SHINGLE_K).cache()
     hashed
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sigs"))
       .select(Seq(col("doc_id")) ++
         HashFunctions.MinHashCoeffs.indices.map(j =>
-          HashFunctions.minHashSig(col("hs"), j).as(s"sig$j")): _*)
+          col("sigs")(j).as(s"sig$j")): _*)
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,361 @@
+/* Bridge package: Spark 4 marks AbstractDataType / ExpressionUtils as
+ * private[sql], so custom Catalyst expressions live in a subpackage of
+ * org.apache.spark.sql (the standard extension pattern). Public API is
+ * re-exported through graft.functions.HashFunctions. */
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass kernels for the dedup/text-hashing hot path.
+  *
+  * The declarative forms (`transform`/`aggregate` higher-order
+  * functions over md5) are semantically right but evaluate interpreted:
+  * one lambda dispatch + UTF8String hex round-trip per shingle/token.
+  * On a 100 TB corpus the shingle set of every document is hashed at
+  * least once per dedup pass, so this is the dominant CPU cost of the
+  * MinHash/SimHash family. Each kernel below does the identical
+  * arithmetic (bit-for-bit — the DuckDB oracles still hash-match) in a
+  * single JIT-compiled pass per row, invoked from whole-stage codegen.
+  *
+  * Semantics preserved exactly (property-checked in HashKernelsSpec):
+  *  - hash32(s)   = first 4 bytes of md5(utf8(s)) as an unsigned int
+  *  - shingles    = character (code-point) k-grams, distinct in
+  *                  first-occurrence order, whole string when len < k
+  *  - tokenize    = split on single space, KEEPING empty tokens
+  *                  (Spark `split(text, " ")` limit=-1 semantics)
+  */
+object HashKernels {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes of bytes[off, off+len) as an unsigned 32-bit Long
+    * — identical to `conv(substring(md5(s), 1, 8), 16, 10)`. */
+  def hash32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** Code-point start offsets of a UTF-8 byte array (+ end sentinel).
+    * One linear scan; ASCII-only strings cost one branch per byte. */
+  private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    // worst case 1 byte per code point
+    val tmp = new Array[Int](bytes.length + 1)
+    var n = 0
+    var p = 0
+    while (p < bytes.length) {
+      tmp(n) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      n += 1
+    }
+    tmp(n) = bytes.length
+    if (n + 1 == tmp.length) tmp else java.util.Arrays.copyOf(tmp, n + 1)
+  }
+
+  /** Distinct character-k-shingle hashes, first-occurrence order.
+    * Equivalent to `transform(array_distinct(shingles(text,k)), hash32)`
+    * with `shingles` = substr(i, k) for i in 1..max(len-k+1, 1). */
+  def shingleHash32(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = codePointOffsets(bytes)
+    val nChars = offs.length - 1
+    val n = math.max(nChars - k + 1, 1)
+    val seen = new java.util.HashSet[UTF8String](math.min(n * 2, 1 << 16))
+    val out = new Array[Long](n)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val start = offs(i)
+      val end = offs(math.min(i + k, nChars))
+      // zero-copy view over the shared byte array, used only as set key
+      val sh = UTF8String.fromBytes(bytes, start, end - start)
+      if (seen.add(sh)) {
+        out(cnt) = hash32(bytes, start, end - start)
+        cnt += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (cnt == n) out else java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** hash32 of every space-separated token (empties kept, no dedup) —
+    * equivalent to `transform(split(text, " "), hash32)`. Space is a
+    * single byte in UTF-8 and never a continuation byte, so the byte
+    * scan is code-point safe. */
+  def tokenHash32(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var nTok = 1
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') nTok += 1; p += 1 }
+    val out = new Array[Long](nTok)
+    var start = 0
+    var t = 0
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') {
+        out(t) = hash32(bytes, start, p - start)
+        t += 1
+        start = p + 1
+      }
+      p += 1
+    }
+    out(t) = hash32(bytes, start, bytes.length - start)
+    new GenericArrayData(out)
+  }
+
+  /** Order-insensitive 61-bit fingerprint: left-fold
+    * (acc + tokenHash) % (2^61 - 1) — same fold order as the
+    * `aggregate` HOF twin. */
+  val FingerprintMod: Long = 2305843009213693951L
+  def contentFingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var start = 0
+    var p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') {
+        acc = (acc + hash32(bytes, start, p - start)) % FingerprintMod
+        start = p + 1
+      }
+      p += 1
+    }
+    (acc + hash32(bytes, start, bytes.length - start)) % FingerprintMod
+  }
+
+  // MinHash coefficient table — single source of truth is
+  // graft.functions.HashFunctions.MinHashCoeffs; flattened here into
+  // primitive arrays for the inner loop.
+  private lazy val coeffA: Array[Long] =
+    graft.functions.HashFunctions.MinHashCoeffs.map(_._1).toArray
+  private lazy val coeffB: Array[Long] =
+    graft.functions.HashFunctions.MinHashCoeffs.map(_._2).toArray
+  private lazy val minHashP: Long = graft.functions.HashFunctions.MinHashPrime
+
+  /** All MinHash signature values in ONE pass over the hash array —
+    * sig(j) = min over h of (h*a_j + b_j) mod p. Returns null for an
+    * empty input (array_min of an empty array is null in the HOF twin). */
+  def minHashSigs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val m = coeffA.length
+    val mins = new Array[Long](m)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < m) {
+        val v = (h * coeffA(j) + coeffB(j)) % minHashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit SimHash from a token-hash array in one pass: bit b set iff
+    * sum over hashes of ((h>>b & 1)*2 - 1) is positive. Empty input
+    * yields 0 (all votes zero), like the HOF twin. */
+  def simHash32(arr: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (((h >> b) & 1L) * 2 - 1).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+}
+
+/** array<long> of distinct k-shingle hashes of a string column. */
+case class ShingleHash32(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash32"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.shingleHash32(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.shingleHash32($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
+/** array<long> of hashes of space-separated tokens (empties kept). */
+case class TokenHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hash32"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.tokenHash32(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.tokenHash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash32 =
+    copy(child = newChild)
+}
+
+/** Order-insensitive 61-bit content fingerprint of a string column. */
+case class ContentFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "content_fingerprint"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.contentFingerprint(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.contentFingerprint($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ContentFingerprint =
+    copy(child = newChild)
+}
+
+/** Full MinHash signature (one array) from a shingle-hash array. */
+case class MinHashSigs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input -> null signature
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.minHashSigs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.HashKernels.minHashSigs($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash fingerprint from a token-hash array. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.simHash32(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.simHash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Exact squared L2 distance over two array<long> columns — the IVF
+  * assignment/probe kernel; inline codegen loop like [[DotProductLong]]. */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object HashExpressions {
+  /** Distinct k-shingle hash set of a text column (codegen'd). */
+  def shingle_hash32(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHash32(ExpressionUtils.expression(text), k))
+
+  /** Token hash array of a text column (codegen'd). */
+  def token_hash32(text: Column): Column =
+    ExpressionUtils.column(TokenHash32(ExpressionUtils.expression(text)))
+
+  /** 61-bit content fingerprint of a text column (codegen'd). */
+  def content_fingerprint(text: Column): Column =
+    ExpressionUtils.column(ContentFingerprint(ExpressionUtils.expression(text)))
+
+  /** One-pass MinHash signature array over a hash-set column. */
+  def minhash_sigs(hs: Column): Column =
+    ExpressionUtils.column(MinHashSigs(ExpressionUtils.expression(hs)))
+
+  /** One-pass 32-bit SimHash over a token-hash column. */
+  def simhash32(th: Column): Column =
+    ExpressionUtils.column(SimHash32(ExpressionUtils.expression(th)))
+
+  /** Exact squared L2 over quantized (long) vectors (codegen'd). */
+  def l2sq_long(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2SqLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

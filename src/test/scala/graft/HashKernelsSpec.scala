@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graft.HashExpressions
+import graft.functions.HashFunctions
+
+/** Equivalence proofs for the native hash kernels against their
+  * declarative higher-order-function twins (the forms the DuckDB
+  * oracles mirror). Each test evaluates BOTH forms over the same
+  * generated corpus — including unicode, empties, repeats, and
+  * consecutive/leading/trailing spaces — and requires bit equality.
+  */
+class HashKernelsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // HOF twins (the original column formulations, kept here as the
+  // executable spec of the kernel semantics)
+  private def hofShingleHashes(text: Column, k: Int): Column =
+    transform(
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+        i => text.substr(i, lit(k)))),
+      g => HashFunctions.hash32(g))
+
+  private def hofTokenHashes(text: Column): Column =
+    transform(split(text, " "), t => HashFunctions.hash32(t))
+
+  private def hofMinHashSig(hs: Column, j: Int): Column = {
+    val (a, b) = HashFunctions.MinHashCoeffs(j)
+    array_min(transform(hs, h => HashFunctions.affineHash(h, a, b)))
+  }
+
+  private def hofSimHash(th: Column): Column = {
+    val bitCols = (0 until 32).map { b =>
+      val votes = aggregate(th, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  private def hofFingerprint(text: Column): Column =
+    aggregate(transform(split(text, " "), t => HashFunctions.hash32(t)),
+      lit(0L), (acc, h) => (acc + h) % lit(2305843009213693951L))
+
+  private val corpus: Seq[String] = Seq(
+    "", " ", "  ", "a", "ab", "abcd", "abcde", "abcdef",
+    "the quick brown fox jumps over the lazy dog",
+    "aaaaaaaaaaaaaaaa", // all-duplicate shingles
+    " leading space", "trailing space ", "double  space",
+    "tab\tand\nnewline chars",
+    "ünïcødé strïng with ümläuts", "日本語のテキストです",
+    "mixed ascii 日本語 and ünïcødé", "émoji 🙂 in 🙂 text",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z"
+  ) ++ (0 until 50).map(i => s"synthetic doc $i " + ("lorem ipsum " * (i % 7)))
+
+  private lazy val docs = corpus.toDF("text").repartition(3).cache()
+
+  private def assertSame(name: String, kernel: Column, hof: Column): Unit = {
+    val diff = docs
+      .select(col("text"), kernel.as("k"), hof.as("h"))
+      .filter(not(col("k") <=> col("h")))
+      .collect()
+    assert(diff.isEmpty,
+      s"$name kernel != HOF for: ${diff.map(_.getString(0)).take(3).mkString(" | ")}")
+  }
+
+  test("shingle_hash32 kernel ≡ transform(array_distinct(shingles), hash32)") {
+    assertSame("shingle_hash32",
+      HashExpressions.shingle_hash32(col("text"), 5),
+      hofShingleHashes(col("text"), 5))
+    // non-default k too
+    assertSame("shingle_hash32(k=2)",
+      HashExpressions.shingle_hash32(col("text"), 2),
+      hofShingleHashes(col("text"), 2))
+  }
+
+  test("token_hash32 kernel ≡ transform(split(text,' '), hash32)") {
+    assertSame("token_hash32",
+      HashExpressions.token_hash32(col("text")),
+      hofTokenHashes(col("text")))
+  }
+
+  test("minhash_sigs kernel ≡ per-coefficient array_min(transform(affine))") {
+    val hs = HashExpressions.shingle_hash32(col("text"), 5)
+    assertSame("minhash_sigs",
+      HashExpressions.minhash_sigs(hs),
+      array(HashFunctions.MinHashCoeffs.indices.map(j => hofMinHashSig(hs, j)): _*))
+  }
+
+  test("minhash_sigs of an empty hash array is null (array_min semantics)") {
+    val r = spark.range(1)
+      .select(HashExpressions.minhash_sigs(array().cast("array<long>")).as("s"))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("simhash32 kernel ≡ 32 aggregate bit votes") {
+    val th = HashExpressions.token_hash32(col("text"))
+    assertSame("simhash32",
+      HashExpressions.simhash32(th), hofSimHash(th))
+  }
+
+  test("content_fingerprint kernel ≡ aggregate sum-mod fold") {
+    assertSame("content_fingerprint",
+      HashExpressions.content_fingerprint(col("text")),
+      hofFingerprint(col("text")))
+  }
+
+  test("l2sq_long kernel ≡ aggregate(zip_with) on equal-length arrays") {
+    val a = transform(sequence(lit(1), lit(64)), i => (i * 37 % 101 - 50).cast("long"))
+    val b = transform(sequence(lit(1), lit(64)), i => (i * 53 % 97 - 48).cast("long"))
+    val hof = aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val diff = spark.range(100)
+      .select(HashExpressions.l2sq_long(a, b).as("k"), hof.as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(diff == 0)
+  }
+
+  test("kernels survive whole-stage codegen and SQL registration") {
+    graft.functions.VectorFunctions.register(spark)
+    // exercise the codegen path explicitly (collect forces evaluation
+    // through WholeStageCodegen at default conf)
+    val n = docs.select(
+      HashExpressions.simhash32(HashExpressions.token_hash32(col("text"))).as("s"),
+      HashExpressions.content_fingerprint(col("text")).as("f"))
+      .filter(col("s") >= 0 && col("f") >= 0).count()
+    assert(n == docs.count())
+  }
+}
