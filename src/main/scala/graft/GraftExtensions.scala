@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{ContentFingerprint, CosineSimilarityD, DotProductLong, L2SqLong, MinHashSigs, ShingleHash32, SimHash32, TokenHash32}
+import org.apache.spark.sql.graft.{ContentFingerprint, CosineSimilarityD, DotProductLong, L2SqLong, MinHashSigs, ShingleHash32, SimHash32, TokenHash32, VectorMean}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions available by SQL name in any session built
@@ -51,5 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("content_fingerprint"),
       new ExpressionInfo(classOf[ContentFingerprint].getName, "content_fingerprint"),
       (es: Seq[Expression]) => ContentFingerprint(es.head)))
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // from a function builder into an AggregateExpression
+    e.injectFunction((
+      new FunctionIdentifier("vector_mean"),
+      new ExpressionInfo(classOf[VectorMean].getName, "vector_mean"),
+      (es: Seq[Expression]) => VectorMean(es.head)))
   }
 }

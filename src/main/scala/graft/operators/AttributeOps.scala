@@ -37,11 +37,25 @@ object AttributeOps {
     * (all rows same length). Output: keyCols + `mean_vec` array<double>
     * + `n_samples`.
     *
-    * Implementation: posexplode then two-level agg. The per-(key,pos)
-    * partial aggregation is map-side combinable, so at 100 TB this
-    * shuffles only (key, pos, partialSum, partialCnt) — never the raw
-    * vectors. */
-  def meanVectors(df: DataFrame, keyCols: Seq[String], vecCol: String): DataFrame = {
+    * Implementation: [[org.apache.spark.sql.graft.VectorMean]], a
+    * TypedImperativeAggregate whose buffer is a fixed double[dims] —
+    * partials combine MAP-SIDE, so one shuffle moves one (key, vector)
+    * row per key per mapper. (The earlier posexplode formulation —
+    * [[meanVectorsExploded]] — shuffled dims× the row count and needed
+    * a second aggregation plus sort to reassemble.) */
+  def meanVectors(df: DataFrame, keyCols: Seq[String], vecCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        org.apache.spark.sql.graft.VectorMeanAgg.vector_mean(col(vecCol))
+          .as("mean_vec"),
+        count(col(vecCol)).as("n_samples"))
+
+  /** The declarative twin of [[meanVectors]]: posexplode →
+    * per-(key,pos) partial sums → reassemble. Kept as the executable
+    * spec of the aggregate's semantics (OperatorsSpec proves
+    * equivalence) and as the fallback shape for engines without
+    * imperative aggregates. */
+  def meanVectorsExploded(df: DataFrame, keyCols: Seq[String], vecCol: String): DataFrame = {
     val keyed = df.select(
       keyCols.map(col) :+ posexplode(col(vecCol)).as(Seq("pos", "v")): _*)
     keyed

@@ -55,6 +55,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq == Seq(10.0, 20.0))
   }
 
+  test("vector_mean aggregate ≡ posexplode formulation (incl. nulls, many groups)") {
+    val df = spark.range(0, 3000)
+      .select(($"id" % 37).cast("string").as("k"),
+        when($"id" % 11 === 0, lit(null))
+          .otherwise(transform(sequence(lit(0), lit(24)),
+            i => ($"id" * 13 + i * 7).cast("double") / 997)).as("vec"))
+    val a = AttributeOps.meanVectors(df, Seq("k"), "vec")
+    val b = AttributeOps.meanVectorsExploded(df, Seq("k"), "vec")
+    val mismatch = a.alias("a").join(b.alias("b"), "k")
+      .filter(not(col("a.n_samples") <=> col("b.n_samples")) ||
+        exists(zip_with(col("a.mean_vec"), col("b.mean_vec"),
+          (x, y) => abs(x - y) > 1e-12), p => p))
+      .count()
+    assert(mismatch == 0)
+    assert(a.count() == 37 && a.count() == b.count())
+  }
+
+  test("vector_mean of all-null group is null; empty input yields no rows") {
+    val df = Seq(("a", null.asInstanceOf[Array[Double]])).toDF("k", "vec")
+    val out = AttributeOps.meanVectors(df, Seq("k"), "vec").collect()
+    assert(out.length == 1 && out.head.isNullAt(1) && out.head.getAs[Long]("n_samples") == 0L)
+  }
+
   test("exact duplicates collapse to one group; near-dups found by LSH") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
