@@ -69,6 +69,21 @@ object TextAnalysis {
     }
   }
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the
+    * lookahead-free subset whose semantics are identical in Java regex
+    * (Spark) and RE2 (DuckDB): contraction suffixes, then
+    * optional-leading-space letter / digit / other runs. Both engines
+    * use leftmost-first alternation, and no alternative can match
+    * empty, so repeated-find extraction agrees byte-for-byte. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the
+    * standard proxy for LLM token budgets (whitespace tokens
+    * undercount code/punctuation-heavy text). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   /** Order-insensitive 61-bit content fingerprint: sum of token hash32
     * values mod 2^61-1. Integer-exact, engine-portable; native one-pass
     * kernel ([[org.apache.spark.sql.graft.ContentFingerprint]]). */

@@ -80,6 +80,21 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** text_bpe_tokens: BPE-ish pre-tokenizer counting next to the
+    * whitespace count — the token-budget signal an LLM-data pipeline
+    * filters on (chars-per-token in basis points, integer-exact). */
+  private val text_bpe_tokens: Q = (s, d) => {
+    val t = col("text")
+    val nBpe = TextAnalysis.bpeTokenCount(t)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nBpe.as("n_bpe_tokens"),
+      TextAnalysis.tokenCount(t).as("n_ws_tokens"),
+      floor(length(t).cast("long") * 10000 / greatest(nBpe, lit(1L)))
+        .cast("long").as("chars_per_tok_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** text_langid: marker-token language-ID heuristic vs the labeled
     * lang column. */
   private val text_langid: Q = (s, d) => {
@@ -203,6 +218,7 @@ object DataPipelineQueries {
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_simhash" -> dedup_simhash,
     "text_stats" -> text_stats,
+    "text_bpe_tokens" -> text_bpe_tokens,
     "text_langid" -> text_langid,
     "text_fingerprint" -> text_fingerprint,
     "ann_cosine_topk" -> ann_cosine_topk,
@@ -351,6 +367,17 @@ object DataPipelineQueries {
          |    - least(abs($avgTokenLenBpSql - 50000) // 10, 5000) AS BIGINT) AS quality_bp
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" -> {
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      s"""WITH c AS (SELECT doc_id, text,
+         |    length(regexp_extract_all(text, '$pat')) AS n_bpe FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+         |  CAST($tokenCountSql AS BIGINT) AS n_ws_tokens,
+         |  CAST(length(text) * 10000 // greatest(n_bpe, 1) AS BIGINT) AS chars_per_tok_bp
+         |FROM c
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_langid" -> {
       val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
         s"${langScoreSql(ms)} AS score_$l"

@@ -78,6 +78,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.isNullAt(1) && out.head.getAs[Long]("n_samples") == 0L)
   }
 
+  test("bpeTokenCount matches hand-tokenized examples") {
+    val cases = Seq(
+      "don't 123 abc!?", // don | 't | " 123" | " abc" | "!?"     -> 5
+      "a  b",            // a | " b" (unmatched middle space)     -> 2
+      "",                //                                       -> 0
+      "hello world",     // hello | " world"                      -> 2
+      "x=1+2;")          // x | = | 1 | + | 2 | ;                 -> 6
+    val out = cases.toDF("text")
+      .select(col("text"), graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("don't 123 abc!?") == 5L)
+    assert(out("a  b") == 2L)
+    assert(out("") == 0L)
+    assert(out("hello world") == 2L)
+    assert(out("x=1+2;") == 6L)
+  }
+
   test("exact duplicates collapse to one group; near-dups found by LSH") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
