@@ -82,4 +82,30 @@ object CompactionJob {
     }
     repointed
   }
+
+  /** The full K4/K7 loop as ONE streaming job (the reference ran it as
+    * a hand-rolled queue + thread, `DataManagingApp.java:92-108,298-359`):
+    * save events → stateful completion counter → per-batch compaction +
+    * metadata repoint via foreachBatch. Pack jobs are control-plane
+    * rows (one per completed task), so collecting each micro-batch to
+    * the driver is bounded by task arrival rate, not data volume —
+    * exactly the reference's queue shape. Compaction itself is
+    * idempotent, which is what makes foreachBatch's at-least-once
+    * delivery exactly-once in effect. Caller stops the returned query. */
+  def startStream(saves: org.apache.spark.sql.Dataset[graft.streaming.CompletionCounter.SaveEvent],
+                  store: TrackletStore, graph: GraphStore,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = saves.sparkSession
+    graft.streaming.CompletionCounter.completionJobs(saves)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.CompletionCounter.PackJob], _: Long) =>
+        import spark.implicits._
+        val jobs = batch.map(_.task_id).collect().toSeq.sorted
+        run(spark, jobs, store, graph)
+        ()
+      }
+      .start()
+  }
 }
