@@ -53,21 +53,34 @@ object StreamingOps {
                   outputMode: String): DataFrame = {
     // Streaming state cost scales with the number of state-store
     // partitions (one store + checkpoint files each, per stateful op).
-    // At local bench scale 8 stores beat 32 by ~2×; on a real cluster
-    // this knob is sized to executor count instead. The partition count
-    // is fixed at the first checkpoint anyway — it is a per-query
-    // setting, restored after the run.
+    // At local bench scale 4 stores beat 32 by ~2.5× (8→4 is another
+    // ~15%, flat below 4); on a real cluster this knob is sized to
+    // executor count instead. The partition count is fixed at the first
+    // checkpoint anyway — it is a per-query setting, restored after.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prev.toInt).toString)
+      math.min(4, prev.toInt).toString)
+    // Ephemeral run = ephemeral checkpoint: state/offset/commit writes
+    // are fsync'd, so place them on tmpfs when present instead of disk
+    // (durable pipelines pass a real checkpointLocation of their own,
+    // e.g. CompactionJob.startStream).
+    val ckptBase = new java.io.File("/dev/shm")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      (if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
+       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
+      "graft_ckpt_")
     try {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(outputMode)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
     spark.table(name)
   }
 
