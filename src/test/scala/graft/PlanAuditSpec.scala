@@ -46,4 +46,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("vpe_similar_topk")
     assert(p.contains("dot_long") || p.toLowerCase.contains("dotproductlong"))
   }
+
+  test("vpe_attr_mean: vector_mean aggregates in ONE shuffle, no explode") {
+    val p = plan("vpe_attr_mean")
+    assert(p.contains("vector_mean"), "VectorMean aggregate expected in plan")
+    assert(!p.toLowerCase.contains("generate"), "no posexplode row multiplication")
+    // partial on the map side, final after exactly one exchange between them
+    val agg = "ObjectHashAggregate|SortAggregate".r.findAllIn(p).size
+    assert(agg >= 2, s"partial+final aggregate pair expected, saw $agg")
+  }
+
+  test("dedup/minhash path runs on native kernels, not interpreted HOFs") {
+    val p = plan("dedup_neardup_pairs")
+    assert(p.contains("shingle_hash32"))
+    assert(p.contains("minhash_sigs"))
+    // the only lambda left is the 2-element band-slice transform; the
+    // per-shingle md5 work must all be inside the native kernels
+    assert(!p.contains("md5("),
+      "no interpreted per-shingle md5 on the dedup hot path")
+  }
 }
