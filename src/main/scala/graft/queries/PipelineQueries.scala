@@ -235,7 +235,55 @@ object PipelineQueries {
       .orderBy(col("tracklet_id"))
   }
 
+  // Staged GraphStore/TrackletStore per sf dir for the REID_ONLY
+  // command path (rebuilt once per JVM: the stores live under tmp and
+  // must not accrete appends across Verify/Bench re-runs).
+  private val reidOnlyStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageReidOnly(s: SparkSession, d: String): String =
+    reidOnlyStaged.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_reidonly_" + Integer.toHexString(dir.hashCode)).toString
+      val f = new java.io.File(base)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val tr = Tracking.trackletSummaries(
+        Tracking.detectionsFromEvents(Tables.events(s, dir)))
+      val graph = new graft.storage.GraphStore(s, s"$base/graph")
+      graph.upsertPersons(tr.select(col("tracklet_id").as("id"),
+        AttributeOps.fakeScore(col("start_frame"), 0).as("attr0")))
+      // stage the two probe tasks' box rows (G4 path -> S7 read target)
+      val probeIds = tr.select(col("tracklet_id")).orderBy(col("tracklet_id"))
+        .limit(2).collect().map(_.getString(0)).toSeq
+      val store = new graft.storage.TrackletStore(s, s"$base/store")
+      val probeTr = tr.filter(col("tracklet_id").isin(probeIds: _*))
+        .select(col("video_id"), col("obj_key"), col("tracklet_id"))
+      store.save(Tracking.detectionsFromEvents(Tables.events(s, dir))
+        .join(probeTr, Seq("video_id", "obj_key"))
+        .select(col("tracklet_id").as("task_id"),
+          col("frame_idx"), col("x"), col("y")))
+      base
+    })
+
+  /** vpe_reid_only: the REID_ONLY command (SURVEY §2.12, reference
+    * `MessageHandlingApp.java:303-338`) — attributes front-loaded from
+    * the graph store, probe tracklets resolved from tracklet storage,
+    * gallery ranked by attribute distance. Exercises the REAL storage
+    * round-trip (GraphStore merge + TrackletStore partitioned read),
+    * not a relational rephrase. */
+  private val vpe_reid_only: Q = (s, d) => {
+    val base = stageReidOnly(s, d)
+    val graph = new graft.storage.GraphStore(s, s"$base/graph")
+    val store = new graft.storage.TrackletStore(s, s"$base/store")
+    val probeIds = graph.readPersons().select(col("id")).orderBy(col("id"))
+      .limit(2).collect().map(_.getString(0)).toSeq
+    graft.plans.PlanCompiler.executeReidOnly(s, graph, store, probeIds, "attr0")
+      .filter(col("rank") <= 10)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "vpe_reid_only" -> vpe_reid_only,
     "vpe_attr_named" -> vpe_attr_named,
     "vpe_fragments" -> vpe_fragments,
     "vpe_killlist" -> vpe_killlist,
@@ -270,6 +318,28 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vpe_reid_only" ->
+      s"""WITH tr AS (
+         |  SELECT video_id || '_tarid' || CAST(serial AS VARCHAR) AS id,
+         |    start_frame, n_boxes
+         |  FROM ($trackletsSql) t),
+         |persons AS (
+         |  SELECT id, ((start_frame * 31 + 7) % 997) / 997.0 AS attr0, n_boxes
+         |  FROM tr),
+         |probes AS (SELECT id, attr0, n_boxes FROM persons ORDER BY id LIMIT 2),
+         |scored AS (
+         |  SELECT p.id AS probe_id, c.id AS candidate_id,
+         |    CAST(floor(abs(p.attr0 - c.attr0) * 10000) AS BIGINT) AS score_bp,
+         |    p.n_boxes AS n_boxes_stored
+         |  FROM probes p JOIN persons c ON c.id <> p.id),
+         |ranked AS (
+         |  SELECT probe_id, candidate_id, score_bp, n_boxes_stored,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score_bp ASC, candidate_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, candidate_id, score_bp, n_boxes_stored
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
     "vpe_attr_named" -> {
       import graft.functions.AttributeNames
       def scoreSql(dim: Int) =
