@@ -48,7 +48,9 @@ object AttributeOps {
       .agg(
         org.apache.spark.sql.graft.VectorMeanAgg.vector_mean(col(vecCol))
           .as("mean_vec"),
-        count(col(vecCol)).as("n_samples"))
+        // rows with a non-empty vector, like the twin's max-per-position
+        // count (null and empty arrays contribute no positions)
+        count(when(size(col(vecCol)) > 0, 1)).as("n_samples"))
 
   /** The declarative twin of [[meanVectors]]: posexplode →
     * per-(key,pos) partial sums → reassemble. Kept as the executable

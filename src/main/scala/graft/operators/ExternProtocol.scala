@@ -35,10 +35,12 @@ object ExternProtocol {
     // would silently desynchronize the shared wire stream for every
     // subsequent sample on the connection.
     samples.foreach { b =>
-      b.patch.foreach { p =>
-        require(p.length == b.width * b.height * 3,
-          s"patch length ${p.length} != width*height*3 = ${b.width * b.height * 3}")
-      }
+      require(b.patch.isDefined,
+        "extern request sample without a patch: decodeRequest readFully's " +
+          "width*height*3 bytes per sample, so a missing patch would " +
+          "desynchronize every subsequent sample on the connection")
+      require(b.patch.get.length == b.width * b.height * 3,
+        s"patch length ${b.patch.get.length} != width*height*3 = ${b.width * b.height * 3}")
     }
     val patchBytes = samples.map(_.patch.map(_.length).getOrElse(0)).sum
     val buf = ByteBuffer.allocate(4 + samples.size * 16 + patchBytes)
@@ -106,16 +108,24 @@ object ExternProtocol {
         // Close on task completion (success OR failure): draining alone
         // would leak one connection per partition whenever the task
         // fails mid-stream or a downstream limit stops consuming early.
-        Option(org.apache.spark.TaskContext.get()).foreach {
-          _.addTaskCompletionListener[Unit](_ => socket.close())
-        }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => socket.close())
         val out = socket.getOutputStream
         val in = socket.getInputStream
-        it.map { t =>
+        val results = it.map { t =>
           val samples = t.locationSequence.filter(_.patch.isDefined)
           out.write(encodeRequest(samples))
           out.flush()
           Row(t.id, readResponse(in))
+        }
+        if (tc != null) results
+        else new Iterator[Row] { // no task context (driver-side/test use):
+          def hasNext: Boolean = { // fall back to close-on-drain
+            val h = results.hasNext
+            if (!h) socket.close()
+            h
+          }
+          def next(): Row = results.next()
         }
       }
     }(enc)

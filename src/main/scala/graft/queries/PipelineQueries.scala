@@ -247,8 +247,8 @@ object PipelineQueries {
         "graft_reidonly_" + Integer.toHexString(dir.hashCode)).toString
       val f = new java.io.File(base)
       if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-      val tr = Tracking.trackletSummaries(
-        Tracking.detectionsFromEvents(Tables.events(s, dir)))
+      val det = Tracking.detectionsFromEvents(Tables.events(s, dir))
+      val tr = Tracking.trackletSummaries(det)
       val graph = new graft.storage.GraphStore(s, s"$base/graph")
       graph.upsertPersons(tr.select(col("tracklet_id").as("id"),
         AttributeOps.fakeScore(col("start_frame"), 0).as("attr0")))
@@ -258,7 +258,7 @@ object PipelineQueries {
       val store = new graft.storage.TrackletStore(s, s"$base/store")
       val probeTr = tr.filter(col("tracklet_id").isin(probeIds: _*))
         .select(col("video_id"), col("obj_key"), col("tracklet_id"))
-      store.save(Tracking.detectionsFromEvents(Tables.events(s, dir))
+      store.save(det
         .join(probeTr, Seq("video_id", "obj_key"))
         .select(col("tracklet_id").as("task_id"),
           col("frame_idx"), col("x"), col("y")))

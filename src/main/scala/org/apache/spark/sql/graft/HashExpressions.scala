@@ -289,18 +289,23 @@ case class SimHash32(child: Expression)
 }
 
 /** Exact squared L2 distance over two array<long> columns — the IVF
-  * assignment/probe kernel; inline codegen loop like [[DotProductLong]]. */
+  * assignment/probe kernel; inline codegen loop like [[DotProductLong]].
+  * Mismatched lengths yield NULL (the `aggregate(zip_with(...))` twin
+  * null-pads the shorter side and propagates), so a truncated vector
+  * surfaces as a visible null instead of a plausible partial distance. */
 case class L2SqLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "l2sq_long"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
@@ -318,13 +323,17 @@ case class L2SqLong(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final long $d = $a.getLong($i) - $b.getLong($i);
-         |  $s += $d * $d;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

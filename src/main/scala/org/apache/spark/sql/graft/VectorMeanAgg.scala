@@ -12,27 +12,49 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
-/** Mutable buffer: element-wise running sums + row count. Dims are
-  * locked in by the first non-null vector seen. */
-final class VectorSumBuffer(var count: Long, var sums: Array[Double]) {
+/** Mutable buffer mirroring the posexplode twin's per-POSITION
+  * accounting, so ragged, empty and null-element inputs degrade the
+  * same way: `cnts(i)` counts rows whose array reaches position i
+  * (null elements included — they sit in the twin's denominator too);
+  * `sums(i)` accumulates the non-null values; `seen(i)` records
+  * whether any non-null value arrived (all-null position → null mean
+  * element, like sum(NULLs) = NULL). Arrays grow to the longest input. */
+final class VectorSumBuffer(
+    var sums: Array[Double], var cnts: Array[Long], var seen: Array[Boolean]) {
+
+  private def grow(n: Int): Unit = {
+    if (sums == null) {
+      sums = new Array[Double](n); cnts = new Array[Long](n); seen = new Array[Boolean](n)
+    } else if (n > sums.length) {
+      sums = java.util.Arrays.copyOf(sums, n)
+      cnts = java.util.Arrays.copyOf(cnts, n)
+      seen = java.util.Arrays.copyOf(seen, n)
+    }
+  }
+
+  def dims: Int = if (sums == null) 0 else sums.length
+
   def add(arr: ArrayData): Unit = {
     val n = arr.numElements()
-    if (sums == null) sums = new Array[Double](n)
-    require(n == sums.length,
-      s"vector_mean: mixed vector lengths ($n vs ${sums.length})")
+    if (n == 0) return // empty array has no positions (explodes to nothing)
+    grow(n)
     var i = 0
-    while (i < n) { sums(i) += arr.getDouble(i); i += 1 }
-    count += 1
+    while (i < n) {
+      cnts(i) += 1
+      if (!arr.isNullAt(i)) { sums(i) += arr.getDouble(i); seen(i) = true }
+      i += 1
+    }
   }
+
   def mergeIn(o: VectorSumBuffer): Unit = {
     if (o.sums != null) {
-      if (sums == null) sums = new Array[Double](o.sums.length)
-      require(o.sums.length == sums.length,
-        s"vector_mean: mixed vector lengths (${o.sums.length} vs ${sums.length})")
+      grow(o.sums.length)
       var i = 0
-      while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+      while (i < o.sums.length) {
+        sums(i) += o.sums(i); cnts(i) += o.cnts(i); seen(i) |= o.seen(i)
+        i += 1
+      }
     }
-    count += o.count
   }
 }
 
@@ -55,13 +77,13 @@ case class VectorMean(
   extends TypedImperativeAggregate[VectorSumBuffer] with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "vector_mean"
 
   override def createAggregationBuffer(): VectorSumBuffer =
-    new VectorSumBuffer(0L, null)
+    new VectorSumBuffer(null, null, null)
 
   override def update(b: VectorSumBuffer, input: InternalRow): VectorSumBuffer = {
     val v = child.eval(input)
@@ -73,36 +95,49 @@ case class VectorMean(
     b.mergeIn(o); b
   }
 
+  /** One divergence from the exploded twin, on purpose: a group whose
+    * arrays are all null/empty still yields a row (with a null mean)
+    * here, where the twin's post-explode grouping drops the key. */
   override def eval(b: VectorSumBuffer): Any =
-    if (b.count == 0 || b.sums == null) null
+    if (b.dims == 0) null
     else {
-      val out = new Array[Double](b.sums.length)
+      val out = new Array[Any](b.dims)
       var i = 0
-      while (i < out.length) { out(i) = b.sums(i) / b.count; i += 1 }
+      while (i < b.dims) {
+        out(i) = if (b.seen(i)) b.sums(i) / b.cnts(i) else null
+        i += 1
+      }
       new GenericArrayData(out)
     }
 
   override def serialize(b: VectorSumBuffer): Array[Byte] = {
-    val dims = if (b.sums == null) 0 else b.sums.length
-    val buf = ByteBuffer.allocate(8 + 4 + 8 * dims)
-    buf.putLong(b.count)
+    val dims = b.dims
+    val buf = ByteBuffer.allocate(4 + dims * (8 + 8 + 1))
     buf.putInt(dims)
     var i = 0
-    while (i < dims) { buf.putDouble(b.sums(i)); i += 1 }
+    while (i < dims) {
+      buf.putDouble(b.sums(i)); buf.putLong(b.cnts(i))
+      buf.put(if (b.seen(i)) 1.toByte else 0.toByte)
+      i += 1
+    }
     buf.array()
   }
 
   override def deserialize(bytes: Array[Byte]): VectorSumBuffer = {
     val buf = ByteBuffer.wrap(bytes)
-    val count = buf.getLong
     val dims = buf.getInt
-    val sums = if (dims == 0) null else {
-      val a = new Array[Double](dims)
+    if (dims == 0) new VectorSumBuffer(null, null, null)
+    else {
+      val sums = new Array[Double](dims)
+      val cnts = new Array[Long](dims)
+      val seen = new Array[Boolean](dims)
       var i = 0
-      while (i < dims) { a(i) = buf.getDouble; i += 1 }
-      a
+      while (i < dims) {
+        sums(i) = buf.getDouble; cnts(i) = buf.getLong; seen(i) = buf.get() == 1
+        i += 1
+      }
+      new VectorSumBuffer(sums, cnts, seen)
     }
-    new VectorSumBuffer(count, sums)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorMean =

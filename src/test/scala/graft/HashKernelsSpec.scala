@@ -121,6 +121,17 @@ class HashKernelsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("l2sq_long of mismatched-length arrays is null (zip_with twin semantics)") {
+    val a = sequence(lit(1L), lit(5L))
+    val b = sequence(lit(1L), lit(4L))
+    val r = spark.range(1)
+      .select(HashExpressions.l2sq_long(a, b).as("m"),
+        HashExpressions.l2sq_long(a, a).as("ok"))
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == 0L)
+  }
+
   test("kernels survive whole-stage codegen and SQL registration") {
     graft.functions.VectorFunctions.register(spark)
     // exercise the codegen path explicitly (collect forces evaluation

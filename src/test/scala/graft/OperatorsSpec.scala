@@ -78,6 +78,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.isNullAt(1) && out.head.getAs[Long]("n_samples") == 0L)
   }
 
+  test("vector_mean degrades like the exploded twin on ragged/empty/null-element input") {
+    // rows: 2-dim, empty, 3-dim, vector with a null element
+    def jd(v: java.lang.Double*): Seq[java.lang.Double] = v
+    val df = Seq(
+      ("a", jd(1.0, 2.0)),
+      ("a", jd()),
+      ("a", jd(3.0, 4.0, 9.0)),
+      ("a", jd(null, 6.0))).toDF("k", "vec")
+    val got = AttributeOps.meanVectors(df, Seq("k"), "vec").collect().head
+    val twin = AttributeOps.meanVectorsExploded(df, Seq("k"), "vec").collect().head
+    // positions: p0 = (1+3)/3 rows-with-p0 (null counts in denominator),
+    // p1 = (2+4+6)/3, p2 = 9/1 — identical in both formulations
+    assert(got.getAs[scala.collection.Seq[Any]]("mean_vec") ==
+      twin.getAs[scala.collection.Seq[Any]]("mean_vec"))
+    assert(got.getAs[Long]("n_samples") == twin.getAs[Long]("n_samples"))
+  }
+
   test("bpeTokenCount matches hand-tokenized examples") {
     val cases = Seq(
       "don't 123 abc!?", // don | 't | " 123" | " abc" | "!?"     -> 5
