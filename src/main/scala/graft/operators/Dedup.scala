@@ -105,4 +105,51 @@ object Dedup {
 
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected edge list — the dedup
+    * CLUSTERING step: near-dup pairs → canonical document groups (keep
+    * one doc per component). Min-label propagation: every vertex
+    * starts as its own label; each round adopts the minimum label in
+    * its neighborhood; stop when a round changes nothing.
+    *
+    * Scale shape: each round is one shuffle join (labels ⋈ edges) +
+    * one min-aggregation, and rounds needed = component diameter —
+    * near-dup clusters are tiny (pairs/triples), so this converges in
+    * 2-3 rounds regardless of corpus size. Labels are cached per
+    * round and the previous round is unpersisted; the per-round
+    * driver-side convergence count is one scalar action, the classic
+    * iterative-algorithm-on-Spark shape (same as GraphX/Pregel).
+    *
+    * Input: vertices (idCol) + edges (id_a, id_b). Output: (idCol,
+    * cluster_id) with cluster_id = min id in the component. */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("changed"))
+        .cache()
+      // full count (not limit 1): the action must materialize every
+      // partition of `next` into its cache BEFORE the previous round is
+      // unpersisted, or later scans would recompute through the whole
+      // iteration lineage
+      converged = next.filter(col("changed")).count() == 0
+      labels.unpersist()
+      labels = next.drop("changed")
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
 }

@@ -56,6 +56,51 @@ object DataPipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dedup_clusters: near-dup CLUSTER formation — connected components
+    * over the strong-Jaccard LSH pair graph (the step that picks one
+    * canonical doc per duplicate group at corpus scale). */
+  private val dedup_clusters: Q = (s, d) => {
+    val hashed = Dedup.shingleHashSets(
+      Tables.documents(s, d).repartition(col("doc_id")),
+      "doc_id", "text", SHINGLE_K).cache()
+    val pairs = Dedup.lshCandidatePairsFromHashes(hashed, 4)
+    val strong = Dedup.jaccardForPairs(hashed, pairs)
+      .filter(col("jaccard_bp") >= 5000)
+      .select(col("id_a"), col("id_b"))
+    val verts = Tables.documents(s, d).select(col("doc_id"))
+    Dedup.connectedComponents(verts, "doc_id", strong)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pipeline_split: deterministic hash-based train/val/test split —
+    * the assignment must be a pure function of the doc id so it is
+    * stable across reruns, engines and cluster layouts (no rand()). */
+  private val pipeline_split: Q = (s, d) => {
+    val bucket = pmod(HashFunctions.hash32(col("doc_id").cast("string")), lit(100))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pipeline_cap_per_key: per-key quota (at most K docs per language,
+    * smallest doc_id first) — the data-mixing cap; WindowGroupLimit
+    * keeps it a partial top-k, never a full sort. */
+  private val pipeline_cap_per_key: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("rn") <= 100, 1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** dedup_simhash: 32-bit SimHash fingerprint per document. */
   private val dedup_simhash: Q = (s, d) => {
     // materialize token hashes once; the 32 per-bit vote expressions
@@ -211,6 +256,9 @@ object DataPipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "dedup_clusters" -> dedup_clusters,
+    "pipeline_split" -> pipeline_split,
+    "pipeline_cap_per_key" -> pipeline_cap_per_key,
     "ann_ivf_topk" -> ann_ivf_topk,
     "dedup_embed_neardup" -> dedup_embed_neardup,
     "dedup_exact" -> dedup_exact,
@@ -275,6 +323,53 @@ object DataPipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
+         |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
+         |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
+         |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, hs AS jset FROM hashed),
+         |strong AS (
+         |  SELECT cand.id_a, cand.id_b
+         |  FROM cand
+         |  JOIN sets sa ON sa.doc_id = cand.id_a
+         |  JOIN sets sb ON sb.doc_id = cand.id_b
+         |  WHERE (length(list_intersect(sa.jset, sb.jset)) * 10000)
+         |    // length(list_distinct(list_concat(sa.jset, sb.jset))) >= 5000),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM strong
+         |  UNION SELECT id_b, id_a FROM strong),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |  min(r) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_split" -> {
+      val bucketSql = s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
+      s"""SELECT doc_id, $bucketSql AS bucket,
+         |  CASE WHEN $bucketSql < 80 THEN 'train'
+         |       WHEN $bucketSql < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
+    "pipeline_cap_per_key" ->
+      """SELECT lang, count(*) AS n_total,
+        |  count(CASE WHEN rn <= 100 THEN 1 END) AS n_kept
+        |FROM (SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |      FROM documents) t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
          |cent AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),

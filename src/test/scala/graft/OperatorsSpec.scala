@@ -95,6 +95,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_samples") == twin.getAs[Long]("n_samples"))
   }
 
+  test("connectedComponents: chains merge, singletons stay, min id wins") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // component {1,2,3,4} via a chain (diameter 3 -> needs >1 round),
+    // component {5,6}, singleton {7}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(verts, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("bpeTokenCount matches hand-tokenized examples") {
     val cases = Seq(
       "don't 123 abc!?", // don | 't | " 123" | " abc" | "!?"     -> 5
