@@ -101,6 +101,44 @@ object DataPipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** pipeline_curate: the END-TO-END corpus-curation pass a training
+    * pipeline runs — language filter → quality filter → exact dedup
+    * (min id per content hash) → near-dup clustering (keep canonical)
+    * → deterministic split assignment — chained as ONE composition of
+    * the registry's operators. Everything before the iterative
+    * clustering step is a single Catalyst plan. */
+  private val pipeline_curate: Q = (s, d) => {
+    val t = col("text")
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), t,
+      TextAnalysis.predictLang(t).as("pred_lang"),
+      TextAnalysis.qualityScoreBp(t).as("quality_bp"))
+    val filtered = scored
+      .filter(col("pred_lang") === "en" && col("quality_bp") >= 5000)
+      .select(col("doc_id"), col("text"))
+    // exact dedup: smallest doc id survives per content hash
+    val keepIds = filtered
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val uniq = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+    // near-dup clustering among the survivors; canonical = min id
+    val hashed = Dedup.shingleHashSets(
+      uniq.repartition(col("doc_id")), "doc_id", "text", SHINGLE_K).cache()
+    val pairs = Dedup.lshCandidatePairsFromHashes(hashed, 4)
+    val strong = Dedup.jaccardForPairs(hashed, pairs)
+      .filter(col("jaccard_bp") >= 5000)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(uniq.select(col("doc_id")), "doc_id", strong)
+    val curated = comps.filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val bucket = pmod(HashFunctions.hash32(col("doc_id").cast("string")), lit(100))
+    curated.select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_simhash: 32-bit SimHash fingerprint per document. */
   private val dedup_simhash: Q = (s, d) => {
     // materialize token hashes once; the 32 per-bit vote expressions
@@ -257,6 +295,7 @@ object DataPipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> dedup_clusters,
+    "pipeline_curate" -> pipeline_curate,
     "pipeline_split" -> pipeline_split,
     "pipeline_cap_per_key" -> pipeline_cap_per_key,
     "ann_ivf_topk" -> ann_ivf_topk,
@@ -304,6 +343,47 @@ object DataPipelineQueries {
   private def langScoreSql(markers: Seq[String]): String =
     markers.map(occSql).mkString("(", " + ", ")")
 
+  /** Standalone DuckDB twin of TextAnalysis.predictLang (argmax of
+    * marker scores, fixed-order tie-break, 'und' when all zero). */
+  private val predLangSql: String = {
+    def sc(l: String) = langScoreSql(TextAnalysis.langMarkers.toMap.apply(l))
+    val best = TextAnalysis.langMarkers.map(m => sc(m._1)).mkString("greatest(", ", ", ")")
+    TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN ${sc(l)} = $best AND ${sc(l)} > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** DuckDB twin of TextAnalysis.qualityScoreBp. */
+  private val qualityBpSql: String =
+    s"(5000 + least($stopwordBpSql, 2000) * 2 - least(abs($avgTokenLenBpSql - 50000) // 10, 5000))"
+
+  /** CTE chain `hashed…edges` deriving the strong-Jaccard near-dup
+    * edge list from a (doc_id, text) CTE named `srcCte` — shared by the
+    * dedup_clusters and pipeline_curate oracles. */
+  private def strongEdgeCtes(srcCte: String): String =
+    s"""hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM $srcCte),
+       |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, b.band,
+       |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
+       |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
+       |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, hs AS jset FROM hashed),
+       |strong AS (
+       |  SELECT cand.id_a, cand.id_b
+       |  FROM cand
+       |  JOIN sets sa ON sa.doc_id = cand.id_a
+       |  JOIN sets sb ON sb.doc_id = cand.id_b
+       |  WHERE (length(list_intersect(sa.jset, sb.jset)) * 10000)
+       |    // length(list_distinct(list_concat(sa.jset, sb.jset))) >= 5000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM strong
+       |  UNION SELECT id_b, id_a FROM strong)""".stripMargin
+
   /** DuckDB twin of Similarity.quantize. */
   private val quantizeSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -324,28 +404,7 @@ object DataPipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" ->
-      s"""WITH RECURSIVE hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
-         |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
-         |banded AS (
-         |  SELECT doc_id, b.band,
-         |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
-         |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
-         |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, hs AS jset FROM hashed),
-         |strong AS (
-         |  SELECT cand.id_a, cand.id_b
-         |  FROM cand
-         |  JOIN sets sa ON sa.doc_id = cand.id_a
-         |  JOIN sets sb ON sb.doc_id = cand.id_b
-         |  WHERE (length(list_intersect(sa.jset, sb.jset)) * 10000)
-         |    // length(list_distinct(list_concat(sa.jset, sb.jset))) >= 5000),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM strong
-         |  UNION SELECT id_b, id_a FROM strong),
+      s"""WITH RECURSIVE ${strongEdgeCtes("documents")},
          |reach(id, r) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
@@ -354,6 +413,28 @@ object DataPipelineQueries {
          |  min(r) = id AS is_canonical
          |FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_curate" -> {
+      val bucketSql = s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
+      s"""WITH RECURSIVE filtered AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ($predLangSql) = 'en' AND $qualityBpSql >= 5000),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+         |uniq AS (SELECT f.doc_id, f.text FROM filtered f
+         |  WHERE f.doc_id IN (SELECT doc_id FROM keep1)),
+         |${strongEdgeCtes("uniq")},
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM uniq
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |curated AS (SELECT id AS doc_id FROM comp WHERE id = cluster_id)
+         |SELECT doc_id, $bucketSql AS bucket,
+         |  CASE WHEN $bucketSql < 80 THEN 'train'
+         |       WHEN $bucketSql < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM curated
+         |ORDER BY doc_id""".stripMargin
+    },
     "pipeline_split" -> {
       val bucketSql = s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
       s"""SELECT doc_id, $bucketSql AS bucket,
