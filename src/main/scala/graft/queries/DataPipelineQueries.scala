@@ -121,7 +121,9 @@ object DataPipelineQueries {
       .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val uniq = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+    // cache: the regexp-heavy scoring above feeds three consumers
+    // (shingle hashing, cluster vertices, and both semi-join sides)
+    val uniq = filtered.join(keepIds, Seq("doc_id"), "left_semi").cache()
     // near-dup clustering among the survivors; canonical = min id
     val hashed = Dedup.shingleHashSets(
       uniq.repartition(col("doc_id")), "doc_id", "text", SHINGLE_K).cache()
