@@ -85,28 +85,66 @@ object Similarity {
     *
     * Returns vecs + `cell` (centroid id). Scale: one broadcast join +
     * per-row argmin, no shuffle of the vector table. */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
-    // Collect the (small, by contract) centroid set and inline it as
-    // literals: assignment becomes a pure per-row projection — no join,
-    // no shuffle of the vector table (a join+window argmin would
-    // hash-exchange the N×C expansion). Tie-break: smallest cell id,
-    // via lexicographic (distance, cid) struct min.
-    val cents: Array[(Long, Array[Long])] = centroids
-      .select(col(idCol).cast("long"), quantize(col(vecCol)))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "ivfAssign: empty centroid set")
-    val qv = quantize(col(vecCol))
+  /** Inline-literal argmin cell assignment over an already-quantized
+    * frame (must carry a `qv` array<long> column). Assignment is a pure
+    * per-row projection — no join, no shuffle of the vector table (a
+    * join+window argmin would hash-exchange the N×C expansion).
+    * Tie-break: smallest cell id, via lexicographic (distance, cid)
+    * struct min. */
+  def assignCellsQ(vecsQ: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame = {
+    require(cents.nonEmpty, "assignCellsQ: empty centroid set")
     val distStructs = array(cents.map { case (cid, qc) =>
       struct(
         l2sqLong(col("qv"), array(qc.map(lit): _*)).as("d"),
         lit(cid).as("cid"))
     }: _*)
-    vecs.select(col(idCol), col(vecCol), qv.as("qv"))
-      .withColumn("cell", array_min(distStructs).getField("cid"))
+    vecsQ.withColumn("cell", array_min(distStructs).getField("cid"))
+  }
+
+  /** Collect a small centroid table as quantized driver-side literals
+    * (the broadcast-inline pattern both IVF paths share). */
+  def collectCentroidsQ(centroids: DataFrame, idCol: String,
+                        vecCol: String): Seq[(Long, Array[Long])] =
+    centroids.select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame =
+    assignCellsQ(
+      vecs.select(col(idCol), col(vecCol), quantize(col(vecCol)).as("qv")),
+      collectCentroidsQ(centroids, idCol, vecCol))
+
+  /** Integer-exact Lloyd k-means over quantized vectors — the IVF
+    * index TRAINING step. Each iteration: one inline-argmin assignment
+    * pass over the corpus (no shuffle of the vectors) + one
+    * vector_sum_long aggregation (fixed long[dims] buffer, map-side
+    * combine), then the tiny (k × dims) sum table is collected and
+    * centroids update as sum/n with TRUNCATING integer division —
+    * chosen because Scala Long `/` and DuckDB `//` both truncate
+    * toward zero, keeping training bit-identical across engines.
+    * Cells that lose all members keep their previous centroid.
+    * Deterministic: fixed seeds, fixed iteration count, integer math
+    * throughout. */
+  def kmeansQuantized(vecsQ: DataFrame, seeds: Seq[(Long, Array[Long])],
+                      iters: Int): Seq[(Long, Array[Long])] = {
+    var cents = seeds.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val sums = assignCellsQ(vecsQ, cents)
+        .groupBy(col("cell"))
+        .agg(org.apache.spark.sql.graft.VectorMeanAgg
+          .vector_sum_long(col("qv")).as("sn"))
+        .select(col("cell"), col("sn.sums"), col("sn.n"))
+        .collect()
+      val updated = sums.map { r =>
+        val s = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        r.getLong(0) -> s.map(_ / n).toArray
+      }.toMap
+      cents = cents.map { case (cid, qc) => (cid, updated.getOrElse(cid, qc)) }
+    }
+    cents
   }
 
   /** IVF probe search: for each probe, search only its `nProbe`
@@ -125,7 +163,33 @@ object Similarity {
     val probeCells = pc.withColumn("_rn", row_number().over(wp))
       .filter(col("_rn") <= nProbe)
       .select(col("probe_id"), col("pqv"), col("_cid").as("cell"))
-    // candidates from those cells only
+    ivfSearch(assigned, probeCells, idCol, k)
+  }
+
+  /** Quantized-input probe search: probes carry (probe_id, pqv); cells
+    * come from inline-sorted (distance, cid) structs against literal
+    * centroids — no join for the cell-selection step at all. */
+  def ivfTopKQ(assignedQ: DataFrame, probesQ: DataFrame,
+               cents: Seq[(Long, Array[Long])], idCol: String,
+               nProbe: Int, k: Int): DataFrame = {
+    val distArr = array(cents.map { case (cid, qc) =>
+      struct(
+        l2sqLong(col("pqv"), array(qc.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probeCells = probesQ
+      .withColumn("_cells", slice(array_sort(distArr), 1, nProbe))
+      .select(col("probe_id"), col("pqv"),
+        explode(col("_cells")).as("_c"))
+      .select(col("probe_id"), col("pqv"), col("_c.cid").as("cell"))
+    ivfSearch(assignedQ, probeCells, idCol, k)
+  }
+
+  /** Shared tail of both IVF paths: candidates from the probed cells
+    * only (join keyed on `cell` — block-local, never all-pairs), exact
+    * quantized dot ranking. */
+  private def ivfSearch(assigned: DataFrame, probeCells: DataFrame,
+                        idCol: String, k: Int): DataFrame = {
     val cands = assigned.select(col("cell"), col(idCol).as("candidate_id"), col("qv"))
     val scored = probeCells.join(cands, "cell")
       .filter(col("probe_id") =!= col("candidate_id"))

@@ -295,7 +295,26 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** ann_ivf_trained: the IVF index with TRAINED centroids — two
+    * integer-exact Lloyd iterations from deterministic seeds, then the
+    * standard assign + nProbe search. The oracle unrolls the same two
+    * iterations in SQL (truncating integer division both sides). */
+  private val ann_ivf_trained: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .cache()
+    val seeds = q.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    val trained = Similarity.kmeansQuantized(q, seeds, iters = 2)
+    val assigned = Similarity.assignCellsQ(q, trained)
+    val probes = q.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
+    Similarity.ivfTopKQ(assigned, probes, trained, "vec_id", nProbe = 4, k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_ivf_trained" -> ann_ivf_trained,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
     "pipeline_split" -> pipeline_split,
@@ -404,7 +423,59 @@ object DataPipelineQueries {
   private def l2Sql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
 
+  /** One Lloyd iteration as CTEs: assign to nearest `prevCte` centroid,
+    * element-wise integer sums per cell, centroid update s // n
+    * (truncating division — matches Scala Long `/`); empty cells keep
+    * their previous centroid. Twin of Similarity.kmeansQuantized. */
+  private def lloydIterSql(prevCte: String, outCte: String, dims: Int): String =
+    s"""a_$outCte AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM q v, $prevCte c) t WHERE rn = 1),
+       |s_$outCte AS (
+       |  SELECT cell, pos, CAST(sum(qv[pos]) AS BIGINT) AS s, count(*) AS n
+       |  FROM a_$outCte, (SELECT unnest(range(1, ${dims + 1})) AS pos) p
+       |  GROUP BY cell, pos),
+       |$outCte AS (
+       |  SELECT p.cid, COALESCE(u.qc, p.qc) AS qc
+       |  FROM $prevCte p LEFT JOIN (
+       |    SELECT cell AS cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS qc
+       |    FROM s_$outCte GROUP BY cell) u ON u.cid = p.cid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_trained" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+         |${lloydIterSql("c0", "c1", 64)},
+         |${lloydIterSql("c1", "c2", 64)},
+         |af AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT v.vec_id, v.qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM q v, c2 c) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q
+         |  WHERE vec_id >= 16 AND vec_id < 26),
+         |pcells AS (SELECT probe_id, pqv, cell FROM (
+         |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM probes p, c2 c) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN af a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |ranked AS (SELECT probe_id, candidate_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, candidate_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, candidate_id, score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${strongEdgeCtes("documents")},
          |reach(id, r) AS (

@@ -149,11 +149,107 @@ case class VectorMean(
     copy(child = newChildren.head)
 }
 
+/** Exact element-wise SUM of array<long> vectors + row count, as one
+  * map-side-combining aggregate — the k-means centroid-update shape
+  * (integer-exact so the DuckDB oracle matches bit-for-bit; the mean
+  * is taken by the caller with an explicit, engine-portable floor
+  * division). Requires equal-length inputs (quantized vectors are). */
+final class LongSumBuffer(var n: Long, var sums: Array[Long]) {
+  def add(arr: ArrayData): Unit = {
+    val len = arr.numElements()
+    if (sums == null) sums = new Array[Long](len)
+    require(len == sums.length,
+      s"vector_sum_long: mixed vector lengths ($len vs ${sums.length})")
+    var i = 0
+    while (i < len) { sums(i) += arr.getLong(i); i += 1 }
+    n += 1
+  }
+  def mergeIn(o: LongSumBuffer): Unit = {
+    if (o.sums != null) {
+      if (sums == null) sums = new Array[Long](o.sums.length)
+      require(o.sums.length == sums.length,
+        s"vector_sum_long: mixed vector lengths (${o.sums.length} vs ${sums.length})")
+      var i = 0
+      while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+    }
+    n += o.n
+  }
+}
+
+case class VectorSumLong(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongSumBuffer] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sums", ArrayType(LongType, containsNull = false)),
+    StructField("n", LongType)))
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "vector_sum_long"
+
+  override def createAggregationBuffer(): LongSumBuffer = new LongSumBuffer(0L, null)
+
+  override def update(b: LongSumBuffer, input: InternalRow): LongSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[ArrayData])
+    b
+  }
+
+  override def merge(b: LongSumBuffer, o: LongSumBuffer): LongSumBuffer = {
+    b.mergeIn(o); b
+  }
+
+  override def eval(b: LongSumBuffer): Any =
+    if (b.sums == null) null
+    else InternalRow(new GenericArrayData(b.sums), b.n)
+
+  override def serialize(b: LongSumBuffer): Array[Byte] = {
+    val dims = if (b.sums == null) 0 else b.sums.length
+    val buf = ByteBuffer.allocate(8 + 4 + 8 * dims)
+    buf.putLong(b.n)
+    buf.putInt(dims)
+    var i = 0
+    while (i < dims) { buf.putLong(b.sums(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LongSumBuffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getLong
+    val dims = buf.getInt
+    val sums = if (dims == 0) null else {
+      val a = new Array[Long](dims)
+      var i = 0
+      while (i < dims) { a(i) = buf.getLong; i += 1 }
+      a
+    }
+    new LongSumBuffer(n, sums)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorSumLong =
+    copy(child = newChildren.head)
+}
+
 object VectorMeanAgg {
   /** Field-wise mean of an array-of-double column (map-side combining
     * TypedImperativeAggregate; input cast to array<double>). */
   def vector_mean(vec: Column): Column =
     ExpressionUtils.column(
       VectorMean(ExpressionUtils.expression(vec.cast("array<double>")))
+        .toAggregateExpression())
+
+  /** Exact element-wise long sums + count: struct(sums array<long>,
+    * n long). */
+  def vector_sum_long(vec: Column): Column =
+    ExpressionUtils.column(
+      VectorSumLong(ExpressionUtils.expression(vec))
         .toAggregateExpression())
 }
