@@ -121,7 +121,11 @@ object Dedup {
     * iterative-algorithm-on-Spark shape (same as GraphX/Pregel).
     *
     * Input: vertices (idCol) + edges (id_a, id_b). Output: (idCol,
-    * cluster_id) with cluster_id = min id in the component. */
+    * cluster_id) with cluster_id = min id in the component. THROWS if
+    * maxIter rounds don't reach the fixpoint (a silent partial result
+    * would mislabel clusters). The returned frame is CACHED (its
+    * lineage spans every round); callers that keep it long-term should
+    * unpersist it after materializing. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -150,6 +154,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it rather than " +
+          "accept silently mislabeled clusters")
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

@@ -168,6 +168,18 @@ object ExternComparer {
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => socket.close())
         val out = new BufferedOutputStream(socket.getOutputStream)
         val in = socket.getInputStream
+        // Responses drain on a dedicated listener thread (the
+        // reference's ResultListener): the writer never blocks on
+        // unread responses, so a solver whose response writes fill the
+        // TCP buffers cannot deadlock the request path.
+        val queue =
+          new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, CompareResponse]]()
+        val reader = new Thread(() => {
+          try { while (true) queue.put(Right(readResponse(in))) }
+          catch { case e: Throwable => queue.put(Left(e)) }
+        }, "extern-comparer-listener")
+        reader.setDaemon(true)
+        reader.start()
         val pending = scala.collection.mutable.HashMap.empty[(Long, Long), String]
         var counter = 0L
         def sendOne(): Unit = {
@@ -177,25 +189,25 @@ object ExternComparer {
           out.flush()
           pending += ((0L, counter) -> p.pair_id)
         }
-        val results = new Iterator[Row] {
-          def hasNext: Boolean = pending.nonEmpty || it.hasNext
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = pending.nonEmpty || it.hasNext
+            if (!h && tc == null) socket.close() // no task context: test use
+            h
+          }
           def next(): Row = {
             while (it.hasNext && pending.size < maxInFlight) sendOne()
-            val r = readResponse(in)
+            val r = queue.take() match {
+              case Right(resp) => resp
+              case Left(e) => throw new IllegalStateException(
+                "extern comparer connection failed with " +
+                  s"${pending.size} responses outstanding", e)
+            }
             val pid = pending.remove((r.idMsb, r.idLsb)).getOrElse(
               throw new IllegalStateException(
                 s"extern comparer answered unknown request id ${r.idLsb}"))
             Row(pid, r.similarity)
           }
-        }
-        if (tc != null) results
-        else new Iterator[Row] { // driver-side/test use: close on drain
-          def hasNext: Boolean = {
-            val h = results.hasNext
-            if (!h) socket.close()
-            h
-          }
-          def next(): Row = results.next()
         }
       }
     }(enc)

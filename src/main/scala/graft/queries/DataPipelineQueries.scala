@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions
@@ -74,22 +74,31 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic md5-bucket (0..99) of the doc id and the 80/10/10
+    * split label — ONE source for the thresholds, shared by
+    * pipeline_split and pipeline_curate (with SQL twins below). */
+  private def splitBucket: Column =
+    pmod(HashFunctions.hash32(col("doc_id").cast("string")), lit(100))
+  private def splitLabel(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** pipeline_split: deterministic hash-based train/val/test split —
     * the assignment must be a pure function of the doc id so it is
     * stable across reruns, engines and cluster layouts (no rand()). */
   private val pipeline_split: Q = (s, d) => {
-    val bucket = pmod(HashFunctions.hash32(col("doc_id").cast("string")), lit(100))
+    val bucket = splitBucket
     Tables.documents(s, d).select(
       col("doc_id"),
       bucket.as("bucket"),
-      when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test").as("split"))
+      splitLabel(bucket).as("split"))
       .orderBy(col("doc_id"))
   }
 
   /** pipeline_cap_per_key: per-key quota (at most K docs per language,
-    * smallest doc_id first) — the data-mixing cap; WindowGroupLimit
-    * keeps it a partial top-k, never a full sort. */
+    * smallest doc_id first) — the data-mixing cap. NOTE: because the
+    * output also reports n_total, every row gets numbered (no partial
+    * top-k is possible here); the kept-ROWS form — filter rn <= K
+    * without the total — is the one Spark plans as WindowGroupLimit. */
   private val pipeline_cap_per_key: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -113,17 +122,20 @@ object DataPipelineQueries {
       col("doc_id"), t,
       TextAnalysis.predictLang(t).as("pred_lang"),
       TextAnalysis.qualityScoreBp(t).as("quality_bp"))
+    // cache the SCORED-AND-FILTERED frame: the regexp-heavy scoring is
+    // what must not recompute, and `filtered` feeds both semi-join
+    // sides plus (through uniq) the shingle hashing and cluster
+    // vertices downstream
     val filtered = scored
       .filter(col("pred_lang") === "en" && col("quality_bp") >= 5000)
       .select(col("doc_id"), col("text"))
+      .cache()
     // exact dedup: smallest doc id survives per content hash
     val keepIds = filtered
       .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // cache: the regexp-heavy scoring above feeds three consumers
-    // (shingle hashing, cluster vertices, and both semi-join sides)
-    val uniq = filtered.join(keepIds, Seq("doc_id"), "left_semi").cache()
+    val uniq = filtered.join(keepIds, Seq("doc_id"), "left_semi")
     // near-dup clustering among the survivors; canonical = min id
     val hashed = Dedup.shingleHashSets(
       uniq.repartition(col("doc_id")), "doc_id", "text", SHINGLE_K).cache()
@@ -134,10 +146,9 @@ object DataPipelineQueries {
     val comps = Dedup.connectedComponents(uniq.select(col("doc_id")), "doc_id", strong)
     val curated = comps.filter(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
-    val bucket = pmod(HashFunctions.hash32(col("doc_id").cast("string")), lit(100))
+    val bucket = splitBucket
     curated.select(col("doc_id"), bucket.as("bucket"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+        splitLabel(bucket).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -364,15 +375,28 @@ object DataPipelineQueries {
   private def langScoreSql(markers: Seq[String]): String =
     markers.map(occSql).mkString("(", " + ", ")")
 
-  /** Standalone DuckDB twin of TextAnalysis.predictLang (argmax of
-    * marker scores, fixed-order tie-break, 'und' when all zero). */
-  private val predLangSql: String = {
-    def sc(l: String) = langScoreSql(TextAnalysis.langMarkers.toMap.apply(l))
-    val best = TextAnalysis.langMarkers.map(m => sc(m._1)).mkString("greatest(", ", ", ")")
+  /** Argmax-language CASE builder (fixed-order tie-break, 'und' when
+    * all zero), parameterized over how a language's score renders —
+    * inline expressions (pipeline_curate) or CTE aliases (text_langid)
+    * share the ONE piece of logic. */
+  private def predLangCaseSql(score: String => String): String = {
+    val best = TextAnalysis.langMarkers.map(m => score(m._1)).mkString("greatest(", ", ", ")")
     TextAnalysis.langMarkers.map { case (l, _) =>
-      s"WHEN ${sc(l)} = $best AND ${sc(l)} > 0 THEN '$l'"
+      s"WHEN ${score(l)} = $best AND ${score(l)} > 0 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
   }
+
+  /** Standalone DuckDB twin of TextAnalysis.predictLang. */
+  private val predLangSql: String =
+    predLangCaseSql(l => langScoreSql(TextAnalysis.langMarkers.toMap.apply(l)))
+
+  /** DuckDB twins of splitBucket/splitLabel (single source of the
+    * 80/10/10 thresholds on the SQL side too). */
+  private val splitBucketSql: String =
+    s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
+  private val splitCaseSql: String =
+    s"CASE WHEN $splitBucketSql < 80 THEN 'train' " +
+      s"WHEN $splitBucketSql < 90 THEN 'val' ELSE 'test' END"
 
   /** DuckDB twin of TextAnalysis.qualityScoreBp. */
   private val qualityBpSql: String =
@@ -486,8 +510,7 @@ object DataPipelineQueries {
          |  min(r) = id AS is_canonical
          |FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
-    "pipeline_curate" -> {
-      val bucketSql = s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
+    "pipeline_curate" ->
       s"""WITH RECURSIVE filtered AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE ($predLangSql) = 'en' AND $qualityBpSql >= 5000),
@@ -501,22 +524,13 @@ object DataPipelineQueries {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
          |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
          |curated AS (SELECT id AS doc_id FROM comp WHERE id = cluster_id)
-         |SELECT doc_id, $bucketSql AS bucket,
-         |  CASE WHEN $bucketSql < 80 THEN 'train'
-         |       WHEN $bucketSql < 90 THEN 'val'
-         |       ELSE 'test' END AS split
+         |SELECT doc_id, $splitBucketSql AS bucket, $splitCaseSql AS split
          |FROM curated
-         |ORDER BY doc_id""".stripMargin
-    },
-    "pipeline_split" -> {
-      val bucketSql = s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
-      s"""SELECT doc_id, $bucketSql AS bucket,
-         |  CASE WHEN $bucketSql < 80 THEN 'train'
-         |       WHEN $bucketSql < 90 THEN 'val'
-         |       ELSE 'test' END AS split
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_split" ->
+      s"""SELECT doc_id, $splitBucketSql AS bucket, $splitCaseSql AS split
          |FROM documents
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_cap_per_key" ->
       """SELECT lang, count(*) AS n_total,
         |  count(CASE WHEN rn <= 100 THEN 1 END) AS n_kept
@@ -612,8 +626,7 @@ object DataPipelineQueries {
          |  CAST(length(text) AS BIGINT) AS text_len,
          |  CAST($avgTokenLenBpSql AS BIGINT) AS avg_token_len_bp,
          |  CAST($stopwordBpSql AS BIGINT) AS stopword_bp,
-         |  CAST(5000 + least($stopwordBpSql, 2000) * 2
-         |    - least(abs($avgTokenLenBpSql - 50000) // 10, 5000) AS BIGINT) AS quality_bp
+         |  CAST($qualityBpSql AS BIGINT) AS quality_bp
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
     "text_bpe_tokens" -> {
@@ -631,10 +644,7 @@ object DataPipelineQueries {
       val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
         s"${langScoreSql(ms)} AS score_$l"
       }.mkString(", ")
-      val best = TextAnalysis.langMarkers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
-      val caseExpr = TextAnalysis.langMarkers.map { case (l, _) =>
-        s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val caseExpr = predLangCaseSql(l => s"score_$l")
       s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
          |SELECT doc_id, lang, $caseExpr AS pred_lang,
          |  CAST(score_en AS BIGINT) AS score_en
