@@ -115,23 +115,27 @@ object Dedup {
     * Scale shape: each round is one shuffle join (labels ⋈ edges) +
     * one min-aggregation, and rounds needed = component diameter —
     * near-dup clusters are tiny (pairs/triples), so this converges in
-    * 2-3 rounds regardless of corpus size. Labels are cached per
-    * round and the previous round is unpersisted; the per-round
-    * driver-side convergence count is one scalar action, the classic
-    * iterative-algorithm-on-Spark shape (same as GraphX/Pregel).
+    * 2-3 rounds regardless of corpus size. Each round's labels are
+    * `localCheckpoint`ed (eager): the plan references the previous
+    * round TWICE (join side + neighbor-min side), so without lineage
+    * TRUNCATION the logical plan doubles per round — 2^rounds nodes —
+    * and anything that walks the tree (planning, explain, the count
+    * below) blows up long before the data does. Checkpointing also
+    * bounds recompute; the per-round convergence count is one scalar
+    * action, the classic iterative-on-Spark shape (same as
+    * GraphX/Pregel, which checkpoints for the same reason).
     *
     * Input: vertices (idCol) + edges (id_a, id_b). Output: (idCol,
     * cluster_id) with cluster_id = min id in the component. THROWS if
     * maxIter rounds don't reach the fixpoint (a silent partial result
-    * would mislabel clusters). The returned frame is CACHED (its
-    * lineage spans every round); callers that keep it long-term should
-    * unpersist it after materializing. */
+    * would mislabel clusters). */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).cache()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -143,13 +147,8 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("changed"))
-        .cache()
-      // full count (not limit 1): the action must materialize every
-      // partition of `next` into its cache BEFORE the previous round is
-      // unpersisted, or later scans would recompute through the whole
-      // iteration lineage
+        .localCheckpoint(true) // truncate lineage + materialize
       converged = next.filter(col("changed")).count() == 0
-      labels.unpersist()
       labels = next.drop("changed")
       iter += 1
     }

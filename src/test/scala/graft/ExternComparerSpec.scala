@@ -86,6 +86,39 @@ class ExternComparerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("lockstep solver + pairs beyond the window cannot deadlock") {
+    // a solver that reads exactly one request then writes its response
+    // (never reading ahead) is the shape that deadlocked a
+    // write-window-first client; the listener thread must keep the
+    // pipeline moving for > maxInFlight pairs
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = s.getInputStream
+        val out = s.getOutputStream
+        while (!s.isClosed) {
+          val (msb, lsb, a, b) = ExternComparer.decodeRequest(in)
+          ExternComparer.writeResponse(out,
+            ExternComparer.CompareResponse(msb, lsb, lsb.toFloat, a.feature, b.feature))
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val n = 50 // > default maxInFlight of 32
+      val pairs = (1 to n).map(i =>
+        ComparePair(s"p$i", featOnly((i % 7).toByte), featOnly(3)))
+        .toDS().repartition(1)
+      val out = ExternComparer.compareExtern(
+        pairs, "127.0.0.1", server.getLocalPort, maxInFlight = 32)
+        .collect()
+      assert(out.length == n)
+      assert(out.map(_.getString(0)).toSet == (1 to n).map(i => s"p$i").toSet)
+    } finally server.close()
+  }
+
   test("codec: request bytes follow the reference layout exactly") {
     val req = ExternComparer.encodeRequest(3L, 4L, full(9), featOnly(7))
     val buf = java.nio.ByteBuffer.wrap(req)

@@ -106,6 +106,20 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents throws rather than return a partial fixpoint") {
+    // a 25-link chain has diameter > maxIter=3: must fail loudly
+    val verts = (1L to 25L).toDF("doc_id")
+    val edges = (1L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses to one cluster
+    val ok = Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 30)
+      .select("cluster_id").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("bpeTokenCount matches hand-tokenized examples") {
     val cases = Seq(
       "don't 123 abc!?", // don | 't | " 123" | " abc" | "!?"     -> 5
