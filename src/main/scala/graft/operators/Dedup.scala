@@ -115,14 +115,15 @@ object Dedup {
     * Scale shape: each round is one shuffle join (labels ⋈ edges) +
     * one min-aggregation, and rounds needed = component diameter —
     * near-dup clusters are tiny (pairs/triples), so this converges in
-    * 2-3 rounds regardless of corpus size. Each round's labels are
-    * `localCheckpoint`ed (eager): the plan references the previous
-    * round TWICE (join side + neighbor-min side), so without lineage
-    * TRUNCATION the logical plan doubles per round — 2^rounds nodes —
-    * and anything that walks the tree (planning, explain, the count
-    * below) blows up long before the data does. Checkpointing also
-    * bounds recompute; the per-round convergence count is one scalar
-    * action, the classic iterative-on-Spark shape (same as
+    * 2-3 rounds regardless of corpus size. Rounds are cached (cheap);
+    * every 5th round the labels are `localCheckpoint`ed: the plan
+    * references the previous round TWICE (join side + neighbor-min
+    * side), so without periodic lineage TRUNCATION the logical plan
+    * doubles per round — 2^rounds nodes — and anything that walks the
+    * tree (planning, explain, the count below) blows up long before
+    * the data does (measured: a 25-round chain took minutes in
+    * generateTreeString alone). The per-round convergence count is one
+    * scalar action, the classic iterative-on-Spark shape (same as
     * GraphX/Pregel, which checkpoints for the same reason).
     *
     * Input: vertices (idCol) + edges (id_a, id_b). Output: (idCol,
@@ -134,8 +135,8 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).cache()
+    var pinned = labels // the round currently holding storage
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -147,10 +148,19 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("changed"))
-        .localCheckpoint(true) // truncate lineage + materialize
+        .cache()
+      // full count (not limit 1): materializes every partition of
+      // `next` into its cache BEFORE the previous round is unpersisted
       converged = next.filter(col("changed")).count() == 0
+      pinned.unpersist()
       labels = next.drop("changed")
+      pinned = next
       iter += 1
+      if (!converged && iter % 5 == 0) {
+        labels = labels.localCheckpoint(true) // bound plan growth at 2^5
+        pinned.unpersist()
+        pinned = labels
+      }
     }
     sym.unpersist()
     if (!converged)
