@@ -106,6 +106,30 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("kmeansQuantized matches a driver-side Lloyd model (truncating division)") {
+    // 1-d points quantized; seeds 0 -> [0], 1 -> [100]
+    val pts = Seq(0L -> 0L, 1L -> 100L, 2L -> 10L, 3L -> 12L,
+      4L -> 90L, 5L -> 95L, 6L -> -7L)
+    val vecsQ = pts.map { case (id, v) => (id, Seq(v)) }.toDF("vec_id", "qv")
+    val seeds = Seq(0L -> Array(0L), 1L -> Array(100L))
+    // model: 2 Lloyd rounds, nearest by squared distance (tie -> min id),
+    // centroid = truncating mean
+    var cents = seeds.map { case (c, a) => c -> a(0) }
+    for (_ <- 0 until 2) {
+      val assign = pts.map { case (id, v) =>
+        val best = cents.minBy { case (cid, c) => ((v - c) * (v - c), cid) }._1
+        (best, v)
+      }
+      cents = cents.map { case (cid, old) =>
+        val mine = assign.filter(_._1 == cid).map(_._2)
+        cid -> (if (mine.isEmpty) old else mine.sum / mine.size)
+      }
+    }
+    val got = Similarity.kmeansQuantized(vecsQ, seeds, iters = 2)
+      .map { case (cid, a) => cid -> a(0) }
+    assert(got == cents)
+  }
+
   test("connectedComponents throws rather than return a partial fixpoint") {
     // a 25-link chain has diameter > maxIter=3: must fail loudly
     val verts = (1L to 25L).toDF("doc_id")

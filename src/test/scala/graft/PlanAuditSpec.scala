@@ -47,6 +47,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("dot_long") || p.toLowerCase.contains("dotproductlong"))
   }
 
+  test("ann_ivf_trained: assignment is a pure projection, search joins on cell only") {
+    val p = plan("ann_ivf_trained")
+    assert(p.contains("l2sq_long"), "native distance kernel expected")
+    assert(!p.contains("SortMergeJoin"),
+      "cell-keyed search must not sort-merge at this scale (broadcast/hash)")
+  }
+
   test("vpe_attr_mean: vector_mean aggregates in ONE shuffle, no explode") {
     val p = plan("vpe_attr_mean")
     assert(p.contains("vector_mean"), "VectorMean aggregate expected in plan")
