@@ -252,7 +252,18 @@ object RelationalQueries {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** q18_salted_agg: the hot-key salting pattern through the gate —
+    * two-phase count over a deterministic salt (partial on (key,
+    * salt), final on key) must equal the direct group count. This is
+    * the shape a pathological skewed key takes at 100 TB when AQE
+    * can't split it (a single group key). */
+  private val q18_salted_agg: Q = (s, d) => {
+    graft.operators.Skew.saltedCount(Tables.lineitem(s, d), "l_returnflag", 8)
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q18_salted_agg" -> q18_salted_agg,
     "q17_cube" -> q17_cube,
     "q1_agg" -> q1_agg,
     "q2_join_dims" -> q2_join_dims,
@@ -272,6 +283,11 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q18_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q17_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(avg(o_totalprice), 4) AS avg_price
