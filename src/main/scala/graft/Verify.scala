@@ -23,6 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several queries cache intermediates (shingle sets, quantized
+      // vectors, survivor sets); dropping them between queries keeps a
+      // 56-query run's storage footprint flat (Bench keeps them — the
+      // cross-query reuse is part of what it measures)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

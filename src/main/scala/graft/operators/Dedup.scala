@@ -159,7 +159,12 @@ object Dedup {
       if (!converged && iter % 5 == 0) {
         labels = labels.localCheckpoint(true) // bound plan growth at 2^5
         pinned.unpersist()
-        pinned = labels
+        pinned = labels // NOTE: unpersist() is a no-op on a checkpointed
+        // frame (LogicalRDD is not in the CacheManager) — its blocks are
+        // reclaimed by the ContextCleaner once the round goes
+        // unreachable, i.e. one extra label-table generation per 5
+        // rounds may linger until driver GC; typical 2-3 round runs
+        // never checkpoint at all
       }
     }
     sym.unpersist()

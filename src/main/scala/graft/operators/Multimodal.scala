@@ -108,19 +108,30 @@ object Multimodal {
     val wIdx = df.schema.fieldIndex(widthCol)
     val hIdx = df.schema.fieldIndex(heightCol)
     val pIdx = df.schema.fieldIndex(patchCol)
+    // written-back dims must match the COLUMN type, not assume int —
+    // the read side already tolerates any integral type
+    def asFieldType(idx: Int, v: Int): Any = df.schema(idx).dataType match {
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v
+    }
+    val wVal = asFieldType(wIdx, targetW)
+    val hVal = asFieldType(hIdx, targetH)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // a real pipeline would resize `batch` in one native/SIMD call
         batch.map { r =>
           val patch = r.getAs[Array[Byte]](pIdx)
-          if (patch == null) r
+          // malformed rows (missing patch OR missing dims) pass through
+          if (patch == null || r.isNullAt(wIdx) || r.isNullAt(hIdx)) r
           else {
             val resized = resizeNearest(
               patch, r.getAs[Number](wIdx).intValue(),
               r.getAs[Number](hIdx).intValue(), targetW, targetH)
             Row.fromSeq(r.toSeq.zipWithIndex.map {
-              case (_, `wIdx`) => targetW
-              case (_, `hIdx`) => targetH
+              case (_, `wIdx`) => wVal
+              case (_, `hIdx`) => hVal
               case (_, `pIdx`) => resized
               case (v, _) => v
             })

@@ -31,6 +31,11 @@ class GraphStore(spark: SparkSession, dir: String) {
   private def readOrEmpty(path: String, schemaOf: DataFrame): DataFrame =
     if (new java.io.File(path).exists())
       spark.read.parquet(path)
+    else if (new java.io.File(path + ".old").exists())
+      // mid-swap window (or a failed swap whose rollback also failed):
+      // the previous generation is still on disk — a stale-but-real
+      // table beats silently answering "empty"
+      spark.read.parquet(path + ".old")
     else schemaOf.limit(0)
 
   /** Atomic-ish table rewrite: write to a staging dir, then swap.
@@ -42,12 +47,25 @@ class GraphStore(spark: SparkSession, dir: String) {
     val staging = path + ".staging"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
     val dest = Paths.get(path)
-    if (Files.exists(dest)) {
+    val oldPath = Paths.get(path + ".old")
+    val hadPrevious = Files.exists(dest)
+    if (hadPrevious) {
       val old = new java.io.File(path + ".old")
       if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      Files.move(dest, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(dest, oldPath, StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.move(Paths.get(staging), dest, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(staging), dest, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // roll the previous generation back so readers never lose the
+        // table; if even that fails, readOrEmpty's .old fallback still
+        // serves the stale generation
+        if (hadPrevious && !Files.exists(dest)) {
+          try Files.move(oldPath, dest, StandardCopyOption.ATOMIC_MOVE)
+          catch { case rb: Throwable => e.addSuppressed(rb) }
+        }
+        throw e
+    }
     val old = new java.io.File(path + ".old")
     if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
   }

@@ -73,7 +73,9 @@ object HashKernels {
     val offs = codePointOffsets(bytes)
     val nChars = offs.length - 1
     val n = math.max(nChars - k + 1, 1)
-    val seen = new java.util.HashSet[UTF8String](math.min(n * 2, 1 << 16))
+    // capacity clamp before any arithmetic: n can approach Int.MaxValue
+    // for GB-scale strings and n * 2 would wrap negative
+    val seen = new java.util.HashSet[UTF8String](math.min(n, 1 << 16))
     val out = new Array[Long](n)
     var cnt = 0
     var i = 0
