@@ -62,12 +62,31 @@ object StreamingQueries {
       .orderBy(col("task_id"))
   }
 
+  /** stream_dedup: streaming exact-dedup state (P6 in streaming form —
+    * the reference drops duplicated storing requests across batches,
+    * `vpe/data/DataManagingApp.java:447-455`). dropDuplicates keys the
+    * state store on the projected columns; projecting ONLY the key
+    * keeps the surviving-row choice deterministic. */
+  private val stream_dedup: Q = (s, d) => {
+    val ev = StreamingOps.eventsStream(s, d)
+    val distinctUsers = ev
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    StreamingOps.runToMemory(s, distinctUsers, "graft_stream_dedup", "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_dedup" -> stream_dedup,
     "stream_enrich_join" -> stream_enrich_join,
     "stream_windowed_agg" -> stream_windowed_agg,
     "stream_completion" -> stream_completion)
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_enrich_join" ->
       """SELECT a.event_id, a.user_id, a.event_type, round(b.value, 2) AS value
         |FROM events a JOIN events b
