@@ -25,7 +25,7 @@ object Verify {
       }
       // several queries cache intermediates (shingle sets, quantized
       // vectors, survivor sets); dropping them between queries keeps a
-      // 56-query run's storage footprint flat (Bench keeps them — the
+      // 57-query run's storage footprint flat (Bench keeps them — the
       // cross-query reuse is part of what it measures)
       spark.catalog.clearCache()
     }
