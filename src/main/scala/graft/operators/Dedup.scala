@@ -106,6 +106,34 @@ object Dedup {
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs: candidates share at least one of the
+    * `nBands` equal-width bit bands of the fingerprint (pigeonhole: any
+    * pair within hamming < nBands shares a band), then the exact
+    * hamming filter keeps true near-dups. Same scale shape as the
+    * MinHash path — the band value is the shuffle key, pairs form only
+    * inside identical bands, O(n²) never materializes. Input: (idCol,
+    * fpCol) with a `bits`-wide fingerprint. */
+  def simHashNearDupPairs(fps: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int, bits: Int = 32,
+                          nBands: Int = 4): DataFrame = {
+    require(bits % nBands == 0, "bands must divide the fingerprint width")
+    val w = bits / nBands
+    val bandVals = array((0 until nBands).map(i =>
+      shiftright(col(fpCol), i * w).bitwiseAND(lit((1L << w) - 1))): _*)
+    val banded = fps.select(col(idCol).as("doc_id"), col(fpCol).as("fp"),
+      posexplode(bandVals).as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected edge list — the dedup
     * CLUSTERING step: near-dup pairs → canonical document groups (keep
     * one doc per component). Min-label propagation: every vertex

@@ -162,6 +162,20 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_simhash_pairs: simhash near-dup candidates via bit-band
+    * blocking (4 × 8-bit bands; pigeonhole guarantees hamming ≤ 3
+    * pairs share a band) + exact hamming filter. Completes the simhash
+    * family: fingerprints → pairs, the same banding scale-shape as the
+    * MinHash path. */
+  private val dedup_simhash_pairs: Q = (s, d) => {
+    val th = Tables.documents(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("th")).cache()
+    val fps = th.select(col("doc_id"),
+      Dedup.simHashFromHashes(col("th")).as("simhash"))
+    Dedup.simHashNearDupPairs(fps, "doc_id", "simhash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** text_stats: token/char statistics + quality scoring (integer
     * basis-point arithmetic). */
   private val text_stats: Q = (s, d) => {
@@ -336,6 +350,7 @@ object DataPipelineQueries {
     "dedup_minhash_sig" -> dedup_minhash_sig,
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_simhash" -> dedup_simhash,
+    "dedup_simhash_pairs" -> dedup_simhash_pairs,
     "text_stats" -> text_stats,
     "text_bpe_tokens" -> text_bpe_tokens,
     "text_langid" -> text_langid,
@@ -612,6 +627,26 @@ object DataPipelineQueries {
          |FROM cand
          |JOIN sets sa ON sa.doc_id = cand.id_a
          |JOIN sets sb ON sb.doc_id = cand.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH th_t AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${h32("t")}) AS th
+         |  FROM documents),
+         |fp AS (SELECT doc_id, $simhashBitExprs AS simhash FROM th_t),
+         |banded AS (
+         |  SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+         |FROM pairs p
+         |JOIN fp fa ON fa.doc_id = p.id_a
+         |JOIN fp fb ON fb.doc_id = p.id_b
+         |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH th_t AS (
