@@ -31,8 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(e, "cosine_sim", classOf[CosineSimilarityD])(es => CosineSimilarityD(es.head, es(1)))
     reg(e, "l2sq_long", classOf[L2SqLong])(es => L2SqLong(es.head, es(1)))
     // k must be a foldable integer expression (shingle width)
-    reg(e, "shingle_hash32", classOf[ShingleHash32])(es =>
-      ShingleHash32(es.head, es(1).eval().asInstanceOf[Number].intValue()))
+    reg(e, "shingle_hash32", classOf[ShingleHash32])(es => {
+      if (es.length != 2 || !es(1).foldable ||
+          !es(1).eval().isInstanceOf[Number])
+        throw new IllegalArgumentException(
+          "shingle_hash32(text, k): k must be a foldable integer literal " +
+            "(the shingle width), got " + es.drop(1).mkString(", "))
+      ShingleHash32(es.head, es(1).eval().asInstanceOf[Number].intValue())
+    })
     reg(e, "token_hash32", classOf[TokenHash32])(es => TokenHash32(es.head))
     reg(e, "minhash_sigs", classOf[MinHashSigs])(es => MinHashSigs(es.head))
     reg(e, "simhash32", classOf[SimHash32])(es => SimHash32(es.head))

@@ -117,6 +117,9 @@ object Dedup {
                           maxHamming: Int, bits: Int = 32,
                           nBands: Int = 4): DataFrame = {
     require(bits % nBands == 0, "bands must divide the fingerprint width")
+    require(maxHamming < nBands,
+      "banding only guarantees full recall for hamming < nBands " +
+        "(pigeonhole); raise nBands or lower maxHamming")
     val w = bits / nBands
     val bandVals = array((0 until nBands).map(i =>
       shiftright(col(fpCol), i * w).bitwiseAND(lit((1L << w) - 1))): _*)
@@ -201,6 +204,6 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it rather than " +
           "accept silently mislabeled clusters")
-    labels.withColumnRenamed("label", "cluster_id")
+    labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "cluster_id")
   }
 }

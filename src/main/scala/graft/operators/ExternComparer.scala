@@ -165,7 +165,6 @@ object ExternComparer {
         val socket = new Socket(host, port)
         socket.setTcpNoDelay(true)
         val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => socket.close())
         val out = new BufferedOutputStream(socket.getOutputStream)
         val in = socket.getInputStream
         // Responses drain on a dedicated listener thread (the
@@ -180,6 +179,12 @@ object ExternComparer {
         }, "extern-comparer-listener")
         reader.setDaemon(true)
         reader.start()
+        // closing the socket also unblocks the listener thread (its
+        // blocking read throws), so one close releases both resources
+        def closeAll(): Unit = {
+          try socket.close() finally reader.interrupt()
+        }
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         val pending = scala.collection.mutable.HashMap.empty[(Long, Long), String]
         var counter = 0L
         def sendOne(): Unit = {
@@ -192,10 +197,16 @@ object ExternComparer {
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = pending.nonEmpty || it.hasNext
-            if (!h && tc == null) socket.close() // no task context: test use
+            if (!h && tc == null) closeAll() // no task context: test use
             h
           }
-          def next(): Row = {
+          // any failure mid-stream would otherwise strand the socket and
+          // listener thread on the non-task path (no completion listener
+          // fires there) — close before rethrowing
+          def next(): Row =
+            try nextImpl()
+            catch { case e: Throwable => if (tc == null) closeAll(); throw e }
+          private def nextImpl(): Row = {
             while (it.hasNext && pending.size < maxInFlight) sendOne()
             val r = queue.take() match {
               case Right(resp) => resp

@@ -69,8 +69,8 @@ object DataPipelineQueries {
       .select(col("id_a"), col("id_b"))
     val verts = Tables.documents(s, d).select(col("doc_id"))
     Dedup.connectedComponents(verts, "doc_id", strong)
-      .select(col("id").as("doc_id"), col("cluster_id"),
-        (col("id") === col("cluster_id")).as("is_canonical"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
 
@@ -144,8 +144,8 @@ object DataPipelineQueries {
       .filter(col("jaccard_bp") >= 5000)
       .select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(uniq.select(col("doc_id")), "doc_id", strong)
-    val curated = comps.filter(col("id") === col("cluster_id"))
-      .select(col("id").as("doc_id"))
+    val curated = comps.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
     val bucket = splitBucket
     curated.select(col("doc_id"), bucket.as("bucket"),
         splitLabel(bucket).as("split"))
