@@ -199,6 +199,36 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("candidate_id"), col("score"))
   }
 
+  /** Equal-width bit bands of an LSH bucket id: nBands values of
+    * bitsPerBand bits each. Banding turns one exact nBits bucket into
+    * nBands OR'd match keys (any shared band ⇒ candidate) — higher
+    * recall at the same bounded per-key population. */
+  def bucketBands(bucket: Column, bitsPerBand: Int, nBands: Int): Column =
+    array((0 until nBands).map(b =>
+      shiftright(bucket, b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)
+
+  /** Distinct candidate pairs (id_a < id_b) agreeing on every groupCol
+    * AND at least one LSH band of bucketCol. This is the scale-safe
+    * replacement for a bare `join(..., groupCols)` pair join: a group
+    * key (label, source, …) has no population bound — a popular group
+    * is a quadratic block and a hot shuffle key at corpus scale — while
+    * the (group ++ band) composite key cuts every group into
+    * 2^bitsPerBand sub-buckets whose size the hyperplanes, not the
+    * data skew, control. SQL twin: [[graft.queries.SimilaritySql]]. */
+  def bandedCandidatePairs(vecs: DataFrame, groupCols: Seq[String],
+                           idCol: String, bucketCol: String,
+                           bitsPerBand: Int, nBands: Int): DataFrame = {
+    val banded = vecs.select(
+      groupCols.map(col) ++ Seq(col(idCol).as("_pid"),
+        posexplode(bucketBands(col(bucketCol), bitsPerBand, nBands))
+          .as(Seq("band", "band_val"))): _*)
+    val keys = groupCols ++ Seq("band", "band_val")
+    val a = banded.withColumnRenamed("_pid", "id_a")
+    val b = banded.withColumnRenamed("_pid", "id_b")
+    a.join(b, keys).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** LSH bucketing by random-hyperplane signs (the ANN scale path):
     * deterministic hyperplanes derived from fixed integer coefficients.
     * nBits sign bits → bucket id; neighbor search then joins within

@@ -288,19 +288,32 @@ object DataPipelineQueries {
   }
 
   /** dedup_embed_neardup: embedding-cosine near-duplicate detection —
-    * nearest same-label neighbor per vector with a duplicate-threshold
-    * flag (bucketed by label so the pair space stays block-local, the
-    * same shape the LSH path uses at scale). */
+    * nearest (same label, shared LSH band) neighbor per vector with a
+    * duplicate-threshold flag. The pair join is keyed on (label, band,
+    * band_val), never bare label: a label group has no size bound (a
+    * popular label is a quadratic block at corpus scale), while the
+    * hyperplane sub-buckets bound every block regardless of label
+    * skew. Cosine is scored once per unordered candidate pair. */
   private val dedup_embed_neardup: Q = (s, d) => {
-    // pre-cast to double once per vector (not once per pair)
+    // pre-cast to double + bucket once per vector (not once per pair)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("embedding"))
-    val a = emb.select(col("label"), col("vec_id").as("src"), col("embedding").as("ea"))
-    val b = emb.select(col("label"), col("vec_id").as("dst"), col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), Similarity.cosine(col("ea"), col("eb")).as("cos"))
-    Similarity.topKPerKey(pairs, "src", "cos", "dst", 1)
+        col("embedding").cast("array<double>").as("emb"),
+        Similarity.hyperplaneBucket(
+          Similarity.quantize(col("embedding")), 64, 8).as("bucket"))
+      .cache()
+    val cand = Similarity.bandedCandidatePairs(
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2)
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("emb").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("emb").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("ea"), col("eb")).as("cos"))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    Similarity.topKPerKey(directed, "src", "cos", "dst", 1)
       .select(col("src"), col("dst").as("nearest_id"),
         round(col("cos"), 3).as("cos_sim"),
         (col("cos") > 0.9).as("is_near_dup"))
@@ -444,19 +457,10 @@ object DataPipelineQueries {
        |  SELECT id_a AS src, id_b AS dst FROM strong
        |  UNION SELECT id_b, id_a FROM strong)""".stripMargin
 
-  /** DuckDB twin of Similarity.quantize. */
-  private val quantizeSql =
-    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-
-  /** DuckDB twin of Similarity.hyperplaneBucket (integer-exact). */
-  private val lshBucketSql: String = {
-    def w(h: Int, i: Int): Long =
-      (1103515245L * (h * 64 + i + 12345) + 54321) % 1001 - 500
-    (0 until 8).map { h =>
-      val weights = (0 until 64).map(i => w(h, i)).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(list_zip(qv, $weights), z -> z[1] * z[2])) > 0 THEN ${1L << h} ELSE 0 END)"
-    }.mkString(" + ")
-  }
+  /** DuckDB twins of Similarity.quantize / hyperplaneBucket — shared
+    * with PipelineQueries via [[SimilaritySql]]. */
+  private val quantizeSql = SimilaritySql.quantizeSql
+  private val lshBucketSql = SimilaritySql.lshBucketSql()
 
   /** DuckDB twin of Similarity.l2sqLong over two qv lists. */
   private def l2Sql(a: String, b: String): String =
@@ -583,19 +587,26 @@ object DataPipelineQueries {
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
     "dedup_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    list_cosine_similarity(a.emb, b.emb) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
-        |ranked AS (
-        |  SELECT src, dst, cos,
-        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-        |  FROM pairs)
-        |SELECT src, dst AS nearest_id, round(cos, 3) AS cos_sim,
-        |  cos > 0.9 AS is_near_dup
-        |FROM ranked WHERE rn = 1
-        |ORDER BY src""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${SimilaritySql.quantizeSql} AS qv FROM embeddings),
+         |${SimilaritySql.bandedCandCtes("e", Seq("label"))},
+         |pairs AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    list_cosine_similarity(ea.emb, eb.emb) AS cos
+         |  FROM cand
+         |  JOIN e ea ON ea.vec_id = cand.id_a
+         |  JOIN e eb ON eb.vec_id = cand.id_b),
+         |directed AS (
+         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+         |  UNION ALL SELECT id_b, id_a, cos FROM pairs),
+         |ranked AS (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM directed)
+         |SELECT src, dst AS nearest_id, round(cos, 3) AS cos_sim,
+         |  cos > 0.9 AS is_near_dup
+         |FROM ranked WHERE rn = 1
+         |ORDER BY src""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents

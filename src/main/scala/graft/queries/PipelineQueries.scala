@@ -86,16 +86,30 @@ object PipelineQueries {
   }
 
   /** vpe_similar_topk: G9/T1 top-k similar per person (ORDER BY
-    * similarity DESC over out-edges) — neighbors within the same label
-    * bucket by exact quantized dot product. */
+    * similarity DESC over out-edges, `Neo4jConnector.java:752-779`) —
+    * neighbors share the label AND an LSH band of the hyperplane
+    * bucket, scored by exact quantized dot product. The pair join key
+    * is (label, band, band_val), never bare label: label groups grow
+    * with the corpus (quadratic blocks + hot shuffle keys at 100×),
+    * while the sub-buckets stay hyperplane-bounded. Each unordered
+    * pair is scored once, then ranked from both endpoints. */
   private val vpe_similar_topk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
-    val a = emb.select(col("label"), col("vec_id").as("src"), col("qv").as("qa"))
-    val b = emb.select(col("label"), col("vec_id").as("dst"), col("qv").as("qb"))
-    val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), Similarity.dotLong(col("qa"), col("qb")).as("score"))
-    Similarity.topKPerKey(pairs, "src", "score", "dst", 3)
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    val cand = Similarity.bandedCandidatePairs(
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2)
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("qv").as("qa")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("qv").as("qb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.dotLong(col("qa"), col("qb")).as("score"))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionByName(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    Similarity.topKPerKey(directed, "src", "score", "dst", 3)
       .select(col("src"), col("rank"), col("dst"), col("score"))
       .orderBy(col("src"), col("rank"))
   }
@@ -476,20 +490,25 @@ object PipelineQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
     "vpe_similar_topk" ->
-      """WITH q AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
-        |      z -> z[1] * z[2])) AS BIGINT) AS score
-        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
-        |ranked AS (
-        |  SELECT src, dst, score,
-        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
-        |  FROM pairs)
-        |SELECT src, rank, dst, score FROM ranked WHERE rank <= 3
-        |ORDER BY src, rank""".stripMargin,
+      s"""WITH q AS (SELECT vec_id, label, ${SimilaritySql.quantizeSql} AS qv
+         |  FROM embeddings),
+         |${SimilaritySql.bandedCandCtes("q", Seq("label"))},
+         |pairs AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM cand
+         |  JOIN q qa ON qa.vec_id = cand.id_a
+         |  JOIN q qb ON qb.vec_id = cand.id_b),
+         |directed AS (
+         |  SELECT id_a AS src, id_b AS dst, score FROM pairs
+         |  UNION ALL SELECT id_b, id_a, score FROM pairs),
+         |ranked AS (
+         |  SELECT src, dst, score,
+         |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+         |  FROM directed)
+         |SELECT src, rank, dst, score FROM ranked WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
     "vpe_routing" ->
       """WITH env AS (
         |  SELECT event_id,

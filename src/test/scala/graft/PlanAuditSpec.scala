@@ -63,6 +63,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(agg >= 2, s"partial+final aggregate pair expected, saw $agg")
   }
 
+  test("similarity pair joins never key on bare label (unbounded bucket)") {
+    // A label group has no population bound, so a pair join keyed on
+    // label alone is a quadratic block at corpus scale. Every equi-join
+    // that involves `label` must carry at least one more key (the LSH
+    // band columns).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    for (name <- Seq("dedup_embed_neardup", "vpe_similar_topk")) {
+      val joins = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, s"$name: expected at least one equi-join")
+      for (j <- joins) {
+        val keyNames = j.leftKeys.flatMap(_.references.map(_.name))
+        assert(!(keyNames.contains("label") && j.leftKeys.size == 1),
+          s"$name: pair join keyed on bare label: ${j.leftKeys}")
+      }
+    }
+  }
+
   test("dedup/minhash path runs on native kernels, not interpreted HOFs") {
     val p = plan("dedup_neardup_pairs")
     assert(p.contains("shingle_hash32"))
