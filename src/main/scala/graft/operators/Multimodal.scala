@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   * `alg/pedestrian/attr/BatchRecognizer.java:28-37` →
   * `DeepMARCaffe2Native.java:217-238` reused buffers).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — behind [[decodeStub]], a deterministic fake with the
-  * real decode signature. The Spark-side plumbing (schema, batching
-  * shape, partitioning, null passthrough) is real and tested,
-  * including the reference's batch ≡ single invariant
-  * (`RecognizerTest.java:158-173`).
+  * The image codec is REAL for PNG/JPEG via `javax.imageio` (ships in
+  * the JDK — the analog of the reference's imencode/imdecode path,
+  * `HadoopHelper.java:262-268`): payloads carrying a PNG/JPEG magic
+  * decode to packed RGB pixels; anything else falls back to
+  * [[decodeStub]], a deterministic fake with the real decode
+  * signature (video/audio codecs are not in this container). The
+  * Spark-side plumbing (schema, batching shape, partitioning, null
+  * passthrough) is real and tested, including the reference's
+  * batch ≡ single invariant (`RecognizerTest.java:158-173`).
   */
 object Multimodal {
 
@@ -43,10 +46,75 @@ object Multimodal {
     }
   }
 
+  /** Magic-byte format sniff. Only payloads carrying a real PNG/JPEG
+    * signature go to the ImageIO decoder — a pipeline over mixed blobs
+    * must dispatch on content, not extension, and the magic check also
+    * keeps non-image payloads (e.g. UTF-8 text, which can never start
+    * with 0x89 or 0xFF) on the deterministic stub path. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes == null || bytes.length < 4) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff) Some("jpeg")
+    else None
+
+  /** REAL image decode via `javax.imageio` — payload bytes → (width,
+    * height, packed row-major RGB bytes). None when no installed reader
+    * understands the payload. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        out(i * 3) = ((p >> 16) & 0xff).toByte
+        out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+        out(i * 3 + 2) = (p & 0xff).toByte
+        i += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** REAL image encode via `javax.imageio`: packed row-major RGB bytes
+    * → "png" (lossless) or "jpeg" (lossy) payload. */
+  def encodeImage(pixels: Array[Byte], w: Int, h: Int, format: String): Array[Byte] = {
+    require(pixels.length == w * h * 3,
+      s"pixel buffer ${pixels.length} != $w*$h*3")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((pixels(i * 3) & 0xff) << 16) |
+        ((pixels(i * 3 + 1) & 0xff) << 8) | (pixels(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Real-or-stub decode dispatch: PNG/JPEG payloads through ImageIO,
+    * everything else through the deterministic stub. */
+  def decodeAuto(bytes: Array[Byte]): BlobMeta =
+    sniffFormat(bytes).flatMap { fmt =>
+      decodeImage(bytes).map { case (w, h, _) => BlobMeta(w, h, 3, fmt) }
+    }.getOrElse(decodeStub(bytes))
+
   /** Batched decode over a binary column: processes partitions in
     * fixed-size batches (amortizing per-batch model setup, like the
     * reference's BatchRecognizer), emits input columns + decoded meta
-    * struct. Null/empty payloads pass through with the sentinel meta. */
+    * struct. PNG/JPEG payloads decode for real ([[decodeAuto]]);
+    * null/empty payloads pass through with the sentinel meta. */
   def decodeMeta(df: DataFrame, blobCol: String,
                  batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
@@ -56,8 +124,36 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // a real decoder would process `batch` in one native call
         batch.map { r =>
-          val m = decodeStub(r.getAs[Array[Byte]](blobIdx))
+          val m = decodeAuto(r.getAs[Array[Byte]](blobIdx))
           Row.fromSeq(r.toSeq :+ Row(m.width, m.height, m.channels, m.format))
+        }
+      }
+    }(enc)
+  }
+
+  /** Batched REAL pixel decode over a binary column: emits input
+    * columns + (width, height, pixels) with pixels = packed row-major
+    * RGB. Payloads without an ImageIO signature yield null pixels and
+    * the stub dims (mixed-blob pipelines keep their rows). */
+  def decodePixels(df: DataFrame, blobCol: String,
+                   batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("pixels", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](blobIdx)
+          val decoded = sniffFormat(bytes).flatMap(_ => decodeImage(bytes))
+          val tail = decoded match {
+            case Some((w, h, px)) => Seq(w, h, px)
+            case None =>
+              val m = decodeStub(bytes)
+              Seq(m.width, m.height, null)
+          }
+          Row.fromSeq(r.toSeq ++ tail)
         }
       }
     }(enc)

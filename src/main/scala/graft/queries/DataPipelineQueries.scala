@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
 import graft.Tables
 import graft.functions.HashFunctions
 import graft.operators._
@@ -320,6 +321,34 @@ object DataPipelineQueries {
       .orderBy(col("src"))
   }
 
+  /** multimodal_codec: the REAL image codec end-to-end through
+    * `javax.imageio` (reference imencode/imdecode,
+    * `HadoopHelper.java:262-268`): a deterministic RGB pattern per doc
+    * → PNG encode → batched [[Multimodal.decodePixels]] decode → dims
+    * + pixel digest. PNG is lossless, so the decoded bytes equal the
+    * generated pattern, which the oracle recomputes arithmetically —
+    * the digest hash-matching proves the codec round-trip is
+    * bit-exact, not stubbed. (JPEG, being lossy, is covered by specs:
+    * dims, determinism, batch ≡ single.) */
+  private val multimodal_codec: Q = (s, d) => {
+    val W = 12; val H = 8
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("img", BinaryType))))
+    val encoded = Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = Array.tabulate[Byte](W * H * 3)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          Row(id, Multimodal.encodeImage(px, W, H, "png"))
+        }
+      }(enc)
+    Multimodal.decodePixels(encoded, "img")
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(lower(hex(col("pixels"))).cast("binary")).as("pixel_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ann_ivf_topk: IVF-style ANN (the brief's second scale path):
     * deterministic coarse centroids → exact-L2 cell assignment →
     * probe search restricted to nProbe nearest cells. */
@@ -371,7 +400,8 @@ object DataPipelineQueries {
     "ann_cosine_topk" -> ann_cosine_topk,
     "ann_lsh_bucket" -> ann_lsh_bucket,
     "ann_lsh_topk" -> ann_lsh_topk,
-    "multimodal_meta" -> multimodal_meta)
+    "multimodal_meta" -> multimodal_meta,
+    "multimodal_codec" -> multimodal_codec)
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -734,6 +764,15 @@ object DataPipelineQueries {
          |  FROM pairs)
          |SELECT src, rank, dst, score FROM ranked WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+    "multimodal_codec" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, i.i,
+        |    lower(lpad(to_hex((d.doc_id * 31 + i.i * 7) % 256), 2, '0')) AS hx
+        |  FROM documents d, (SELECT unnest(range(0, 288)) AS i) i)
+        |SELECT doc_id, CAST(12 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  md5(string_agg(hx, '' ORDER BY i)) AS pixel_md5
+        |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

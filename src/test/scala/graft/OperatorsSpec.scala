@@ -133,6 +133,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("c") == ((2, 2, None))) // null patch untouched
   }
 
+  test("image codec: PNG lossless round-trip, JPEG real decode, sniff fallback") {
+    import graft.operators.Multimodal
+    val (w, h) = (13, 7) // non-square, catches transposed dims
+    val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) % 256).toByte)
+    // PNG is lossless: decode(encode(px)) == px exactly
+    val png = Multimodal.encodeImage(px, w, h, "png")
+    assert(Multimodal.sniffFormat(png).contains("png"))
+    val Some((pw, ph, ppx)) = Multimodal.decodeImage(png)
+    assert((pw, ph) == ((w, h)))
+    assert(ppx.toSeq == px.toSeq)
+    // JPEG is lossy but REAL: dims exact, decode deterministic,
+    // payload is a genuine JFIF stream
+    val jpg = Multimodal.encodeImage(px, w, h, "jpeg")
+    assert(Multimodal.sniffFormat(jpg).contains("jpeg"))
+    val Some((jw, jh, jpx1)) = Multimodal.decodeImage(jpg)
+    val Some((_, _, jpx2)) = Multimodal.decodeImage(jpg)
+    assert((jw, jh) == ((w, h)))
+    assert(jpx1.toSeq == jpx2.toSeq, "decode must be deterministic")
+    assert(jpx1.length == w * h * 3)
+    // non-image payloads (UTF-8 text can't start with 0x89/0xFF) fall
+    // back to the stub — mixed-blob pipelines keep every row
+    assert(Multimodal.sniffFormat("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAuto("plain text".getBytes("UTF-8")).format == "fakeimg")
+    assert(Multimodal.decodeAuto(jpg).format == "jpeg")
+  }
+
+  test("decodePixels: batch equals single, mixed blobs keep rows") {
+    import graft.operators.Multimodal
+    val px = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 7).toByte)
+    val jpg = Multimodal.encodeImage(px, 4, 3, "jpeg")
+    val png = Multimodal.encodeImage(px, 4, 3, "png")
+    val rows = Seq(("j", jpg), ("p", png), ("t", "not an image".getBytes("UTF-8")))
+    def run(batchSize: Int) =
+      Multimodal.decodePixels(rows.toDF("id", "blob"), "blob", batchSize)
+        .collect().map(r => r.getString(0) ->
+          ((r.getInt(2), r.getInt(3),
+            Option(r.getAs[Array[Byte]]("pixels")).map(_.toSeq)))).toMap
+    val one = run(1) // every row its own batch
+    val all = run(64) // one batch
+    assert(one == all, "batch size must not change results")
+    assert(one("p") == ((4, 3, Some(px.toSeq)))) // lossless round-trip
+    assert(one("j")._1 == 4 && one("j")._2 == 3 && one("j")._3.isDefined)
+    assert(one("t")._3.isEmpty, "non-image payload: stub dims, null pixels")
+  }
+
   test("kmeansQuantized matches a driver-side Lloyd model (truncating division)") {
     // 1-d points quantized; seeds 0 -> [0], 1 -> [100]
     val pts = Seq(0L -> 0L, 1L -> 100L, 2L -> 10L, 3L -> 12L,
