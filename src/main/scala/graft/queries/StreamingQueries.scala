@@ -43,7 +43,10 @@ object StreamingQueries {
 
   /** stream_completion: flatMapGroupsWithState completion counter
     * (SURVEY A3/K4) — a "pack job" fires exactly once per video when
-    * all 5 expected per-type tracklets have been saved. */
+    * all 5 expected per-type tracklets have been saved. Runs the
+    * TTL-bounded production form (event-time timeout): the single-batch
+    * result is identical (no watermark has passed yet), and the
+    * demonstrated plan is the one whose state store stays bounded. */
   private val stream_completion: Q = (s, d) => {
     import s.implicits._
     val ev = StreamingOps.eventsStream(s, d)
@@ -54,9 +57,11 @@ object StreamingQueries {
         .when(col("event_type") === "signup", 2)
         .when(col("event_type") === "view", 3)
         .otherwise(4).as("serial"),
-      lit(5).as("num_tracklets"))
-      .as[CompletionCounter.SaveEvent]
-    val jobs = CompletionCounter.completionJobs(saves).toDF()
+      lit(5).as("num_tracklets"),
+      col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[CompletionCounter.SaveEventTs]
+    val jobs = CompletionCounter.completionJobsTtl(saves).toDF()
       .select(col("task_id"), col("n_saved").cast("long").as("n_saved"))
     StreamingOps.runToMemory(s, jobs, "graft_stream_completion", "append")
       .orderBy(col("task_id"))

@@ -91,12 +91,15 @@ object CompactionJob {
     * the driver is bounded by task arrival rate, not data volume —
     * exactly the reference's queue shape. Compaction itself is
     * idempotent, which is what makes foreachBatch's at-least-once
-    * delivery exactly-once in effect. Caller stops the returned query. */
-  def startStream(saves: org.apache.spark.sql.Dataset[graft.streaming.CompletionCounter.SaveEvent],
+    * delivery exactly-once in effect (and what makes a TTL-expired task
+    * re-firing after a very late save harmless). Caller stops the
+    * returned query. Input carries event time + watermark so the
+    * counter's state store stays TTL-bounded. */
+  def startStream(saves: org.apache.spark.sql.Dataset[graft.streaming.CompletionCounter.SaveEventTs],
                   store: TrackletStore, graph: GraphStore,
                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = saves.sparkSession
-    graft.streaming.CompletionCounter.completionJobs(saves)
+    graft.streaming.CompletionCounter.completionJobsTtl(saves)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -92,6 +92,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("completion counter TTL: abandoned state expires, late save re-opens cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    val savesIn = MemoryStream[(String, Int, Int, Timestamp)]
+    val saves = savesIn.toDF().toDF("task_id", "serial", "num_tracklets", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[CompletionCounter.SaveEventTs]
+    // 1-minute event-time TTL: expiry driven by the watermark, so the
+    // test is deterministic (no wall-clock sleeps)
+    val jobs = CompletionCounter.completionJobsTtl(saves, stateTtlMs = 60_000L).toDF()
+
+    val q = jobs.writeStream.format("memory")
+      .queryName("completion_ttl_test").outputMode("append").start()
+    try {
+      // task A saves 1 of 2 serials at 10:00, then goes silent
+      savesIn.addData(("A", 0, 2, ts(0)))
+      q.processAllAvailable()
+      // unrelated traffic carries the watermark past 10:01 = A's last
+      // activity + TTL (two batches: one to advance the wm, one to run
+      // with it), expiring A's state
+      savesIn.addData(("B", 0, 9, ts(5)))
+      q.processAllAvailable()
+      savesIn.addData(("B", 1, 9, ts(6)))
+      q.processAllAvailable()
+      assert(spark.table("completion_ttl_test").count() == 0)
+
+      // A's second serial arrives AFTER expiry: had the state survived,
+      // {0,1} would complete the pair and fire — expired state means the
+      // task re-opens with only {1}, still incomplete
+      savesIn.addData(("A", 1, 2, ts(7)))
+      q.processAllAvailable()
+      assert(spark.table("completion_ttl_test").count() == 0)
+
+      // the missing serial re-sent within the TTL: the re-opened task
+      // completes and fires exactly once
+      savesIn.addData(("A", 0, 2, ts(8)))
+      q.processAllAvailable()
+      val rows = spark.table("completion_ttl_test").collect()
+      assert(rows.length == 1 && rows.head.getAs[String]("task_id") == "A")
+      assert(rows.head.getAs[Int]("n_saved") == 2)
+    } finally q.stop()
+  }
+
   test("streaming compaction loop: saves stream -> pack -> repoint, end to end") {
     import graft.storage.{CompactionJob, GraphStore, TrackletStore}
     implicit val sqlCtx = spark.sqlContext
@@ -100,20 +142,21 @@ class StreamingSpec extends AnyFunSuite {
     val graph = new GraphStore(spark, base.resolve("graph").toString)
     graph.upsertPersons(Seq(("A", "raw/A"), ("B", "raw/B")).toDF("id", "path"))
 
-    val savesIn = MemoryStream[(String, Int, Int)]
-    val saves = savesIn.toDF().toDF("task_id", "serial", "num_tracklets")
-      .as[CompletionCounter.SaveEvent]
+    val savesIn = MemoryStream[(String, Int, Int, Timestamp)]
+    val saves = savesIn.toDF().toDF("task_id", "serial", "num_tracklets", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[CompletionCounter.SaveEventTs]
     val q = CompactionJob.startStream(saves, store, graph,
       base.resolve("ckpt").toString)
     try {
       // the data-plane saves land in the store; the control-plane save
       // events drive the counter (reference: saving stream + queue)
       store.save(Seq(("A", 0, 10), ("A", 1, 11)).toDF("task_id", "serial", "start_frame"))
-      savesIn.addData(("A", 0, 2))
+      savesIn.addData(("A", 0, 2, ts(0)))
       q.processAllAvailable()
       assert(!store.isPacked("A")) // incomplete -> no compaction yet
 
-      savesIn.addData(("A", 1, 2), ("B", 0, 2))
+      savesIn.addData(("A", 1, 2, ts(1)), ("B", 0, 2, ts(1)))
       q.processAllAvailable()
       assert(store.isPacked("A")) // A complete -> packed in this batch
       assert(!store.isPacked("B")) // B still incomplete
@@ -122,7 +165,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(graph.getPerson("B").head().getAs[String]("path") == "raw/B")
 
       // replays after completion must not disturb the packed task
-      savesIn.addData(("A", 1, 2))
+      savesIn.addData(("A", 1, 2, ts(2)))
       q.processAllAvailable()
       assert(store.readTask("A").count() == 2)
     } finally q.stop()
