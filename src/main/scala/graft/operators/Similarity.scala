@@ -199,6 +199,23 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("candidate_id"), col("score"))
   }
 
+  /** Bucket-width sizing rule for hyperplane LSH: the smallest nBits
+    * whose 2^nBits buckets hold an EXPECTED population of at most
+    * `targetBucketPop` (uniform spread), floored at minBits. The width
+    * must come from the corpus count, not a constant: a fixed 8-bit
+    * bucket means per-bucket population — and so the per-bucket
+    * pair-join cost — grows linearly with the corpus. ~64 rows/bucket
+    * keeps the in-bucket exact re-rank cheap (64² = 4k dot products)
+    * while leaving buckets dense enough for recall. */
+  def deriveNBits(corpusSize: Long, targetBucketPop: Int = 64,
+                  minBits: Int = 8, maxBits: Int = 30): Int = {
+    require(corpusSize >= 0 && targetBucketPop > 0 && minBits >= 1 &&
+      maxBits >= minBits, "invalid LSH sizing parameters")
+    val needed = math.ceil(math.log(
+      math.max(1.0, corpusSize.toDouble / targetBucketPop)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Equal-width bit bands of an LSH bucket id: nBands values of
     * bitsPerBand bits each. Banding turns one exact nBits bucket into
     * nBands OR'd match keys (any shared band ⇒ candidate) — higher

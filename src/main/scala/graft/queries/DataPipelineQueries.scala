@@ -257,13 +257,20 @@ object DataPipelineQueries {
 
   /** ann_lsh_topk: top-3 neighbors by exact quantized dot product
     * within each LSH bucket — join keyed on the bucket, never all
-    * pairs. */
+    * pairs. Bucket width follows [[Similarity.deriveNBits]] (expected
+    * ≤64 rows/bucket): the corpus count, not a constant, sizes the
+    * bucket space, so the same query stays bounded at 100× — at every
+    * shipped SF (≤5k vectors) the rule yields the 8 bits the static
+    * oracle encodes; past 16k vectors the plan widens automatically
+    * (the count is one control-plane scalar off the cached frame). */
   private val ann_lsh_topk: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d).select(
+    val emb0 = Tables.embeddings(s, d).select(
       col("vec_id"),
       Similarity.quantize(col("embedding")).as("qv"))
       .cache()
-      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+    val nBits = Similarity.deriveNBits(emb0.count())
+    val emb = emb0
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, nBits))
     val a = emb.select(col("bucket"), col("vec_id").as("src"), col("qv").as("qa"))
     val b = emb.select(col("bucket"), col("vec_id").as("dst"), col("qv").as("qb"))
     val pairs = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))

@@ -133,6 +133,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("c") == ((2, 2, None))) // null patch untouched
   }
 
+  test("deriveNBits sizes the LSH bucket space from the corpus count") {
+    import graft.operators.Similarity.deriveNBits
+    // shipped SFs (50 / 500 / 5000 vectors) all sit on the 8-bit floor,
+    // which is what the static oracles encode
+    assert(deriveNBits(50) == 8 && deriveNBits(500) == 8 && deriveNBits(5000) == 8)
+    // past 64 * 2^8 = 16384 rows the width must grow with the corpus
+    assert(deriveNBits(16384) == 8)
+    assert(deriveNBits(16385) == 9)
+    assert(deriveNBits(1000000) == 14) // 1e6/64 = 15625 -> 2^14 buckets
+    assert(deriveNBits(1000000000L) == 24) // 1e9/64 ~ 15.6M -> 2^24
+    // expected population never exceeds the target (above the floor)
+    for (n <- Seq(20000L, 300000L, 7000000L, 123456789L)) {
+      val bits = deriveNBits(n)
+      assert(n.toDouble / (1L << bits) <= 64.0, s"n=$n bits=$bits")
+    }
+    assert(deriveNBits(Long.MaxValue) == 30) // capped at maxBits
+  }
+
   test("image codec: PNG lossless round-trip, JPEG real decode, sniff fallback") {
     import graft.operators.Multimodal
     val (w, h) = (13, 7) // non-square, catches transposed dims
