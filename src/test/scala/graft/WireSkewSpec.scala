@@ -65,6 +65,47 @@ class WireSkewSpec extends AnyFunSuite {
     assert(decoded(0).getAs[String]("payload_json") == """{"n":1}""")
   }
 
+  test("kafka codec matches the connector's exact source/sink schemas") {
+    // The spark-sql-kafka jar cannot ship in this zero-egress build
+    // (not in /opt/spark/jars, not in the offline dep cache), so the
+    // contract is pinned structurally instead: decodeEnvelope must
+    // accept EXACTLY the record shape the connector's source emits,
+    // and encodeEnvelope must emit only columns/types its sink accepts.
+    import graft.streaming.KafkaEdge
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+
+    // source schema per the Structured Streaming + Kafka integration
+    // guide: key/value BINARY, topic STRING, partition INT, offset
+    // LONG, timestamp TIMESTAMP, timestampType INT
+    val kafkaSourceSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    val json =
+      """{"task_id":"t9","dest_ports":["save"],"executed":[],
+        |"payload_url":null,"payload_json":"{\"n\":9}"}""".stripMargin.replace("\n", "")
+    val records = spark.createDataFrame(
+      java.util.List.of(Row("t9".getBytes("UTF-8"), json.getBytes("UTF-8"),
+        "pedestrian-tracking", 0, 17L,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 0)),
+      kafkaSourceSchema)
+    val decoded = KafkaEdge.decodeEnvelope(records).collect()
+    assert(decoded.length == 1)
+    assert(decoded(0).getAs[String]("task_id") == "t9")
+    assert(decoded(0).getAs[String]("topic") == "pedestrian-tracking")
+    assert(decoded(0).getAs[String]("payload_json") == """{"n":9}""")
+
+    // sink accepts: topic STRING (optional if set via option), key
+    // BINARY-or-STRING, value BINARY-or-STRING — nothing else required
+    val env = Seq(("t9", Seq("save"), Seq.empty[String], null: String, "{}"))
+      .toDF("task_id", "dest_ports", "executed", "payload_url", "payload_json")
+    val out = KafkaEdge.encodeEnvelope(env, lit("save"))
+    assert(out.schema.fields.map(f => f.name -> f.dataType).toSeq == Seq(
+      "topic" -> StringType, "key" -> BinaryType, "value" -> BinaryType))
+  }
+
   test("salted count equals plain count under extreme key skew") {
     val skewed = spark.range(100000).select(
       when($"id" % 100 === 0, lit("cold" + ($"id" % 7)))
