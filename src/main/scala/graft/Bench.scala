@@ -48,16 +48,20 @@ object Bench {
     // across thousands of executions, so `queries`/`value` report
     // steady-state; `cold_total` keeps the first-run total transparent.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> runToNoop(n)).toMap
+    val cold = names.map(n => n -> runToNoop(n))
     val warm = names.map(n => n -> runToNoop(n))
     val qs = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query cold times too: attributing a cold_total movement needs
+    // per-query evidence, not a single sum
+    val cqs = cold.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = warm.map(_._2).sum
-    val coldTotal = cold.values.sum
+    val coldTotal = cold.map(_._2).sum
     // failed queries are listed explicitly — a crashing query must not
     // masquerade as a fast success in the totals
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":$qs,"cold_queries":$cqs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -139,30 +139,46 @@ object Dedup {
 
   /** Connected components over an undirected edge list — the dedup
     * CLUSTERING step: near-dup pairs → canonical document groups (keep
-    * one doc per component). Min-label propagation: every vertex
-    * starts as its own label; each round adopts the minimum label in
-    * its neighborhood; stop when a round changes nothing.
+    * one doc per component). Min-label propagation with POINTER
+    * JUMPING: every vertex starts as its own label; each round adopts
+    * the minimum label in its neighborhood, then jumps once through
+    * the label table (l(v) ← l(l(v))); stop when a round changes
+    * nothing. The jump halves the remaining distance to the component
+    * min each round, so rounds ≈ O(log diameter) instead of
+    * O(diameter) — the difference between 5 and 30+ rounds on an
+    * adversarial chain-shaped duplicate cluster (labels are always
+    * vertex ids from the same component, so jumping never crosses
+    * components and every step is monotone non-increasing:
+    * correctness is unchanged, only convergence accelerates).
     *
     * Scale shape: each round is one shuffle join (labels ⋈ edges) +
-    * one min-aggregation, and rounds needed = component diameter —
-    * near-dup clusters are tiny (pairs/triples), so this converges in
-    * 2-3 rounds regardless of corpus size. Rounds are cached (cheap);
-    * every 5th round the labels are `localCheckpoint`ed: the plan
-    * references the previous round TWICE (join side + neighbor-min
-    * side), so without periodic lineage TRUNCATION the logical plan
-    * doubles per round — 2^rounds nodes — and anything that walks the
-    * tree (planning, explain, the count below) blows up long before
-    * the data does (measured: a 25-round chain took minutes in
-    * generateTreeString alone). The per-round convergence count is one
-    * scalar action, the classic iterative-on-Spark shape (same as
-    * GraphX/Pregel, which checkpoints for the same reason).
+    * one min-aggregation + one self-join (the jump). Near-dup
+    * clusters are tiny (pairs/triples), so this converges in 2-3
+    * rounds regardless of corpus size. Rounds are cached (cheap);
+    * every 3rd round the labels are `localCheckpoint`ed: the plan
+    * references the previous round several times (join side,
+    * neighbor-min side, jump LUT), so without periodic lineage
+    * TRUNCATION the logical plan grows geometrically — anything that
+    * walks the tree (planning, explain, the count below) blows up
+    * long before the data does (measured: a 25-round chain took
+    * minutes in generateTreeString alone). The per-round convergence
+    * count is one scalar action, the classic iterative-on-Spark shape
+    * (same as GraphX/Pregel, which checkpoints for the same reason).
     *
     * Input: vertices (idCol) + edges (id_a, id_b). Output: (idCol,
     * cluster_id) with cluster_id = min id in the component. THROWS if
     * maxIter rounds don't reach the fixpoint (a silent partial result
     * would mislabel clusters). */
   def connectedComponents(vertices: DataFrame, idCol: String,
-                          edges: DataFrame, maxIter: Int = 20): DataFrame = {
+                          edges: DataFrame, maxIter: Int = 20,
+                          jump: Boolean = true): DataFrame =
+    ccRounds(vertices, idCol, edges, maxIter, jump)._1
+
+  /** [[connectedComponents]] + the number of rounds it took (the spec
+    * surface for the pointer-jump acceleration claim). */
+  private[graft] def ccRounds(vertices: DataFrame, idCol: String,
+                              edges: DataFrame, maxIter: Int,
+                              jump: Boolean): (DataFrame, Int) = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -175,10 +191,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("changed"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val jumped =
+        if (!jump) stepped
+        else {
+          // l(v) <- min(l(v), l(l(v))): route each label through the
+          // label table itself (every label IS a vertex id, so the
+          // lookup stays inside the component)
+          val lut = stepped.select(col("id").as("label"), col("label").as("jlabel"))
+          stepped.join(lut, Seq("label"), "left")
+            .select(col("id"), col("prev"),
+              least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+        }
+      val next = jumped
+        .select(col("id"), col("label"), (col("label") < col("prev")).as("changed"))
         .cache()
       // full count (not limit 1): materializes every partition of
       // `next` into its cache BEFORE the previous round is unpersisted
@@ -187,13 +215,13 @@ object Dedup {
       labels = next.drop("changed")
       pinned = next
       iter += 1
-      if (!converged && iter % 5 == 0) {
-        labels = labels.localCheckpoint(true) // bound plan growth at 2^5
+      if (!converged && iter % 3 == 0) {
+        labels = labels.localCheckpoint(true) // bound plan growth
         pinned.unpersist()
         pinned = labels // NOTE: unpersist() is a no-op on a checkpointed
         // frame (LogicalRDD is not in the CacheManager) — its blocks are
         // reclaimed by the ContextCleaner once the round goes
-        // unreachable, i.e. one extra label-table generation per 5
+        // unreachable, i.e. one extra label-table generation per 3
         // rounds may linger until driver GC; typical 2-3 round runs
         // never checkpoint at all
       }
@@ -204,6 +232,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it rather than " +
           "accept silently mislabeled clusters")
-    labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "cluster_id")
+    (labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "cluster_id"),
+      iter)
   }
 }

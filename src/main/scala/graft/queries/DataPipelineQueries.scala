@@ -341,7 +341,10 @@ object DataPipelineQueries {
     val W = 12; val H = 8
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("img", BinaryType))))
+    // spread the per-row codec work across cores: the documents table
+    // is one parquet split at test SF, which would serialize ImageIO
     val encoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

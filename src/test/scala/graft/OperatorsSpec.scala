@@ -234,6 +234,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("pointer jumping: same labels as plain min-label, far fewer rounds on chains") {
+    // chain of 17: plain min-label needs diameter rounds; the jump
+    // halves the remaining distance each round
+    val verts = (1L to 17L).toDF("doc_id")
+    val edges = (1L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (outJ, rJ) = Dedup.ccRounds(verts, "doc_id", edges, 40, jump = true)
+    val (outP, rP) = Dedup.ccRounds(verts, "doc_id", edges, 40, jump = false)
+    assert(outJ.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
+      outP.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
+    assert(rJ * 2 < rP, s"jump took $rJ rounds vs plain $rP — expected < half")
+
+    // equivalence on a branchier fixture (two components + singleton)
+    val v2 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("doc_id")
+    val e2 = Seq((5L, 3L), (3L, 8L), (8L, 1L), (2L, 6L), (4L, 2L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(v2, "doc_id", e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 8L -> 1L,
+      2L -> 2L, 4L -> 2L, 6L -> 2L, 7L -> 7L))
+  }
+
   test("bpeTokenCount matches hand-tokenized examples") {
     val cases = Seq(
       "don't 123 abc!?", // don | 't | " 123" | " abc" | "!?"     -> 5
