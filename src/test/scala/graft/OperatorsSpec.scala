@@ -239,8 +239,8 @@ class OperatorsSpec extends AnyFunSuite {
     // halves the remaining distance each round
     val verts = (1L to 17L).toDF("doc_id")
     val edges = (1L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (outJ, rJ) = Dedup.ccRounds(verts, "doc_id", edges, 40, jump = true)
-    val (outP, rP) = Dedup.ccRounds(verts, "doc_id", edges, 40, jump = false)
+    val (outJ, rJ) = Dedup.ccRounds(verts, "doc_id", edges, 40, jumpAfter = 0)
+    val (outP, rP) = Dedup.ccRounds(verts, "doc_id", edges, 40, jumpAfter = 40)
     assert(outJ.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
       outP.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
     assert(rJ * 2 < rP, s"jump took $rJ rounds vs plain $rP — expected < half")
