@@ -359,6 +359,56 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** multimodal_train_tensor: the full multimodal TRAINING-DATA stack
+    * end-to-end — deterministic RGB pattern → PNG encode → REAL ImageIO
+    * decode → REAL nearest-neighbor resize (12×8 → 5×3: non-divisible
+    * ratios, so the oracle must reproduce the exact integer index
+    * arithmetic sy = y·srcH/dstH) → DeepMAR preprocess ((p−128)/256,
+    * F7) folded to integer-exact per-image stats. The oracle recomputes
+    * every stage arithmetically; the hash match proves codec, resize
+    * indexing, and preprocess are bit-faithful through the whole
+    * batched mapPartitions chain. */
+  private val multimodal_train_tensor: Q = (s, d) => {
+    val W = 12; val H = 8; val TW = 5; val TH = 3
+    val n = TW * TH * 3
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("img", BinaryType))))
+    val encoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = Array.tabulate[Byte](W * H * 3)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          Row(id, Multimodal.encodeImage(px, W, H, "png"))
+        }
+      }(enc)
+    val decoded = Multimodal.decodePixels(encoded, "img").drop("img")
+    val resized = Multimodal.resizePatches(decoded, "width", "height", "pixels",
+      targetW = TW, targetH = TH)
+    val statsEnc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("t_width", IntegerType), StructField("t_height", IntegerType),
+      StructField("px_sum", LongType), StructField("pre_mean_bp", LongType))))
+    val idIdx = resized.schema.fieldIndex("doc_id")
+    val wIdx = resized.schema.fieldIndex("width")
+    val hIdx = resized.schema.fieldIndex("height")
+    val pIdx = resized.schema.fieldIndex("pixels")
+    resized.mapPartitions { rows =>
+      rows.map { r =>
+        val px = r.getAs[Array[Byte]](pIdx)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+        // DeepMAR preprocess mean in integer basis points: mean of
+        // (p-128)/256 — truncating division, the cross-engine form
+        val preMeanBp = (sum * 10000L / n - 1280000L) / 256L
+        Row(r.getLong(idIdx), r.getInt(wIdx), r.getInt(hIdx), sum, preMeanBp)
+      }
+    }(statsEnc)
+      .orderBy(col("doc_id"))
+  }
+
   /** ann_ivf_topk: IVF-style ANN (the brief's second scale path):
     * deterministic coarse centroids → exact-L2 cell assignment →
     * probe search restricted to nProbe nearest cells. */
@@ -411,7 +461,8 @@ object DataPipelineQueries {
     "ann_lsh_bucket" -> ann_lsh_bucket,
     "ann_lsh_topk" -> ann_lsh_topk,
     "multimodal_meta" -> multimodal_meta,
-    "multimodal_codec" -> multimodal_codec)
+    "multimodal_codec" -> multimodal_codec,
+    "multimodal_train_tensor" -> multimodal_train_tensor)
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -782,6 +833,25 @@ object DataPipelineQueries {
         |SELECT doc_id, CAST(12 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
         |  md5(string_agg(hx, '' ORDER BY i)) AS pixel_md5
         |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_train_tensor" ->
+      // Arithmetic twin of the codec→resize→preprocess chain: target
+      // index i → (y, x, c) → nearest source index via the SAME
+      // truncating divisions resizeNearest uses → pattern byte value.
+      // 12×8 → 5×3, so sy = y*8//3 and sx = x*12//5 are non-trivial.
+      """WITH t AS (
+        |  SELECT d.doc_id, i.i,
+        |    (i.i // 15) AS y, ((i.i % 15) // 3) AS x, (i.i % 3) AS c
+        |  FROM documents d, (SELECT unnest(range(0, 45)) AS i) i),
+        |v AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 + (((y * 8 // 3) * 12 + (x * 12 // 5)) * 3 + c) * 7) % 256 AS pv
+        |  FROM t),
+        |agg AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS px_sum FROM v GROUP BY doc_id)
+        |SELECT doc_id, CAST(5 AS INTEGER) AS t_width, CAST(3 AS INTEGER) AS t_height,
+        |  px_sum,
+        |  CAST((px_sum * 10000 // 45 - 1280000) // 256 AS BIGINT) AS pre_mean_bp
+        |FROM agg
         |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
