@@ -200,23 +200,28 @@ object Dedup {
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val jumped =
-        if (iter < jumpAfter) stepped
-        else {
+      // in jump rounds `stepped` feeds BOTH the main branch and the lut,
+      // and the two branches partition on different keys (label vs id),
+      // so without caching the expensive join+agg subtree runs twice
+      val steppedPinned = if (iter < jumpAfter) None else Some(stepped.cache())
+      val jumped = steppedPinned match {
+        case None => stepped
+        case Some(st) =>
           // l(v) <- min(l(v), l(l(v))): route each label through the
           // label table itself (every label IS a vertex id, so the
           // lookup stays inside the component)
-          val lut = stepped.select(col("id").as("label"), col("label").as("jlabel"))
-          stepped.join(lut, Seq("label"), "left")
+          val lut = st.select(col("id").as("label"), col("label").as("jlabel"))
+          st.join(lut, Seq("label"), "left")
             .select(col("id"), col("prev"),
               least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
-        }
+      }
       val next = jumped
         .select(col("id"), col("label"), (col("label") < col("prev")).as("changed"))
         .cache()
       // full count (not limit 1): materializes every partition of
       // `next` into its cache BEFORE the previous round is unpersisted
       converged = next.filter(col("changed")).count() == 0
+      steppedPinned.foreach(_.unpersist())
       pinned.unpersist()
       labels = next.drop("changed")
       pinned = next

@@ -163,8 +163,13 @@ object ExternComparer {
       if (it.isEmpty) Iterator.empty
       else {
         val socket = new Socket(host, port)
-        socket.setTcpNoDelay(true)
         val tc = org.apache.spark.TaskContext.get()
+        // register BEFORE any call that can throw (stream setup, reader
+        // start): a failure in that window must not leak the fd. Closing
+        // the socket also unblocks the listener thread (blocking read
+        // throws), so this one hook releases everything on the task path.
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => socket.close())
+        socket.setTcpNoDelay(true)
         val out = new BufferedOutputStream(socket.getOutputStream)
         val in = socket.getInputStream
         // Responses drain on a dedicated listener thread (the
@@ -179,12 +184,11 @@ object ExternComparer {
         }, "extern-comparer-listener")
         reader.setDaemon(true)
         reader.start()
-        // closing the socket also unblocks the listener thread (its
-        // blocking read throws), so one close releases both resources
+        // non-task (driver/test) path cleanup: close + belt-and-braces
+        // interrupt of the listener thread
         def closeAll(): Unit = {
           try socket.close() finally reader.interrupt()
         }
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         val pending = scala.collection.mutable.HashMap.empty[(Long, Long), String]
         var counter = 0L
         def sendOne(): Unit = {

@@ -61,9 +61,14 @@ object Multimodal {
 
   /** REAL image decode via `javax.imageio` — payload bytes → (width,
     * height, packed row-major RGB bytes). None when no installed reader
-    * understands the payload. */
+    * understands the payload OR the body is malformed (a truncated
+    * JPEG makes ImageIO.read THROW, not return null — a corrupt blob
+    * in a 100 TB corpus must degrade to the fallback, never kill the
+    * task). */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
     if (img == null) None
     else {
       val w = img.getWidth
@@ -103,11 +108,31 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real-or-stub decode dispatch: PNG/JPEG payloads through ImageIO,
-    * everything else through the deterministic stub. */
+  /** Header-only dimension probe: ImageReader.getWidth/getHeight read
+    * dims from the stream header WITHOUT decompressing pixel data —
+    * the right cost for metadata-only pipelines over large images. */
+  def probeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Real-or-stub metadata dispatch: PNG/JPEG payloads through the
+    * header-only probe (no pixel decompression), everything else —
+    * including magic-matched but malformed bodies — through the
+    * deterministic stub. */
   def decodeAuto(bytes: Array[Byte]): BlobMeta =
     sniffFormat(bytes).flatMap { fmt =>
-      decodeImage(bytes).map { case (w, h, _) => BlobMeta(w, h, 3, fmt) }
+      probeDims(bytes).map { case (w, h) => BlobMeta(w, h, 3, fmt) }
     }.getOrElse(decodeStub(bytes))
 
   /** Batched decode over a binary column: processes partitions in

@@ -211,9 +211,12 @@ object Similarity {
                   minBits: Int = 8, maxBits: Int = 30): Int = {
     require(corpusSize >= 0 && targetBucketPop > 0 && minBits >= 1 &&
       maxBits >= minBits, "invalid LSH sizing parameters")
-    val needed = math.ceil(math.log(
-      math.max(1.0, corpusSize.toDouble / targetBucketPop)) / math.log(2.0)).toInt
-    math.min(maxBits, math.max(minBits, needed))
+    // smallest b with target · 2^b ≥ corpus — integer arithmetic, not
+    // ceil(log2(...)): floating log can mis-round at exact powers of
+    // two, and the SQL twin must agree bit-for-bit
+    var b = 0
+    while (b < maxBits && (targetBucketPop.toLong << b) < corpusSize) b += 1
+    math.max(minBits, b)
   }
 
   /** Equal-width bit bands of an LSH bucket id: nBands values of

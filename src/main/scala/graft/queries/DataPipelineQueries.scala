@@ -814,7 +814,8 @@ object DataPipelineQueries {
          |ORDER BY vec_id""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
-         |bq AS (SELECT vec_id, qv, CAST($lshBucketSql AS BIGINT) AS bucket FROM q),
+         |${SimilaritySql.deriveNBitsCte("embeddings")},
+         |bq AS (SELECT vec_id, qv, ${SimilaritySql.lshBucketDynSql()} AS bucket FROM q),
          |pairs AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS score

@@ -23,6 +23,28 @@ private[queries] object SimilaritySql {
     }.mkString(" + ")
   }
 
+  /** CTE `nb(nbits)`: twin of Similarity.deriveNBits over `table`'s
+    * row count — smallest b with targetBucketPop·2^b ≥ count, clamped
+    * to [minBits, maxBits]. Integer arithmetic both sides. */
+  def deriveNBitsCte(table: String, targetBucketPop: Int = 64,
+                     minBits: Int = 8, maxBits: Int = 30): String =
+    s"""nb AS (SELECT GREATEST($minBits, LEAST($maxBits,
+       |  CAST(COALESCE(list_min(list_filter(range(0, ${maxBits + 1}),
+       |    b -> (CAST($targetBucketPop AS BIGINT) << b) >= n)), $maxBits) AS INTEGER))) AS nbits
+       |  FROM (SELECT count(*) AS n FROM $table))""".stripMargin
+
+  /** Dynamic-width twin of Similarity.hyperplaneBucket over a `qv`
+    * column, reading the width from CTE `nb` ([[deriveNBitsCte]]) so
+    * the oracle tracks the corpus-sized plan at ANY scale factor —
+    * weights come from the same LCG formula, generated inline per
+    * hyperplane instead of unrolled. Verified bit-equal to the static
+    * unrolled form. */
+  def lshBucketDynSql(dims: Int = 64): String =
+    s"""CAST(list_sum(list_transform(range(0, (SELECT nbits FROM nb)), h ->
+       |  CASE WHEN list_sum(list_transform(range(0, $dims),
+       |    i2 -> qv[i2 + 1] * ((1103515245 * (h * $dims + i2 + 12345) + 54321) % 1001 - 500))) > 0
+       |  THEN (CAST(1 AS BIGINT) << h) ELSE 0 END)) AS BIGINT)""".stripMargin
+
   /** CTE chain `bq` → `banded` → `cand`: banded LSH sub-bucket
     * candidate pairs — twin of Similarity.bandedCandidatePairs. The
     * source CTE must provide (vec_id, qv, groupKeys...); `cand` yields

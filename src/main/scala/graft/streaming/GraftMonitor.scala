@@ -21,14 +21,22 @@ import org.apache.spark.sql.util.QueryExecutionListener
 final class GraftMonitor private (spark: SparkSession) {
   import GraftMonitor._
 
+  // bounded ring buffers: a monitor attached to a week-long streaming
+  // app must not grow the driver heap without bound (a monitor that
+  // leaks is worse than no monitor). Oldest reports evict first.
   private val batchQ = new ConcurrentLinkedQueue[BatchReport]()
   private val actionQ = new ConcurrentLinkedQueue[ActionReport]()
+
+  private def addCapped[T](q: ConcurrentLinkedQueue[T], v: T): Unit = {
+    q.add(v)
+    while (q.size() > MaxReports) q.poll()
+  }
 
   private val streamingListener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
-      batchQ.add(BatchReport(
+      addCapped(batchQ, BatchReport(
         queryName = Option(p.name).getOrElse(p.id.toString),
         batchId = p.batchId,
         inputRows = p.numInputRows,
@@ -42,10 +50,10 @@ final class GraftMonitor private (spark: SparkSession) {
 
   private val execListener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      actionQ.add(ActionReport(funcName, durationNs / 1000000L,
+      addCapped(actionQ, ActionReport(funcName, durationNs / 1000000L,
         rootMetric(qe, "numOutputRows"), failed = false, heapUsedMb()))
     override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
-      actionQ.add(ActionReport(funcName, -1L, -1L, failed = true, heapUsedMb()))
+      addCapped(actionQ, ActionReport(funcName, -1L, -1L, failed = true, heapUsedMb()))
   }
 
   /** Per-batch streaming progress captured so far (oldest first). */
@@ -74,6 +82,9 @@ final class GraftMonitor private (spark: SparkSession) {
 }
 
 object GraftMonitor {
+
+  /** Retention cap per report kind (ring-buffer semantics). */
+  val MaxReports: Int = 4096
 
   /** One streaming micro-batch as the monitor reports it. */
   case class BatchReport(queryName: String, batchId: Long, inputRows: Long,

@@ -175,6 +175,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.sniffFormat("plain text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAuto("plain text".getBytes("UTF-8")).format == "fakeimg")
     assert(Multimodal.decodeAuto(jpg).format == "jpeg")
+    // a magic-matched but MALFORMED body (truncated JPEG) makes
+    // ImageIO throw, not return null — it must degrade to the stub,
+    // never kill the task
+    val corrupt = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00, 0x01)
+    assert(Multimodal.sniffFormat(corrupt).contains("jpeg"))
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+    assert(Multimodal.probeDims(corrupt).isEmpty)
+    assert(Multimodal.decodeAuto(corrupt).format == "fakeimg")
+    // header-only probe agrees with the full decode on real payloads
+    assert(Multimodal.probeDims(png).contains((w, h)))
+    assert(Multimodal.probeDims(jpg).contains((w, h)))
   }
 
   test("decodePixels: batch equals single, mixed blobs keep rows") {
