@@ -328,6 +328,52 @@ object DataPipelineQueries {
       .orderBy(col("src"))
   }
 
+  /** pipeline_decontam: benchmark decontamination — the training-data
+    * stage that drops any document sharing a k-shingle with a held-out
+    * evaluation set (here: every 97th doc stands in for the benchmark
+    * suite). Scale shape: the benchmark shingle set is SMALL (eval
+    * suites are MBs) → broadcast; the corpus never shuffles — only the
+    * (doc, shingle) rows that actually overlap reach the per-doc
+    * aggregation. */
+  private val pipeline_decontam: Q = (s, d) => {
+    val hashed = Dedup.shingleHashSets(
+      Tables.documents(s, d).repartition(col("doc_id")),
+      "doc_id", "text", SHINGLE_K).cache()
+    val isBench = col("doc_id") % 97 === 0
+    val benchSh = hashed.filter(isBench)
+      .select(explode(col("hs")).as("sh")).distinct()
+    val docSh = hashed.filter(!isBench)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+    val overlap = docSh.join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_overlap"))
+    hashed.filter(!isBench).select("doc_id")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_overlap").isNotNull.as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_repetition: repetition-based quality signal (the
+    * "most-common-word share" family of filters): per document, the
+    * whitespace-token count, distinct-token count, and the share of
+    * the single most frequent token in basis points — integer-exact,
+    * ties broken by the hash the kernel already computes. */
+  private val text_repetition: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val perTok = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_tok_n"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        floor(col("top_tok_n") * 10000 / col("n_tokens")).cast("long").as("top_share_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** multimodal_codec: the REAL image codec end-to-end through
     * `javax.imageio` (reference imencode/imdecode,
     * `HadoopHelper.java:262-268`): a deterministic RGB pattern per doc
@@ -462,7 +508,9 @@ object DataPipelineQueries {
     "ann_lsh_topk" -> ann_lsh_topk,
     "multimodal_meta" -> multimodal_meta,
     "multimodal_codec" -> multimodal_codec,
-    "multimodal_train_tensor" -> multimodal_train_tensor)
+    "multimodal_train_tensor" -> multimodal_train_tensor,
+    "pipeline_decontam" -> pipeline_decontam,
+    "text_repetition" -> text_repetition)
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -834,6 +882,29 @@ object DataPipelineQueries {
         |SELECT doc_id, CAST(12 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
         |  md5(string_agg(hx, '' ORDER BY i)) AS pixel_md5
         |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_decontam" ->
+      s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
+         |bench AS (SELECT DISTINCT unnest(hs) AS sh FROM hashed WHERE doc_id % 97 = 0),
+         |docsh AS (SELECT doc_id, unnest(hs) AS sh FROM hashed WHERE doc_id % 97 <> 0),
+         |ov AS (
+         |  SELECT d.doc_id, count(DISTINCT d.sh) AS n_overlap
+         |  FROM docsh d JOIN bench b ON d.sh = b.sh
+         |  GROUP BY d.doc_id)
+         |SELECT h.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  ov.doc_id IS NOT NULL AS contaminated
+         |FROM hashed h LEFT JOIN ov ON h.doc_id = ov.doc_id
+         |WHERE h.doc_id % 97 <> 0
+         |ORDER BY h.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |per_tok AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  CAST(max(n) * 10000 // sum(n) AS BIGINT) AS top_share_bp
+        |FROM per_tok GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "multimodal_train_tensor" ->
       // Arithmetic twin of the codec→resize→preprocess chain: target

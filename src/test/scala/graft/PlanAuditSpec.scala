@@ -81,6 +81,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_decontam: benchmark shingles broadcast, corpus never sort-merges") {
+    val p = plan("pipeline_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (small) benchmark shingle set must broadcast")
+    assert(p.contains("shingle_hash32"), "native shingle kernel expected")
+  }
+
   test("dedup/minhash path runs on native kernels, not interpreted HOFs") {
     val p = plan("dedup_neardup_pairs")
     assert(p.contains("shingle_hash32"))
