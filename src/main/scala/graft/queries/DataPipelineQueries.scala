@@ -374,6 +374,50 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** pipeline_pack: sequence packing — the GPT-style concat-and-chunk
+    * layout that turns variable-length documents into fixed-budget
+    * training sequences. Within each shard (the split bucket), docs
+    * are laid end-to-end in doc_id order; each doc's token span maps
+    * to its first/last context window of `ctxLen` tokens. Scale shape:
+    * ONE shuffle keyed on the shard, then a partition-local running
+    * sum — a GLOBAL packing order would be a single-partition window
+    * (the classic scale trap); per-shard packing is what production
+    * pipelines do anyway, and shard count scales with the corpus. */
+  private val pipeline_pack: Q = (s, d) => {
+    val ctxLen = 256
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), (splitBucket % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).as("tok_offset"),
+        floor((col("tok_end") - col("n_tokens")) / ctxLen).cast("long").as("first_seq"),
+        floor((col("tok_end") - 1) / ctxLen).cast("long").as("last_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_redact: PII scrubbing — regex redaction of phone-shaped and
+    * long-digit-run patterns (a character class + bounded repetition
+    * subset that Java regex and RE2 treat identically, so the DuckDB
+    * twin is exact). The synthetic corpus is digit-free, so the query
+    * first injects deterministic PII-shaped content per doc (one
+    * phone, one digit run whose length 5-8 straddles the ≥7 redaction
+    * threshold — n_redacted genuinely varies). Emits the redaction
+    * count and the digest of the scrubbed text — the before/after
+    * audit a compliance pass needs. */
+  private val text_redact: Q = (s, d) => {
+    val pat = "[0-9]{3}-[0-9]{2,4}-[0-9]{4}|[0-9]{7,}"
+    val withPii = concat(col("text"), lit(" tel 555-12-3456 code "),
+      expr("repeat('7', CAST(5 + doc_id % 4 AS INT))"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (size(split(withPii, pat, -1)) - 1).cast("long").as("n_redacted"),
+      md5(regexp_replace(withPii, pat, "[PII]").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** multimodal_codec: the REAL image codec end-to-end through
     * `javax.imageio` (reference imencode/imdecode,
     * `HadoopHelper.java:262-268`): a deterministic RGB pattern per doc
@@ -510,7 +554,9 @@ object DataPipelineQueries {
     "multimodal_codec" -> multimodal_codec,
     "multimodal_train_tensor" -> multimodal_train_tensor,
     "pipeline_decontam" -> pipeline_decontam,
-    "text_repetition" -> text_repetition)
+    "text_repetition" -> text_repetition,
+    "pipeline_pack" -> pipeline_pack,
+    "text_redact" -> text_redact)
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -882,6 +928,31 @@ object DataPipelineQueries {
         |SELECT doc_id, CAST(12 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
         |  md5(string_agg(hx, '' ORDER BY i)) AS pixel_md5
         |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_pack" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST($splitBucketSql % 8 AS BIGINT) AS shard,
+         |    CAST($tokenCountSql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS tok_end
+         |  FROM base)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_offset,
+         |  CAST((tok_end - n_tokens) // 256 AS BIGINT) AS first_seq,
+         |  CAST((tok_end - 1) // 256 AS BIGINT) AS last_seq
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    text || ' tel 555-12-3456 code ' || repeat('7', CAST(5 + doc_id % 4 AS INTEGER)) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(t, '[0-9]{3}-[0-9]{2,4}-[0-9]{4}|[0-9]{7,}')) AS BIGINT) AS n_redacted,
+        |  md5(regexp_replace(t, '[0-9]{3}-[0-9]{2,4}-[0-9]{4}|[0-9]{7,}', '[PII]', 'g')) AS redacted_md5
+        |FROM w
         |ORDER BY doc_id""".stripMargin,
     "pipeline_decontam" ->
       s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
