@@ -31,7 +31,7 @@ object Verify {
       }
       // several queries cache intermediates (shingle sets, quantized
       // vectors, survivor sets); dropping them between queries keeps a
-      // 57-query run's storage footprint flat (Bench keeps them — the
+      // full-registry run's storage footprint flat (Bench keeps them — the
       // cross-query reuse is part of what it measures)
       spark.catalog.clearCache()
     }

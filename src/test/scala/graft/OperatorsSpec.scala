@@ -133,6 +133,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("c") == ((2, 2, None))) // null patch untouched
   }
 
+  test("bandedCandidatePairs: superset of exact-bucket pairs, subset of same-group pairs") {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    val cand = Similarity.bandedCandidatePairs(
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = emb.select("vec_id", "label", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // recall floor: same-label pairs sharing the FULL bucket must all
+    // be candidates (banding only widens the exact-bucket match)
+    for (a <- rows; b <- rows
+         if a._1 < b._1 && a._2 == b._2 && a._3 == b._3)
+      assert(cand((a._1, b._1)), s"exact-bucket pair ${(a._1, b._1)} missing")
+    // soundness: every candidate shares the label AND at least one band
+    val byId = rows.map(r => r._1 -> r).toMap
+    for ((x, y) <- cand) {
+      assert(x < y)
+      val (a, b) = (byId(x), byId(y))
+      assert(a._2 == b._2, s"candidate ($x,$y) crosses labels")
+      assert((a._3 & 15L) == (b._3 & 15L) ||
+        ((a._3 >> 4) & 15L) == ((b._3 >> 4) & 15L),
+        s"candidate ($x,$y) shares no band")
+    }
+    assert(cand.nonEmpty)
+  }
+
   test("deriveNBits sizes the LSH bucket space from the corpus count") {
     import graft.operators.Similarity.deriveNBits
     // shipped SFs (50 / 500 / 5000 vectors) all sit on the 8-bit floor,
