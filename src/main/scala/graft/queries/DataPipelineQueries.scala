@@ -328,17 +328,26 @@ object DataPipelineQueries {
       .orderBy(col("src"))
   }
 
+  /** Decontamination shingle width: 20 chars ≈ a 3-4 word run — long
+    * enough that overlap means genuinely shared phrasing (k=5 made
+    * EVERY doc "contaminated" via common 5-grams like " the ", k=30
+    * matched nothing; k=20 flags 10-57% across the shipped SFs, so
+    * both branches of the operator stay exercised by the gate). */
+  private val DECONTAM_K = 20
+
   /** pipeline_decontam: benchmark decontamination — the training-data
-    * stage that drops any document sharing a k-shingle with a held-out
-    * evaluation set (here: every 97th doc stands in for the benchmark
-    * suite). Scale shape: the benchmark shingle set is SMALL (eval
-    * suites are MBs) → broadcast; the corpus never shuffles — only the
-    * (doc, shingle) rows that actually overlap reach the per-doc
-    * aggregation. */
+    * stage that drops any document sharing a long k-shingle with a
+    * held-out evaluation set (here: every 97th doc stands in for the
+    * benchmark suite). Scale shape: the benchmark shingle set is SMALL
+    * (eval suites are MBs) → broadcast; the corpus never shuffles —
+    * only the (doc, shingle) rows that actually overlap reach the
+    * per-doc aggregation. Shingle sets are distinct per doc and the
+    * bench side is distinct, so the join output is duplicate-free and
+    * a plain count suffices (no distinct aggregate). */
   private val pipeline_decontam: Q = (s, d) => {
     val hashed = Dedup.shingleHashSets(
       Tables.documents(s, d).repartition(col("doc_id")),
-      "doc_id", "text", SHINGLE_K).cache()
+      "doc_id", "text", DECONTAM_K).cache()
     val isBench = col("doc_id") % 97 === 0
     val benchSh = hashed.filter(isBench)
       .select(explode(col("hs")).as("sh")).distinct()
@@ -346,7 +355,7 @@ object DataPipelineQueries {
       .select(col("doc_id"), explode(col("hs")).as("sh"))
     val overlap = docSh.join(broadcast(benchSh), "sh")
       .groupBy("doc_id")
-      .agg(count_distinct(col("sh")).as("n_overlap"))
+      .agg(count(lit(1)).as("n_overlap"))
     hashed.filter(!isBench).select("doc_id")
       .join(overlap, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -358,8 +367,9 @@ object DataPipelineQueries {
   /** text_repetition: repetition-based quality signal (the
     * "most-common-word share" family of filters): per document, the
     * whitespace-token count, distinct-token count, and the share of
-    * the single most frequent token in basis points — integer-exact,
-    * ties broken by the hash the kernel already computes. */
+    * the single most frequent token in basis points — integer
+    * arithmetic only (`div`, not double division: the gate's design
+    * rule, and doubles can mis-round within an ulp of an integer). */
   private val text_repetition: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -370,7 +380,7 @@ object DataPipelineQueries {
         count(lit(1)).as("n_distinct"),
         max(col("n")).as("top_tok_n"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        floor(col("top_tok_n") * 10000 / col("n_tokens")).cast("long").as("top_share_bp"))
+        expr("CAST(top_tok_n * 10000 DIV n_tokens AS BIGINT)").as("top_share_bp"))
       .orderBy(col("doc_id"))
   }
 
@@ -381,14 +391,21 @@ object DataPipelineQueries {
     * to its first/last context window of `ctxLen` tokens. Scale shape:
     * ONE shuffle keyed on the shard, then a partition-local running
     * sum — a GLOBAL packing order would be a single-partition window
-    * (the classic scale trap); per-shard packing is what production
-    * pipelines do anyway, and shard count scales with the corpus. */
+    * (the classic scale trap). Shard count derives from the corpus
+    * count (≤64k docs per shard, floor 8): a FIXED shard count would
+    * be the same trap 8× wider — at 100× the corpus each shard's
+    * running sum would serialize 1/8th of everything; sized shards
+    * keep the per-partition work constant as the corpus grows (one
+    * control-plane count, same pattern as deriveNBits). */
   private val pipeline_pack: Q = (s, d) => {
     val ctxLen = 256
+    val docs = Tables.documents(s, d)
+    // integer form both sides: nShards = max(8, ceil(n / 65536))
+    val nShards = math.max(8L, (docs.count() + 65535L) / 65536L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), (splitBucket % 8).as("shard"),
+    docs
+      .select(col("doc_id"), (splitBucket % nShards).as("shard"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -564,9 +581,10 @@ object DataPipelineQueries {
   private def h32(e: String): String =
     s"CAST(CAST('0x' || substr(md5($e), 1, 8) AS UBIGINT) AS BIGINT)"
 
-  /** DuckDB twin of Dedup.shingleHashes (distinct 5-shingle hashes). */
-  private val shingleHashesSql =
-    s"list_transform(list_distinct(list_transform(range(1, greatest(length(text) - ${SHINGLE_K - 1}, 1) + 1), i -> substr(text, i, $SHINGLE_K))), g -> ${h32("g")})"
+  /** DuckDB twin of Dedup.shingleHashes (distinct k-shingle hashes). */
+  private def shingleHashesSqlK(k: Int): String =
+    s"list_transform(list_distinct(list_transform(range(1, greatest(length(text) - ${k - 1}, 1) + 1), i -> substr(text, i, $k))), g -> ${h32("g")})"
+  private val shingleHashesSql = shingleHashesSqlK(SHINGLE_K)
 
   private val minhashSigExprs: Seq[String] =
     HashFunctions.MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
@@ -930,8 +948,10 @@ object DataPipelineQueries {
         |FROM px GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "pipeline_pack" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, CAST($splitBucketSql % 8 AS BIGINT) AS shard,
+      s"""WITH ns AS (
+         |  SELECT GREATEST(8, (count(*) + 65535) // 65536) AS n_shards FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST($splitBucketSql % (SELECT n_shards FROM ns) AS BIGINT) AS shard,
          |    CAST($tokenCountSql AS BIGINT) AS n_tokens
          |  FROM documents),
          |c AS (
@@ -955,11 +975,11 @@ object DataPipelineQueries {
         |FROM w
         |ORDER BY doc_id""".stripMargin,
     "pipeline_decontam" ->
-      s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
+      s"""WITH hashed AS (SELECT doc_id, ${shingleHashesSqlK(DECONTAM_K)} AS hs FROM documents),
          |bench AS (SELECT DISTINCT unnest(hs) AS sh FROM hashed WHERE doc_id % 97 = 0),
          |docsh AS (SELECT doc_id, unnest(hs) AS sh FROM hashed WHERE doc_id % 97 <> 0),
          |ov AS (
-         |  SELECT d.doc_id, count(DISTINCT d.sh) AS n_overlap
+         |  SELECT d.doc_id, count(*) AS n_overlap
          |  FROM docsh d JOIN bench b ON d.sh = b.sh
          |  GROUP BY d.doc_id)
          |SELECT h.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,

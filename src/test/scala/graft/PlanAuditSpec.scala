@@ -85,6 +85,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("pipeline_decontam")
     assert(p.contains("BroadcastHashJoin"),
       "the (small) benchmark shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side joins must not regress to sort-merge")
     assert(p.contains("shingle_hash32"), "native shingle kernel expected")
   }
 
