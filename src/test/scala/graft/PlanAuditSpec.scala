@@ -90,6 +90,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("shingle_hash32"), "native shingle kernel expected")
   }
 
+  test("pipeline_pack: running sum is per-shard, never a single-partition window") {
+    val p = plan("pipeline_pack")
+    assert(p.contains("hashpartitioning(shard"),
+      "packing window must hash-exchange on the shard key")
+    assert(!p.contains("SinglePartition"),
+      "a global packing order would serialize the corpus through one partition")
+  }
+
   test("dedup/minhash path runs on native kernels, not interpreted HOFs") {
     val p = plan("dedup_neardup_pairs")
     assert(p.contains("shingle_hash32"))
