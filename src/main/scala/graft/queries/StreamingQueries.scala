@@ -41,6 +41,25 @@ object StreamingQueries {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** stream_session_agg: event-time SESSION windows per user (5-min
+    * inactivity gap) — Spark's native `session_window` doing what the
+    * reference's tracklet segmentation hand-rolls (split a per-key
+    * event sequence wherever the time gap exceeds a threshold). The
+    * oracle is the classic gaps-and-islands rewrite; session end =
+    * last event + gap, matching session_window's semantics. */
+  private val stream_session_agg: Q = (s, d) => {
+    val ev = StreamingOps.eventsStream(s, d)
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("user_id"), col("n_events"), col("v"))
+    StreamingOps.runToMemory(s, agg, "graft_stream_session", "complete")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** stream_completion: flatMapGroupsWithState completion counter
     * (SURVEY A3/K4) — a "pack job" fires exactly once per video when
     * all 5 expected per-type tracklets have been saved. Runs the
@@ -85,6 +104,7 @@ object StreamingQueries {
     "stream_dedup" -> stream_dedup,
     "stream_enrich_join" -> stream_enrich_join,
     "stream_windowed_agg" -> stream_windowed_agg,
+    "stream_session_agg" -> stream_session_agg,
     "stream_completion" -> stream_completion)
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +125,25 @@ object StreamingQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+    "stream_session_agg" ->
+      // gaps-and-islands twin of session_window: a session's end is
+      // EXCLUSIVE (last event + gap), so an event exactly gap-seconds
+      // after the previous one starts a NEW session (>=, not >)
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 300 AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS v
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_completion" ->
       """SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,
         |  count(DISTINCT CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
