@@ -134,6 +134,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge across micro-batches, split at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val agg = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("session_merge_test").outputMode("complete").start()
+    try {
+      in.addData((1L, ts(0)))
+      q.processAllAvailable()
+      // arrives in a LATER batch but within the 5-min gap: must merge
+      // into the existing session, not open a second one
+      in.addData((1L, ts(3)))
+      q.processAllAvailable()
+      // 17 min after the last event: past the gap, a new session
+      in.addData((1L, ts(20)))
+      q.processAllAvailable()
+      val sessions = spark.table("session_merge_test")
+        .collect().map(r => r.getLong(1)).sorted.toSeq
+      assert(sessions == Seq(1L, 2L),
+        s"expected one merged 2-event session + one new session, got $sessions")
+    } finally q.stop()
+  }
+
   test("streaming compaction loop: saves stream -> pack -> repoint, end to end") {
     import graft.storage.{CompactionJob, GraphStore, TrackletStore}
     implicit val sqlCtx = spark.sqlContext
