@@ -369,20 +369,28 @@ object DataPipelineQueries {
     * whitespace-token count, distinct-token count, and the share of
     * the single most frequent token in basis points — integer
     * arithmetic only (`div`, not double division: the gate's design
-    * rule, and doubles can mis-round within an ulp of an integer). */
-  private val text_repetition: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val perTok = tok.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("n"))
-    perTok.groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("n")).as("top_tok_n"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        expr("CAST(top_tok_n * 10000 DIV n_tokens AS BIGINT)").as("top_share_bp"))
-      .orderBy(col("doc_id"))
-  }
+    * rule, and doubles can mis-round within an ulp of an integer).
+    *
+    * All three statistics are row-local (every token of a document
+    * lives in its own row), so the query is a pure projection through
+    * the one-pass [[org.apache.spark.sql.graft.RepetitionStats]]
+    * kernel — ZERO shuffles (PlanAuditSpec-guarded). The former
+    * explode→groupBy×2 form shuffled the entire tokenized corpus
+    * twice; at 100 TB that is a full-corpus shuffle for a per-row
+    * statistic. The kernel is property-checked against the explode
+    * twin in HashKernelsSpec. */
+  private val text_repetition: Q = (s, d) =>
+    repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** The shuffle-free core of [[text_repetition]] (no final sort) —
+    * exposed so PlanAuditSpec can assert the plan has zero exchanges. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExpressions
+          .repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.top_share_bp").as("top_share_bp"))
 
   /** pipeline_pack: sequence packing — the GPT-style concat-and-chunk
     * layout that turns variable-length documents into fixed-budget
@@ -428,10 +436,14 @@ object DataPipelineQueries {
     val pat = "[0-9]{3}-[0-9]{2,4}-[0-9]{4}|[0-9]{7,}"
     val withPii = concat(col("text"), lit(" tel 555-12-3456 code "),
       expr("repeat('7', CAST(5 + doc_id % 4 AS INT))"))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      (size(split(withPii, pat, -1)) - 1).cast("long").as("n_redacted"),
-      md5(regexp_replace(withPii, pat, "[PII]").cast("binary")).as("redacted_md5"))
+    // count + replace in ONE regex pass (the split/replace twin scans
+    // every row twice; regex cost dominates a compliance sweep)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExpressions
+          .regex_redact(withPii, pat, "[PII]").as("r"))
+      .select(col("doc_id"), col("r.n_redacted").as("n_redacted"),
+        md5(col("r.redacted").cast("binary")).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
 

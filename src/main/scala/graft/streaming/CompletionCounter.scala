@@ -58,8 +58,12 @@ object CompletionCounter {
 
   /** Unbounded-state form — only for inputs whose key space is known
     * bounded (tests, single-batch replays). Streaming deployments use
-    * [[completionJobsTtl]]. */
-  def completionJobs(saves: Dataset[SaveEvent]): Dataset[PackJob] = {
+    * [[completionJobsTtl]]: NoTimeout state is never reclaimed, so on
+    * an unbounded task-id space this form leaks state-store rows
+    * forever. Deprecated + graft-private so no production call site
+    * can pick it by accident. */
+  @deprecated("NoTimeout state never expires; use completionJobsTtl", "round-4")
+  private[graft] def completionJobs(saves: Dataset[SaveEvent]): Dataset[PackJob] = {
     import saves.sparkSession.implicits._
     saves
       .groupByKey(_.task_id)

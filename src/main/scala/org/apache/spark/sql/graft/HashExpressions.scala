@@ -138,6 +138,34 @@ object HashKernels {
     (acc + hash32(bytes, start, bytes.length - start)) % FingerprintMod
   }
 
+  /** Redact every match of `p` with `repl` AND count the matches in
+    * ONE regex pass — the declarative form pays two full scans per row
+    * (`split` for the count, `regexp_replace` for the text), and regex
+    * cost dominates a compliance sweep. Matches `regexp_replace` +
+    * `size(split(s, p, -1)) - 1` exactly: split-with-keep-empties
+    * yields n_matches + 1 pieces, and no redaction pattern here can
+    * match empty. */
+  def regexRedact(s: UTF8String, p: java.util.regex.Pattern,
+                  repl: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val m = p.matcher(str)
+    var n = 0L
+    var last = 0
+    var sb: java.lang.StringBuilder = null
+    val r = repl.toString
+    while (m.find()) {
+      if (sb == null) sb = new java.lang.StringBuilder(str.length)
+      sb.append(str, last, m.start()).append(r)
+      last = m.end()
+      n += 1
+    }
+    val out =
+      if (n == 0) s // zero matches: hand back the input, no copy
+      else UTF8String.fromString(sb.append(str, last, str.length).toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, out))
+  }
+
   // MinHash coefficient table — single source of truth is
   // graft.functions.HashFunctions.MinHashCoeffs; flattened here into
   // primitive arrays for the inner loop.
@@ -168,6 +196,42 @@ object HashKernels {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Per-document repetition statistics in ONE pass over the raw text:
+    * (n_tokens, n_distinct, top_share_bp) where tokens are
+    * single-space-separated (empties kept, matching `split(text, " ")`)
+    * and top_share_bp = most-frequent-token count * 10000 div n_tokens
+    * (integer division, same as the groupBy twin). The token counts of
+    * a document are a row-local statistic — every token lives inside
+    * its own row — so computing them here removes the full-corpus
+    * explode+shuffle the declarative twin pays: at 100 TB that twin
+    * shuffles every token of every document twice; this kernel
+    * shuffles nothing. Scratch space is one hash map over zero-copy
+    * UTF8String views of the row's own bytes. */
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var nTokens = 0L
+    var maxN = 0
+    var start = 0
+    var p = 0
+    while (p <= bytes.length) {
+      if (p == bytes.length || bytes(p) == ' ') {
+        // zero-copy view over the shared byte array, used only as map key
+        val tok = UTF8String.fromBytes(bytes, start, p - start)
+        val c = counts.get(tok)
+        val n = if (c == null) { counts.put(tok, Array(1)); 1 }
+                else { c(0) += 1; c(0) }
+        if (n > maxN) maxN = n
+        nTokens += 1
+        start = p + 1
+      }
+      p += 1
+    }
+    // nTokens >= 1 always: split of "" is one empty token
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, counts.size.toLong, maxN.toLong * 10000L / nTokens))
   }
 
   /** 32-bit SimHash from a token-hash array in one pass: bit b set iff
@@ -290,6 +354,59 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** struct(n_redacted, redacted) — one-regex-pass redaction of a string
+  * column (see [[HashKernels.regexRedact]]). The pattern is compiled
+  * once per expression instance at plan time. */
+case class RegexRedact(child: Expression, pattern: String, replacement: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+  @transient private lazy val replU = UTF8String.fromString(replacement)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_redacted", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def prettyName: String = "regex_redact"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.regexRedact(s.asInstanceOf[UTF8String], compiled, replU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pat = ctx.addReferenceObj("redactPattern", compiled,
+      "java.util.regex.Pattern")
+    val rep = ctx.addReferenceObj("redactRepl", replU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.regexRedact($c, $pat, $rep);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexRedact =
+    copy(child = newChild)
+}
+
+/** struct(n_tokens, n_distinct, top_share_bp) repetition statistics of
+  * a string column — the zero-shuffle form of the explode→groupBy twin
+  * (see [[HashKernels.repetitionStats]]). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_share_bp", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.repetitionStats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.repetitionStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** Exact squared L2 distance over two array<long> columns — the IVF
   * assignment/probe kernel; inline codegen loop like [[DotProductLong]].
   * Mismatched lengths yield NULL (the `aggregate(zip_with(...))` twin
@@ -364,6 +481,16 @@ object HashExpressions {
   /** One-pass 32-bit SimHash over a token-hash column. */
   def simhash32(th: Column): Column =
     ExpressionUtils.column(SimHash32(ExpressionUtils.expression(th)))
+
+  /** One-pass struct(n_tokens, n_distinct, top_share_bp) of a text
+    * column (codegen'd, zero shuffles). */
+  def repetition_stats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
+
+  /** One-regex-pass struct(n_redacted, redacted) of a text column. */
+  def regex_redact(text: Column, pattern: String, replacement: String): Column =
+    ExpressionUtils.column(
+      RegexRedact(ExpressionUtils.expression(text), pattern, replacement))
 
   /** Exact squared L2 over quantized (long) vectors (codegen'd). */
   def l2sq_long(a: Column, b: Column): Column =

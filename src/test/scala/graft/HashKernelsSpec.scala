@@ -132,6 +132,49 @@ class HashKernelsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L)
   }
 
+  test("repetition_stats kernel ≡ explode→groupBy twin") {
+    // the declarative twin (the DuckDB oracle's formulation)
+    val tokens = docs.withColumn("rid", monotonically_increasing_id())
+    val twin = tokens
+      .select(col("rid"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("rid", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("rid")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        expr("CAST(max(n) * 10000 DIV sum(n) AS BIGINT)").as("top_share_bp"))
+    val kern = tokens.select(col("rid"),
+      HashExpressions.repetition_stats(col("text")).as("r"))
+      .select(col("rid"), col("r.n_tokens"), col("r.n_distinct"),
+        col("r.top_share_bp"))
+    val diff = kern.as("k").join(twin.as("t"), "rid")
+      .filter(not(col("k.n_tokens") <=> col("t.n_tokens")) ||
+        not(col("k.n_distinct") <=> col("t.n_distinct")) ||
+        not(col("k.top_share_bp") <=> col("t.top_share_bp")))
+      .count()
+    assert(diff == 0, "repetition_stats kernel disagrees with explode twin")
+  }
+
+  test("regex_redact kernel ≡ (size(split)-1, regexp_replace) twin") {
+    val pat = "[0-9]{3}-[0-9]{2,4}-[0-9]{4}|[0-9]{7,}"
+    val piiCorpus = corpus ++ Seq(
+      "call 555-12-3456 now", "1234567", "123456", "12345678901234567890",
+      "55512345675551234567", // adjacent long runs
+      "555-12-3456555-1234-3456", // adjacent phone matches
+      "edge 999-99-9999", "999-99-9999 leading match", "")
+    val docs2 = piiCorpus.toDF("text")
+    val kern = org.apache.spark.sql.graft.HashExpressions
+      .regex_redact(col("text"), pat, "[PII]")
+    val diff = docs2
+      .select(col("text"),
+        kern.getField("n_redacted").as("kn"),
+        kern.getField("redacted").as("kr"),
+        (size(split(col("text"), pat, -1)) - 1).cast("long").as("tn"),
+        regexp_replace(col("text"), pat, "[PII]").as("tr"))
+      .filter(not(col("kn") <=> col("tn")) || not(col("kr") <=> col("tr")))
+      .collect()
+    assert(diff.isEmpty,
+      s"regex_redact != twin for: ${diff.map(_.getString(0)).take(3).mkString(" | ")}")
+  }
+
   test("kernels survive whole-stage codegen and SQL registration") {
     graft.functions.VectorFunctions.register(spark)
     // exercise the codegen path explicitly (collect forces evaluation

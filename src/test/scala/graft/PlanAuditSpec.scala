@@ -63,6 +63,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(agg >= 2, s"partial+final aggregate pair expected, saw $agg")
   }
 
+  test("text_repetition core is a pure projection: ZERO exchanges, no aggregate") {
+    // Repetition stats are row-local; the plan must never shuffle the
+    // tokenized corpus (the round-3 weak finding). Audit the core
+    // (the registered query adds only the final presentation sort).
+    val core = graft.queries.DataPipelineQueries
+      .repetitionStats(graft.Tables.documents(spark, sf))
+    val p = core.queryExecution.explainString(FormattedMode)
+    assert(p.contains("repetition_stats"), "native kernel expected in plan")
+    assert(!p.contains("Exchange"), s"zero shuffles expected:\n$p")
+    assert(!p.contains("Aggregate"), s"no aggregate expected:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p")
+  }
+
   test("similarity pair joins never key on bare label (unbounded bucket)") {
     // A label group has no population bound, so a pair join keyed on
     // label alone is a quadratic block at corpus scale. Every equi-join

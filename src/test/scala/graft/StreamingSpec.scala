@@ -60,7 +60,11 @@ class StreamingSpec extends AnyFunSuite {
     val savesIn = MemoryStream[(String, Int, Int)]
     val saves = savesIn.toDF().toDF("task_id", "serial", "num_tracklets")
       .as[CompletionCounter.SaveEvent]
-    val jobs = CompletionCounter.completionJobs(saves).toDF()
+    val jobs = {
+      // intentionally exercising the deprecated bounded-key-space form
+      import scala.annotation.nowarn
+      (CompletionCounter.completionJobs(saves): @nowarn("cat=deprecation")).toDF()
+    }
 
     val q = jobs.writeStream.format("memory")
       .queryName("completion_test").outputMode("append").start()
