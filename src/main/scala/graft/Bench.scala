@@ -10,9 +10,43 @@ import org.apache.spark.sql.SparkSession
   *    measured query doesn't absorb classloading + codegen costs;
   *  - results are written to the `noop` sink, which forces full
   *    column materialization (a bare .count() would let Catalyst prune
-  *    every projected column and under-measure scan-heavy queries).
+  *    every projected column and under-measure scan-heavy queries);
+  *  - each query runs once cold (pays plan codegen/JIT) then THREE
+  *    warm passes; `queries`/`value` report the per-query MEDIAN of
+  *    the warm passes. Two rounds running, a single co-tenant-noise
+  *    sample masqueraded as a regression — medians shed one bad pass;
+  *  - `gc_ms` records this JVM's GC time per pass and `calibration_ms`
+  *    times a fixed single-thread integer loop before and after the
+  *    run. A noisy host shows up as calibration drift / outsized GC,
+  *    so a slow sample can be adjudicated from the sample itself.
   */
 object Bench {
+
+  /** Fixed-work single-thread loop (xorshift64*, 2^27 steps): a
+    * deterministic CPU yardstick. Elapsed ms varies only with how much
+    * of a core this process actually got — the co-tenancy stamp. */
+  private def calibrationMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 27)) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 0) System.err.println("unreachable") // keep the loop live
+    dt
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def median3(a: Double, b: Double, c: Double): Double =
+    math.max(math.min(a, b), math.min(math.max(a, b), c))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -25,6 +59,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val calBefore = calibrationMs()
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def runToNoop(name: String): Double = {
@@ -42,26 +78,37 @@ object Bench {
     SparkEntry.queries.get("q1_agg")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
-    // Each query runs twice: the first (cold) execution pays one-time
-    // plan codegen/JIT (~0.5-1.4 s per distinct plan, measured); the
-    // second is steady-state. A long-running engine amortizes compile
-    // across thousands of executions, so `queries`/`value` report
-    // steady-state; `cold_total` keeps the first-run total transparent.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> runToNoop(n))
-    val warm = names.map(n => n -> runToNoop(n))
-    val qs = warm.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // per-query cold times too: attributing a cold_total movement needs
-    // per-query evidence, not a single sum
-    val cqs = cold.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
+    // pass-major order (all queries per pass) so a transient host
+    // stall degrades one PASS of many queries — which the median
+    // discards — instead of all runs of a few adjacent queries
+    var gcPrev = gcMillis()
+    def pass(): (Map[String, Double], Long) = {
+      val times = names.map(n => n -> runToNoop(n)).toMap
+      val gcNow = gcMillis()
+      val d = gcNow - gcPrev
+      gcPrev = gcNow
+      (times, d)
+    }
+    val (cold, gcCold) = pass()
+    val warmPasses = Seq(pass(), pass(), pass())
+    val warmMed = names.map { n =>
+      val Seq(a, b, c) = warmPasses.map(_._1(n))
+      n -> median3(a, b, c)
+    }
+
+    val calAfter = calibrationMs()
+
+    def qjson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = warmMed.map(_._2).sum
+    val coldTotal = names.map(cold).sum
     // failed queries are listed explicitly — a crashing query must not
     // masquerade as a fast success in the totals
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":$qs,"cold_queries":$cqs,"sf":"$sfDir"}""")
+    val gcJson = (gcCold +: warmPasses.map(_._2)).mkString("[", ",", "]")
+    val passTotals = warmPasses.map(_._1.values.sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"cold_queries":${qjson(names.map(n => n -> cold(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
