@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream oracles run MULTI-batch on the RocksDB state store") {
+    // the registered oracle queries must genuinely exercise cross-batch
+    // state: 3 staged files → batchId ≥ 2, and the state store metrics
+    // must come from the RocksDB provider (off-heap/disk state — the
+    // 100-TB shape), not the HDFS-backed in-memory store
+    val out = SparkEntry.queries("stream_session_agg")(spark, sf)
+    assert(out.count() > 0)
+    val pj = StreamingOps.lastProgressJson.getOrElse(
+      fail("no streaming progress recorded"))
+    val batchId = "\"batchId\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(pj).map(_.group(1).toInt)
+      .getOrElse(fail(s"no batchId in progress: $pj"))
+    assert(batchId >= 2, s"expected ≥3 micro-batches, last batchId=$batchId")
+    assert(pj.toLowerCase.contains("rocksdb"),
+      s"RocksDB state-store metrics expected in progress: $pj")
+    val stateRows = "\"numRowsTotal\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(pj).map(_.group(1).toLong)
+      .getOrElse(fail("no state operator metrics in progress"))
+    assert(stateRows > 0, "session state rows expected")
+  }
+
   test("completion counter fires exactly once, at the batch completing the set") {
     implicit val sqlCtx = spark.sqlContext
     val savesIn = MemoryStream[(String, Int, Int)]
