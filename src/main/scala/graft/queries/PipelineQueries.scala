@@ -53,6 +53,28 @@ object PipelineQueries {
       .orderBy(col("video_id"), col("obj_key"))
   }
 
+  /** vpe_attr_mean_full: A1 at REFERENCE WIDTH — the same VectorMean
+    * aggregate over the full 128-attribute surface (AttributeNames
+    * size, the reference's DeepMAR FC8 width). Every one of the 128
+    * means is rounded to 4 dp and checksummed (first/last dims spot-
+    * checked explicitly), so the full-width aggregate is oracle-proven
+    * like vpe_attr_named's attr_sum — not just the 4-dim demo. The
+    * per-dim rounding BEFORE the checksum sum keeps the 128-term
+    * double summation ulp-stable across engines. */
+  private val vpe_attr_mean_full: Q = (s, d) => {
+    val dims = graft.functions.AttributeNames.size
+    val det = Tracking.detectionsFromEvents(Tables.events(s, d))
+      .withColumn("attrs", AttributeOps.fakeAttributeVector(col("frame_idx"), dims))
+    AttributeOps.meanVectors(det, Seq("video_id", "obj_key"), "attrs")
+      .select(col("video_id"), col("obj_key"),
+        round(element_at(col("mean_vec"), 1), 4).as("mean_first"),
+        round(element_at(col("mean_vec"), dims), 4).as("mean_last"),
+        round(aggregate(transform(col("mean_vec"), x => round(x, 4)),
+          lit(0.0), (acc, x) => acc + x), 4).as("mean_sum"),
+        col("n_samples"))
+      .orderBy(col("video_id"), col("obj_key"))
+  }
+
   /** vpe_reid_join: the ReID stream join (J1 full outer on the
     * composite key + P5 presence split + U1-style reconciliation),
     * batch form: tracklet summaries ⟗ attribute means. */
@@ -307,6 +329,7 @@ object PipelineQueries {
     "vpe_tracklets" -> vpe_tracklets,
     "vpe_sample_even" -> vpe_sample_even,
     "vpe_attr_mean" -> vpe_attr_mean,
+    "vpe_attr_mean_full" -> vpe_attr_mean_full,
     "vpe_reid_join" -> vpe_reid_join,
     "vpe_reid_rank" -> vpe_reid_rank,
     "vpe_similar_topk" -> vpe_similar_topk,
@@ -451,6 +474,19 @@ object PipelineQueries {
          |FROM ($detectionsSql) det
          |GROUP BY video_id, obj_key
          |ORDER BY video_id, obj_key""".stripMargin,
+    "vpe_attr_mean_full" -> {
+      val dims = graft.functions.AttributeNames.size
+      def avgSql(dim: Int) =
+        s"round(avg(((frame_idx * ${31 + dim * 2} + ${7 + dim}) % 997) / 997.0), 4)"
+      s"""SELECT video_id, obj_key,
+         |  ${avgSql(0)} AS mean_first,
+         |  ${avgSql(dims - 1)} AS mean_last,
+         |  round(list_sum([${(0 until dims).map(avgSql).mkString(", ")}]), 4) AS mean_sum,
+         |  count(*) AS n_samples
+         |FROM ($detectionsSql) det
+         |GROUP BY video_id, obj_key
+         |ORDER BY video_id, obj_key""".stripMargin
+    },
     "vpe_reid_join" ->
       s"""WITH tr AS (
          |  SELECT video_id, obj_key,
