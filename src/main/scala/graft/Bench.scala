@@ -96,6 +96,10 @@ object Bench {
       val Seq(a, b, c) = warmPasses.map(_._1(n))
       n -> median3(a, b, c)
     }
+    // min-of-3: robust when ALL passes are contended (asymmetric noise
+    // only ever ADDS time) — the right statistic for "how fast is this
+    // code"; the median stays as the primary, comparable series
+    val warmMin = names.map(n => n -> warmPasses.map(_._1(n)).min)
 
     val calAfter = calibrationMs()
 
@@ -108,7 +112,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gcJson = (gcCold +: warmPasses.map(_._2)).mkString("[", ",", "]")
     val passTotals = warmPasses.map(_._1.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"cold_queries":${qjson(names.map(n => n -> cold(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"sf":"$sfDir"}""")
+    val minTotal = warmMin.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"queries_min":${qjson(warmMin)},"cold_queries":${qjson(names.map(n => n -> cold(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

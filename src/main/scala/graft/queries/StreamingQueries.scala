@@ -96,6 +96,63 @@ object StreamingQueries {
       .orderBy(col("task_id"))
   }
 
+  /** stream_completion_ttl: the TTL-EXPIRY proof (SURVEY A3 bound-state
+    * semantics, reference drop-beyond-buffer
+    * `PedestrianReIDUsingAttrApp.java:176-192`). Unlike
+    * stream_completion (whose TTL is corpus-sized so nothing expires),
+    * this variant's oracle EXPECTS expiry-dropped tasks: saves are
+    * sparsified (event_id % 7) and restricted to the first/last staged
+    * batch (the ms-cut below reproduces the stager's nanosecond batch
+    * boundaries, rounded so membership is unambiguous at millisecond
+    * precision), so every task is absent from batch 1 and is
+    * timeout-eligible there. With a 3-day TTL, a task whose last
+    * batch-0 save is > 3 days behind the batch-0 watermark loses its
+    * serial set before its batch-2 saves arrive — if the two halves
+    * only complete TOGETHER, the job never fires. The DuckDB twin
+    * simulates exactly that: a row appears only if (a) batch 0 alone
+    * completes, (b) state survived and batch 0+2 complete, or (c) state
+    * expired and batch 2 alone completes. Correctness of this row set
+    * DEPENDS on state expiry, not retention.
+    *
+    * The sparsifier filter sits BEFORE withWatermark (pinning the
+    * watermark to the sparse subset — Catalyst would push it there
+    * anyway, this makes the semantics explicit); the ts-referencing
+    * batch filter sits ABOVE the watermark and cannot be pushed below
+    * it (it references the watermark column), so batch-1 events still
+    * advance the watermark that drives expiry. */
+  private val stream_completion_ttl: Q = (s, d) => {
+    import s.implicits._
+    // batch-boundary cuts, derived from the raw table exactly as the
+    // stager derives its file splits (bounded driver-side scalar lookup)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val org.apache.spark.sql.Row(tmin: Long, tmax: Long) = s.read
+      .schema(StreamingOps.eventsRawSchema).parquet(s"$d/events.parquet")
+      .agg(min(col("ts")), max(col("ts"))).head()
+    val span = tmax - tmin
+    val c1ms = Math.floorDiv(tmin + span / 3, 1000000L)            // floor
+    val c2ms = -Math.floorDiv(-(tmin + span * 2 / 3), 1000000L)    // ceil
+    val ttlMs = 3L * 24 * 3600 * 1000
+    val ms = expr("unix_micros(ts) div 1000")
+    val saves = StreamingOps.eventsStream(s, d)
+      .filter(col("event_id") % 7 === 0)
+      .withWatermark("ts", "10 minutes")
+      .filter(ms < c1ms || ms >= c2ms)
+      .select(
+        concat(lit("v"), col("user_id").cast("string")).as("task_id"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "purchase", 1)
+          .when(col("event_type") === "signup", 2)
+          .when(col("event_type") === "view", 3)
+          .otherwise(4).as("serial"),
+        lit(5).as("num_tracklets"),
+        col("ts"))
+      .as[CompletionCounter.SaveEventTs]
+    val jobs = CompletionCounter.completionJobsTtl(saves, stateTtlMs = ttlMs).toDF()
+      .select(col("task_id"), col("n_saved").cast("long").as("n_saved"))
+    StreamingOps.runToMemory(s, jobs, "graft_stream_completion_ttl", "append")
+      .orderBy(col("task_id"))
+  }
+
   /** stream_dedup: streaming exact-dedup state (P6 in streaming form —
     * the reference drops duplicated storing requests across batches,
     * `vpe/data/DataManagingApp.java:447-455`). dropDuplicates keys the
@@ -115,7 +172,8 @@ object StreamingQueries {
     "stream_enrich_join" -> stream_enrich_join,
     "stream_windowed_agg" -> stream_windowed_agg,
     "stream_session_agg" -> stream_session_agg,
-    "stream_completion" -> stream_completion)
+    "stream_completion" -> stream_completion,
+    "stream_completion_ttl" -> stream_completion_ttl)
 
   val oracles: Map[String, String] = Map(
     "stream_dedup" ->
@@ -154,6 +212,56 @@ object StreamingQueries {
         |  user_id, count(*) AS n_events, round(sum(value), 2) AS v
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // Simulates the 3-batch EventTimeTimeout state machine exactly:
+    // batch membership replicates the stager's integer-nanosecond cuts
+    // (floor/ceil-rounded to ms so membership is unambiguous), wm0 is
+    // the batch-0 watermark over the SPARSE subset (the sparsifier
+    // precedes withWatermark), a task expires at batch 1 iff its last
+    // batch-0 save + TTL(3d) < wm0 (strict, matching Spark's
+    // timeoutTimestamp < watermark), and a row appears only via one of
+    // the three fire paths. The DROPPED tasks — complete across batches
+    // 0+2 but expired in between — are the point of this oracle.
+    "stream_completion_ttl" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) AS tmin, max(epoch_ns(ts)) AS tmax FROM events),
+        |cuts AS (
+        |  SELECT (tmin + (tmax - tmin) // 3) AS c1ns,
+        |    (tmin + (tmax - tmin) // 3) // 1000000 AS c1ms,
+        |    -((-(tmin + (tmax - tmin) * 2 // 3)) // 1000000) AS c2ms
+        |  FROM b),
+        |wm AS (
+        |  SELECT max(epoch_ns(ts) // 1000000) - 600000 AS wm0
+        |  FROM events, cuts WHERE epoch_ns(ts) < c1ns AND event_id % 7 = 0),
+        |kept AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+        |      WHEN 'signup' THEN 2 WHEN 'view' THEN 3 ELSE 4 END AS serial,
+        |    epoch_ns(ts) // 1000000 AS ms, c1ms, c2ms
+        |  FROM events, cuts
+        |  WHERE event_id % 7 = 0
+        |    AND (epoch_ns(ts) // 1000000 < c1ms OR epoch_ns(ts) // 1000000 >= c2ms)),
+        |per AS (
+        |  SELECT user_id,
+        |    count(DISTINCT serial) FILTER (ms < c1ms) AS n0,
+        |    count(DISTINCT serial) FILTER (ms >= c2ms) AS n2,
+        |    count(DISTINCT serial) AS n02,
+        |    max(ms) FILTER (ms < c1ms) AS t0ms
+        |  FROM kept GROUP BY user_id),
+        |flags AS (
+        |  SELECT user_id, n0, n2, n02,
+        |    (n0 > 0 AND t0ms + 259200000 < wm0) AS expired
+        |  FROM per, wm)
+        |SELECT task_id, n_saved FROM (
+        |  SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,
+        |    CAST(5 AS BIGINT) AS n_saved
+        |  FROM flags WHERE n0 = 5
+        |  UNION ALL
+        |  SELECT 'v' || CAST(user_id AS VARCHAR), 5 FROM flags
+        |  WHERE expired AND n2 = 5
+        |  UNION ALL
+        |  SELECT 'v' || CAST(user_id AS VARCHAR), 5 FROM flags
+        |  WHERE NOT expired AND n0 < 5 AND n02 = 5)
+        |ORDER BY task_id""".stripMargin,
     "stream_completion" ->
       """SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,
         |  count(DISTINCT CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1

@@ -51,20 +51,42 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
   }
 
+  /** Fingerprint of a parquet table path (file or directory): total
+    * byte size + max mtime over all part files. Keys the staging cache
+    * so a regenerated events.parquet at the same path re-stages instead
+    * of silently serving stale batches. */
+  private def sourceFingerprint(path: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    val files =
+      if (Files.isDirectory(path))
+        scala.util.Using.resource(Files.walk(path))(
+          _.iterator().asScala.filter(Files.isRegularFile(_)).toVector)
+      else Vector(path)
+    val size = files.map(Files.size).sum
+    val mtime = files.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)
+    java.lang.Long.toHexString(size) + "_" + java.lang.Long.toHexString(mtime)
+  }
+
   /** Split events.parquet into `nBatches` contiguous event-time ranges
-    * under a per-sfDir temp dir. Test/verify staging only (the
-    * production source is Kafka/file arrival order) — the split runs
-    * once per JVM+sfDir and is marker-guarded. */
+    * under a temp dir keyed by (sfDir, source size+mtime). Test/verify
+    * staging only (the production source is Kafka/file arrival order).
+    * The staged dir is built under a temp name and atomically renamed
+    * into place, so concurrent processes either see the complete dir or
+    * stage their own; a regenerated source file changes the fingerprint
+    * and forces a fresh staging. */
   private def stageEventBatches(spark: SparkSession, sfDir: String,
                                 nBatches: Int): String = synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, "events.parquet")
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(sfDir.hashCode), s"events_$nBatches")
-    val marker = dir.resolve("_STAGED")
-    if (Files.exists(marker)) return dir.toString
-    Files.createDirectories(dir)
+      "graft_stream_" + Integer.toHexString(sfDir.hashCode) +
+        "_" + sourceFingerprint(src), s"events_$nBatches")
+    if (Files.isDirectory(dir)) return dir.toString
+    val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(build)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.schema(eventsRawSchema).parquet(src.toString)
     val Row(tsMin: Long, tsMax: Long) =
       raw.agg(min(col("ts")), max(col("ts"))).head()
     val span = math.max(tsMax - tsMin, 1L)
@@ -74,18 +96,24 @@ object StreamingOps {
       val hi = tsMin + span * (b + 1) / nBatches
       val slice = raw.filter(
         col("ts") >= lo && (if (b == nBatches - 1) lit(true) else col("ts") < hi))
-      val tmp = dir.resolve(s"tmp_$b")
+      val tmp = build.resolve(s"tmp_$b")
       slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
-      val dst = dir.resolve(f"events_$b%02d.parquet")
-      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val part = scala.util.Using.resource(Files.list(tmp))(
+        _.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+      val dst = build.resolve(f"events_$b%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       // ascending mtimes: FileStreamSource picks oldest-first
       dst.toFile.setLastModified(base + b * 2000L)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
-    Files.createFile(marker)
+    try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch { // lost the race to another process: its dir is complete, use it
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+    }
     dir.toString
   }
 
@@ -116,6 +144,9 @@ object StreamingOps {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = spark.conf.getOption(changelogKey)
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4, prev.toInt).toString)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
@@ -123,8 +154,7 @@ object StreamingOps {
     // not a full RocksDB snapshot upload — the per-batch fixed cost
     // that dominates short batches, and exactly the knob a 100-TB
     // deployment flips for second-scale triggers
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set(changelogKey, "true")
     // Ephemeral run = ephemeral checkpoint: state/offset/commit writes
     // are fsync'd, so place them on tmpfs when present instead of disk
     // (durable pipelines pass a real checkpointLocation of their own,
@@ -152,6 +182,10 @@ object StreamingOps {
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None =>
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None    => spark.conf.unset(changelogKey)
       }
       org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     }

@@ -356,9 +356,22 @@ case class SimHash32(child: Expression)
 
 /** struct(n_redacted, redacted) — one-regex-pass redaction of a string
   * column (see [[HashKernels.regexRedact]]). The pattern is compiled
-  * once per expression instance at plan time. */
+  * once per expression instance at plan time.
+  *
+  * CONTRACT (enforced at construction): the replacement is appended
+  * LITERALLY — unlike `regexp_replace` (Matcher.appendReplacement), no
+  * `$n` group references or `\` escapes are interpreted — so both are
+  * rejected rather than silently diverging. Patterns that can match the
+  * empty string are also rejected: the redact/count loop (and its
+  * `size(split(s,p,-1))-1` counting twin) assume every match consumes
+  * at least one character. */
 case class RegexRedact(child: Expression, pattern: String, replacement: String)
     extends UnaryExpression with ExpectsInputTypes {
+  require(!replacement.contains('$') && !replacement.contains('\\'),
+    s"regex_redact replacement is literal; '$$'/'\\' would diverge from " +
+      s"regexp_replace semantics: '$replacement'")
+  require(!java.util.regex.Pattern.compile(pattern).matcher("").find(),
+    s"regex_redact pattern must not match the empty string: '$pattern'")
   @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
   @transient private lazy val replU = UTF8String.fromString(replacement)
 
