@@ -153,6 +153,40 @@ object StreamingQueries {
       .orderBy(col("task_id"))
   }
 
+  /** stream_recover: the CHECKPOINT-RECOVERY proof (SURVEY W4/W5,
+    * reference `SparkStreamingApp.java:228-284`). Same completion
+    * counter as stream_completion, but run through
+    * [[StreamingOps.runWithRestart]]: the query is KILLED after its
+    * first committed micro-batch and restarted from the same durable
+    * checkpoint, and the oracle hash-checks the final sink contents.
+    * The row set is right only if the restart recovered (a) source
+    * offsets — or batch 0 replays and the exactly-once sink log must
+    * suppress it, (b) the RocksDB changelog state — or serial sets
+    * seen before the kill are forgotten and tasks straddling the
+    * boundary never fire (missing rows) while already-fired tasks
+    * re-fire (extra rows). */
+  private val stream_recover: Q = (s, d) => {
+    import s.implicits._
+    def jobs(): DataFrame = {
+      val saves = StreamingOps.eventsStream(s, d).select(
+        concat(lit("v"), col("user_id").cast("string")).as("task_id"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "purchase", 1)
+          .when(col("event_type") === "signup", 2)
+          .when(col("event_type") === "view", 3)
+          .otherwise(4).as("serial"),
+        lit(5).as("num_tracklets"),
+        col("ts"))
+        .withWatermark("ts", "10 minutes")
+        .as[CompletionCounter.SaveEventTs]
+      CompletionCounter
+        .completionJobsTtl(saves, stateTtlMs = 45L * 24 * 3600 * 1000).toDF()
+        .select(col("task_id"), col("n_saved").cast("long").as("n_saved"))
+    }
+    StreamingOps.runWithRestart(s, () => jobs(), "stream_recover")
+      .orderBy(col("task_id"))
+  }
+
   /** stream_dedup: streaming exact-dedup state (P6 in streaming form —
     * the reference drops duplicated storing requests across batches,
     * `vpe/data/DataManagingApp.java:447-455`). dropDuplicates keys the
@@ -173,7 +207,8 @@ object StreamingQueries {
     "stream_windowed_agg" -> stream_windowed_agg,
     "stream_session_agg" -> stream_session_agg,
     "stream_completion" -> stream_completion,
-    "stream_completion_ttl" -> stream_completion_ttl)
+    "stream_completion_ttl" -> stream_completion_ttl,
+    "stream_recover" -> stream_recover)
 
   val oracles: Map[String, String] = Map(
     "stream_dedup" ->
@@ -261,6 +296,17 @@ object StreamingQueries {
         |  UNION ALL
         |  SELECT 'v' || CAST(user_id AS VARCHAR), 5 FROM flags
         |  WHERE NOT expired AND n0 < 5 AND n02 = 5)
+        |ORDER BY task_id""".stripMargin,
+    // identical twin to stream_completion: the recovery run must land on
+    // the exact same final table as an uninterrupted run
+    "stream_recover" ->
+      """SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,
+        |  count(DISTINCT CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+        |    WHEN 'signup' THEN 2 WHEN 'view' THEN 3 ELSE 4 END) AS n_saved
+        |FROM events
+        |GROUP BY user_id
+        |HAVING count(DISTINCT CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+        |    WHEN 'signup' THEN 2 WHEN 'view' THEN 3 ELSE 4 END) = 5
         |ORDER BY task_id""".stripMargin,
     "stream_completion" ->
       """SELECT 'v' || CAST(user_id AS VARCHAR) AS task_id,

@@ -133,63 +133,125 @@ object StreamingOps {
   val RocksDBProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-                  outputMode: String): DataFrame = {
-    // Streaming state cost scales with the number of state-store
-    // partitions (one store + checkpoint files each, per stateful op).
-    // At local bench scale 4 stores beat 32 by ~2.5× (8→4 is another
-    // ~15%, flat below 4); on a real cluster this knob is sized to
-    // executor count instead. The partition count is fixed at the first
-    // checkpoint anyway — it is a per-query setting, restored after.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+  /** Run `body` with the streaming state configuration the engine
+    * deploys with — RocksDB provider, changelog checkpointing, state
+    * partitions capped at 4 — restoring every touched setting after.
+    *
+    * Streaming state cost scales with the number of state-store
+    * partitions (one store + checkpoint files each, per stateful op).
+    * At local bench scale 4 stores beat 32 by ~2.5× (8→4 is another
+    * ~15%, flat below 4); on a real cluster this knob is sized to
+    * executor count instead. The partition count is fixed at the first
+    * checkpoint anyway — it is a per-query setting, restored after.
+    * Changelog checkpointing: per-batch durability is the delta log,
+    * not a full RocksDB snapshot upload — the per-batch fixed cost
+    * that dominates short batches, and exactly the knob a 100-TB
+    * deployment flips for second-scale triggers. */
+  private def withStateConfig[A](spark: SparkSession)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
     val prevChangelog = spark.conf.getOption(changelogKey)
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4, prev.toInt).toString)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
-    // changelog checkpointing: per-batch durability is the delta log,
-    // not a full RocksDB snapshot upload — the per-batch fixed cost
-    // that dominates short batches, and exactly the knob a 100-TB
-    // deployment flips for second-scale triggers
+    spark.conf.set(providerKey, RocksDBProvider)
     spark.conf.set(changelogKey, "true")
-    // Ephemeral run = ephemeral checkpoint: state/offset/commit writes
-    // are fsync'd, so place them on tmpfs when present instead of disk
-    // (durable pipelines pass a real checkpointLocation of their own,
-    // e.g. CompactionJob.startStream).
-    val ckptBase = new java.io.File("/dev/shm")
-    val ckpt = java.nio.file.Files.createTempDirectory(
-      (if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
-       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
-      "graft_ckpt_")
-    try {
-      val q = stream.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode(outputMode)
-        .start()
-      try {
-        q.processAllAvailable()
-        lastProgressJson = Option(q.lastProgress).map(_.json)
-      } finally q.stop()
-    } finally {
+    try body
+    finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
       }
       prevChangelog match {
         case Some(v) => spark.conf.set(changelogKey, v)
         case None    => spark.conf.unset(changelogKey)
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+                  outputMode: String): DataFrame = {
+    withStateConfig(spark) {
+      // Ephemeral run = ephemeral checkpoint: state/offset/commit writes
+      // are fsync'd, so place them on tmpfs when present instead of disk
+      // (durable pipelines pass a real checkpointLocation of their own,
+      // e.g. CompactionJob.startStream).
+      val ckptBase = new java.io.File("/dev/shm")
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        (if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
+         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
+        "graft_ckpt_")
+      try {
+        val q = stream.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(outputMode)
+          .start()
+        try {
+          q.processAllAvailable()
+          lastProgressJson = Option(q.lastProgress).map(_.json)
+        } finally q.stop()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      }
     }
     spark.table(name)
+  }
+
+  /** Kill/resume recovery harness (SURVEY W4/W5 — the reference's core
+    * durability story is recover-from-checkpoint,
+    * `SparkStreamingApp.java:228-284`): run `mkStream()` to a PARQUET
+    * sink (fault-tolerant, exactly-once via the _spark_metadata commit
+    * log) with a DURABLE on-disk checkpoint, STOP the query after its
+    * first committed micro-batch, then rebuild the same plan from
+    * `mkStream()` and restart it from the same checkpoint until all
+    * staged batches drain. The returned DataFrame reads the sink
+    * through its commit log, so it contains each batch's output exactly
+    * once ACROSS the restart boundary — correct only if offsets, sink
+    * commits, and RocksDB changelog state all survive recovery. The cut
+    * point is deliberately not pinned to a batch boundary: exactly-once
+    * recovery makes the final table invariant to where the kill lands,
+    * which is the property under test. */
+  /** (last committed batchId of run 1, of run 2) from the most recent
+    * [[runWithRestart]] — specs assert run 2 CONTINUED the batch
+    * sequence (id strictly beyond run 1's) instead of restarting at 0. */
+  @volatile var lastRestartBatchIds: Option[(Long, Long)] = None
+
+  def runWithRestart(spark: SparkSession, mkStream: () => DataFrame,
+                     name: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), s"graft_${name}_")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    withStateConfig(spark) {
+      def start(df: DataFrame) = df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      // run 1: let the first micro-batch commit, then kill the query
+      val q1 = start(mkStream())
+      val b1 = try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (q1.lastProgress == null && q1.isActive &&
+               System.nanoTime() < deadline) Thread.sleep(20)
+        Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+      } finally q1.stop() // blocks until terminated; in-flight batch aborts
+      // run 2: fresh plan, same checkpoint — offsets/state/sink-log recover
+      val q2 = start(mkStream())
+      try {
+        q2.processAllAvailable()
+        lastProgressJson = Option(q2.lastProgress).map(_.json)
+        lastRestartBatchIds =
+          Some((b1, Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)))
+      } finally q2.stop()
+    }
+    spark.read.parquet(out)
   }
 
   /** The ReID assembly join, event-time form (SURVEY J1-J3): tracklet

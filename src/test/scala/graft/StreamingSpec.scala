@@ -76,6 +76,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows > 0, "session state rows expected")
   }
 
+  test("checkpoint recovery: killed query resumes the batch sequence with state intact") {
+    // stream_recover kills its query after the first committed batch and
+    // restarts from the same checkpoint; here we assert the restart
+    // genuinely RESUMED — run 2's last batchId strictly extends run 1's
+    // (offsets recovered; a state-less restart would re-begin at 0) —
+    // and that the recovered run still ran on RocksDB with live state
+    val out = SparkEntry.queries("stream_recover")(spark, sf)
+    val batchTwin = SparkEntry.queries("stream_completion")(spark, sf)
+    assert(out.collect().toSeq == batchTwin.collect().toSeq,
+      "recovered run must land on the uninterrupted run's exact table")
+    val (b1, b2) = StreamingOps.lastRestartBatchIds.getOrElse(
+      fail("no restart batch ids recorded"))
+    assert(b1 >= 0, s"run 1 committed no batch (b1=$b1)")
+    assert(b2 > b1, s"run 2 must continue past run 1's batches ($b1 -> $b2)")
+    val pj = StreamingOps.lastProgressJson.getOrElse(
+      fail("no streaming progress recorded"))
+    assert(pj.toLowerCase.contains("rocksdb"),
+      s"RocksDB state-store metrics expected in recovered run: $pj")
+  }
+
   test("completion counter fires exactly once, at the batch completing the set") {
     implicit val sqlCtx = spark.sqlContext
     val savesIn = MemoryStream[(String, Int, Int)]
