@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SURVEY §4 routing pushdown: a consumer's array_contains(dest_ports,
+    // p) filter over a RoutedStore layout becomes `port` partition
+    // selection (topic subscription at the file level). Pre-existing
+    // sessions use RoutingPushdown.install instead.
+    e.injectOptimizerRule(_ => graft.plans.RoutingPushdown)
     reg(e, "dot_long", classOf[DotProductLong])(es => DotProductLong(es.head, es(1)))
     reg(e, "cosine_sim", classOf[CosineSimilarityD])(es => CosineSimilarityD(es.head, es(1)))
     reg(e, "l2sq_long", classOf[L2SqLong])(es => L2SqLong(es.head, es(1)))

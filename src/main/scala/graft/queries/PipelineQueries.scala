@@ -318,7 +318,58 @@ object PipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** vpe_partition_prune: partition pruning at rest (SURVEY K3 layout —
+    * the reference stores tracklets under per-task/video directories so
+    * a retrieval touches one dir, `HadoopHelper.java:232-286`). The
+    * detection stream is stored partitioned by event-time day
+    * (PartitionedStore.eventsByDay); this 3-day query's filter becomes
+    * a PartitionFilter, so the scan lists and reads 3 of ~30 day
+    * directories — the other 90% of the table is never opened.
+    * PlanAuditSpec asserts the pruning on the physical plan (non-empty
+    * PartitionFilters, numFiles ≤ days queried). */
+  private val vpe_partition_prune: Q = (s, d) => {
+    graft.storage.PartitionedStore.readEventsByDay(s, d)
+      .filter(col("day") >= 20240110 && col("day") <= 20240112)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(col("day").cast("long").as("day"), col("event_type"),
+        col("n"), col("v"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** vpe_routed_topic: the routing-pushdown rule end-to-end (SURVEY §4,
+    * reference topic-subscription `Stream.java:72-76`). Tracklets are
+    * multicast-materialized into the port-partitioned RoutedStore with
+    * PER-RECORD destinations (every record to tracklet-save, even
+    * n_boxes additionally to attr-recog, n_boxes divisible by 3 to
+    * reid); the consumer filter is the ROUTING predicate
+    * `array_contains(dest_ports,'reid')` — no mention of the partition
+    * column — and [[graft.plans.RoutingPushdown]] rewrites it to
+    * `port = 'reid'` partition selection, so the scan reads only the
+    * reid topic directory. PlanAuditSpec asserts the rewrite and the
+    * file-level pruning; the oracle checks the routed rows. */
+  private val vpe_routed_topic: Q = (s, d) => {
+    graft.plans.RoutingPushdown.install(s)
+    val dir = graft.storage.PartitionedStore.cached(d, "routed_tracklets") { p =>
+      val tr = Tracking.trackletSummaries(
+        Tracking.detectionsFromEvents(Tables.events(s, d)))
+      graft.storage.RoutedStore.write(
+        tr.withColumn("dest_ports", array_compact(array(
+          lit("tracklet-save"),
+          when(col("n_boxes") % 2 === 0, lit("attr-recog")),
+          when(col("n_boxes") % 3 === 0, lit("reid"))))),
+        p)
+    }
+    graft.storage.RoutedStore.read(s, dir)
+      .filter(array_contains(col("dest_ports"), "reid"))
+      .groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n"), sum(col("n_boxes")).cast("long").as("boxes"))
+      .orderBy(col("video_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "vpe_partition_prune" -> vpe_partition_prune,
+    "vpe_routed_topic" -> vpe_routed_topic,
     "vpe_reid_only" -> vpe_reid_only,
     "vpe_attr_named" -> vpe_attr_named,
     "vpe_fragments" -> vpe_fragments,
@@ -355,6 +406,19 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vpe_partition_prune" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS v
+        |FROM events
+        |WHERE CAST(strftime(ts, '%Y%m%d') AS BIGINT) BETWEEN 20240110 AND 20240112
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    "vpe_routed_topic" ->
+      s"""SELECT video_id, count(*) AS n, CAST(sum(n_boxes) AS BIGINT) AS boxes
+         |FROM ($trackletsSql) t
+         |WHERE n_boxes % 3 = 0
+         |GROUP BY video_id
+         |ORDER BY video_id""".stripMargin,
     "vpe_reid_only" ->
       s"""WITH tr AS (
          |  SELECT video_id || '_tarid' || CAST(serial AS VARCHAR) AS id,

@@ -55,7 +55,7 @@ object StreamingOps {
     * byte size + max mtime over all part files. Keys the staging cache
     * so a regenerated events.parquet at the same path re-stages instead
     * of silently serving stale batches. */
-  private def sourceFingerprint(path: java.nio.file.Path): String = {
+  private[graft] def sourceFingerprint(path: java.nio.file.Path): String = {
     import java.nio.file.Files
     val files =
       if (Files.isDirectory(path))

@@ -87,4 +87,20 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getInt(0)
     assert(n == 2) // abcde, bcdef at k = 5
   }
+
+  test("RoutingPushdown is active via extension injection (no install call)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ext_routed_").toString
+    graft.storage.RoutedStore.write(
+      Seq((1L, Seq("a", "b")), (2L, Seq("a"))).toDF("id", "dest_ports"), dir)
+    val plan = graft.storage.RoutedStore.read(spark, dir)
+      .filter(array_contains(col("dest_ports"), "b"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*port".r.findFirstIn(plan).isDefined
+        && plan.contains("= b"),
+      s"extension-built session must prune by port without install():\n$plan")
+  }
 }
