@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-proof harness (SCALING.md): generates the deterministic
+  * [[ScaleGen]] corpus at several sizes and runs the flagship
+  * scale-path queries from the registry — UNCHANGED, the same closures
+  * the oracle gate checks at small SF — recording wall time plus the
+  * control-plane observables each plan's 100-TB story depends on
+  * (connected-components round count, derived LSH width, RocksDB
+  * state-store rows).
+  *
+  * Per (size, query): the spark cache is cleared, the query runs once
+  * to the noop sink (cold for its own operators; table scans stay
+  * OS-page-warm, matching how a resident cluster reads hot data), then
+  * `count()` re-runs the cheap tail over the query's still-cached
+  * intermediates to record the output cardinality — the other half of
+  * a scaling claim (time can only be judged linear against the rows
+  * actually produced).
+  *
+  * Output: one JSON line per measurement on stdout + the aggregate
+  * file target/scale/scale_results.json.
+  */
+object ScaleBench {
+
+  private val ScaleQueries = Seq(
+    "dedup_exact",          // linear baseline: one hash-groupBy
+    "dedup_neardup_pairs",  // LSH banding + bucket-local Jaccard
+    "dedup_clusters",       // + iterative connected components
+    "pipeline_curate",      // full curation chain (score→dedup→CC→split)
+    "pipeline_decontam",    // broadcast shingle overlap
+    "pipeline_pack",        // sized-shard sequence packing
+    "ann_lsh_topk",         // derived-width hyperplane buckets
+    "ann_ivf_topk",         // IVF assign + nProbe search
+    "stream_enrich_join")   // 3-batch stream-stream join, RocksDB state
+
+  private def jnum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val sizes = (if (args.nonEmpty) args(0) else "125000,500000,1000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new StringBuilder("[\n")
+    var first = true
+    for (n <- sizes) {
+      val dir = s"$base/n$n"
+      val tg0 = System.nanoTime()
+      ScaleGen.ensure(spark, dir, nDocs = n, nVecs = n / 2, nEvents = n * 2)
+      val genSec = (System.nanoTime() - tg0) / 1e9
+      System.err.println(f"[scale] n=$n corpus ready in $genSec%.1f s")
+
+      // untimed warmup at each size: the first query otherwise absorbs
+      // classloading/codegen (measured 11.5 s vs 0.8 s for dedup_exact)
+      SparkEntry.queries("dedup_exact")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+      for (q <- ScaleQueries) {
+        def timedPass(): (Double, org.apache.spark.sql.DataFrame) = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, df)
+        }
+        // min-of-2: single-shot wall times on this co-tenant host vary
+        // >2× (dedup_clusters measured 41 s and 92 s on identical data);
+        // noise only ever ADDS time, so the min is the honest estimate
+        val (s1, _) = timedPass()
+        val (s2, df) = timedPass()
+        val sec = math.min(s1, s2)
+        val rows = df.count()
+        val extras = scala.collection.mutable.LinkedHashMap[String, String]()
+        q match {
+          case "dedup_clusters" | "pipeline_curate" =>
+            val r = graft.operators.Dedup.lastCcRounds
+            extras += "cc_rounds" -> r.toString
+            extras += "cc_mode" ->
+              (if (r == 0) "\"local\"" else "\"distributed\"")
+          case "ann_lsh_topk" =>
+            extras += "lsh_bits" ->
+              graft.operators.Similarity.deriveNBits(n / 2).toString
+          case "stream_enrich_join" =>
+            // peak state across batches: the final batch understates it
+            // (watermark eviction has drained the buffers by then)
+            val progresses = graft.streaming.StreamingOps.recentProgressJsons
+            if (progresses.nonEmpty) {
+              def sumOf(key: String, j: String): Long =
+                ("\"" + key + "\"\\s*:\\s*(\\d+)").r
+                  .findAllMatchIn(j).map(_.group(1).toLong).sum
+              extras += "state_rows_peak" ->
+                progresses.map(sumOf("numRowsTotal", _)).max.toString
+              extras += "state_rows_updated_total" ->
+                progresses.map(sumOf("numRowsUpdated", _)).sum.toString
+              extras += "n_batches" -> progresses.size.toString
+              extras += "rocksdb" ->
+                progresses.exists(_.contains("rocksdb")).toString
+            }
+          case _ =>
+        }
+        val extraJson =
+          extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        val line = s"""{"n_docs":$n,"query":"$q","sec":${jnum(sec)},""" +
+          s""""rows":$rows${if (extraJson.nonEmpty) "," + extraJson else ""}}"""
+        println(line)
+        if (!first) out.append(",\n")
+        out.append("  ").append(line)
+        first = false
+      }
+    }
+    out.append("\n]\n")
+    val resPath = java.nio.file.Paths.get(base, "scale_results.json")
+    java.nio.file.Files.createDirectories(resPath.getParent)
+    java.nio.file.Files.write(resPath,
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[scale] wrote $resPath")
+    spark.stop()
+  }
+}

@@ -171,22 +171,55 @@ object Dedup {
     * count is one scalar action, the classic iterative-on-Spark shape
     * (same as GraphX/Pregel, which checkpoints for the same reason).
     *
+    * SIZE-DRIVEN STRATEGY SWITCH (the same decision Spark itself makes
+    * for joins — broadcast below a threshold, shuffle above): near-dup
+    * edge sets are a tiny fraction of the corpus (pairs that survived
+    * LSH banding AND a strong-Jaccard filter), so up to
+    * `localEdgeThreshold` edges the component labels are computed with
+    * a driver-side union-find over ONE collected copy of the edge list
+    * — O(E α) with path compression, zero iterative shuffles — and
+    * applied back as ONE broadcast join. The collect is bounded by the
+    * threshold exactly like a broadcast join's build side (default
+    * 100k edges ≈ 1.6 MB of long pairs), never by the corpus. Past
+    * the threshold the iterative distributed algorithm above runs.
+    * Both paths produce identical labels (spec-checked parity).
+    *
     * Input: vertices (idCol) + edges (id_a, id_b). Output: (idCol,
     * cluster_id) with cluster_id = min id in the component. THROWS if
     * maxIter rounds don't reach the fixpoint (a silent partial result
     * would mislabel clusters). */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, maxIter: Int = 20,
-                          jumpAfter: Int = 3): DataFrame =
-    ccRounds(vertices, idCol, edges, maxIter, jumpAfter)._1
+                          jumpAfter: Int = 3,
+                          localEdgeThreshold: Long = 100000L): DataFrame =
+    ccRounds(vertices, idCol, edges, maxIter, jumpAfter, localEdgeThreshold)._1
+
+  /** Rounds taken by the most recent [[connectedComponents]] run in
+    * this JVM — observability for the scale harness (ScaleBench records
+    * it per corpus size; a round count that grows with the corpus would
+    * mean component diameters do, i.e. the dup-chain structure leaks). */
+  @volatile private[graft] var lastCcRounds: Int = -1
 
   /** [[connectedComponents]] + the number of rounds it took (the spec
-    * surface for the pointer-jump acceleration claim). */
+    * surface for the pointer-jump acceleration claim; 0 = the
+    * driver-local union-find path ran). */
   private[graft] def ccRounds(vertices: DataFrame, idCol: String,
                               edges: DataFrame, maxIter: Int,
-                              jumpAfter: Int): (DataFrame, Int) = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+                              jumpAfter: Int,
+                              localEdgeThreshold: Long = 100000L): (DataFrame, Int) = {
+    // cache the edge plan: it is usually the expensive survivor of an
+    // LSH + Jaccard pipeline, and both strategies below read it twice
+    // (size probe, then collect-or-symmetrize)
+    val edgesC = edges.cache()
+    val nEdges = edgesC.count()
+    if (nEdges <= localEdgeThreshold) {
+      val out = ccLocal(vertices, idCol, edgesC)
+      edgesC.unpersist()
+      lastCcRounds = 0
+      return (out, 0)
+    }
+    val sym = edgesC.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edgesC.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).cache()
     var pinned = labels // the round currently holding storage
@@ -238,12 +271,49 @@ object Dedup {
       }
     }
     sym.unpersist()
+    edgesC.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it rather than " +
           "accept silently mislabeled clusters")
+    lastCcRounds = iter
     (labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "cluster_id"),
       iter)
+  }
+
+  /** Driver-local component labeling for bounded edge sets: union-find
+    * with path compression + union by min id, labels shipped back as a
+    * broadcast join (vertices never leave the cluster; only the edge
+    * list — already below the threshold — is collected). */
+  private def ccLocal(vertices: DataFrame, idCol: String,
+                      edges: DataFrame): DataFrame = {
+    val pairs = edges
+      .select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    pairs.foreach { p =>
+      val (ra, rb) = (find(p.getLong(0)), find(p.getLong(1)))
+      if (ra != rb) { // min id becomes the root, so the root IS the label
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val labeled = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(v => labeled += ((v, find(v))))
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val mapDf = labeled.toSeq.toDF("id", "comp")
+    vertices.select(col(idCol))
+      .join(broadcast(mapDf), col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster_id"))
   }
 }

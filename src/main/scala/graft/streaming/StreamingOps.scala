@@ -125,6 +125,12 @@ object StreamingOps {
     * after the encapsulated query has stopped. */
   @volatile var lastProgressJson: Option[String] = None
 
+  /** All retained per-batch progress JSONs of the last [[runToMemory]]
+    * run (oldest first) — the final batch alone understates streaming
+    * state (eviction has already drained it); peak state rows live in
+    * the intermediate batches' progress. */
+  @volatile var recentProgressJsons: Seq[String] = Nil
+
   /** RocksDB state store: streaming state lives off-heap on local disk
     * instead of the HDFSBackedStateStore's executor-heap maps. At
     * 100 TB the join-buffer/session state of a dense stream exceeds
@@ -194,6 +200,7 @@ object StreamingOps {
         try {
           q.processAllAvailable()
           lastProgressJson = Option(q.lastProgress).map(_.json)
+          recentProgressJsons = q.recentProgress.toSeq.map(_.json)
         } finally q.stop()
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)

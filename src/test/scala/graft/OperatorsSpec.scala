@@ -266,11 +266,13 @@ class OperatorsSpec extends AnyFunSuite {
     val verts = (1L to 25L).toDF("doc_id")
     val edges = (1L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 3).collect()
+      Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 3,
+        localEdgeThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // and with enough rounds the same chain collapses to one cluster
-    val ok = Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 30)
+    val ok = Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 30,
+        localEdgeThreshold = 0L)
       .select("cluster_id").distinct().collect()
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
@@ -280,8 +282,10 @@ class OperatorsSpec extends AnyFunSuite {
     // halves the remaining distance each round
     val verts = (1L to 17L).toDF("doc_id")
     val edges = (1L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (outJ, rJ) = Dedup.ccRounds(verts, "doc_id", edges, 40, jumpAfter = 0)
-    val (outP, rP) = Dedup.ccRounds(verts, "doc_id", edges, 40, jumpAfter = 40)
+    val (outJ, rJ) = Dedup.ccRounds(verts, "doc_id", edges, 40, jumpAfter = 0,
+      localEdgeThreshold = 0L)
+    val (outP, rP) = Dedup.ccRounds(verts, "doc_id", edges, 40, jumpAfter = 40,
+      localEdgeThreshold = 0L)
     assert(outJ.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
       outP.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
     assert(rJ * 2 < rP, s"jump took $rJ rounds vs plain $rP — expected < half")
@@ -294,6 +298,50 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 8L -> 1L,
       2L -> 2L, 4L -> 2L, 6L -> 2L, 7L -> 7L))
+  }
+
+  test("skewSafeBucketKeys: cold buckets untouched, degenerate piles salted") {
+    // spread vectors: every bucket within the cap -> sub stays 0 and
+    // (bucket, sub) degenerates to the plain hyperplane bucket
+    val spread = (1L to 200L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 37 + j * 11) % 19 - 9) * 100))
+    }.toDF("vec_id", "qv")
+    val cold = Similarity.skewSafeBucketKeys(spread, "vec_id", 8, 4, capPop = 64)
+    assert(cold.filter(col("sub") =!= 0).count() == 0)
+    assert(cold.count() == 200)
+
+    // a pile of 500 IDENTICAL vectors: no hyperplane (original or
+    // extra) can separate them, so pass 2 must salt the residual down
+    // to ~capPop — the hard cost bound the operator exists for
+    val pile = (1L to 500L).map(i => (i, Array.fill(8)(1000L)))
+      .toDF("vec_id", "qv")
+    val salted = Similarity.skewSafeBucketKeys(pile, "vec_id", 8, 4, capPop = 32)
+    val groups = salted.groupBy("bucket", "sub").count()
+      .collect().map(_.getLong(2))
+    assert(groups.sum == 500, "no row may be lost or duplicated")
+    assert(groups.length > 1, "the pile must split")
+    assert(groups.max <= 2L * 32, s"pile shard too big: ${groups.max}")
+  }
+
+  test("connectedComponents: driver-local union-find ≡ distributed labels") {
+    // deterministic pseudo-random graph: 60 vertices, 45 edges — small
+    // enough to collect, branchy enough (merging chains, diamonds,
+    // isolated vertices) that a union-find bug would diverge somewhere
+    val verts = (1L to 60L).toDF("doc_id")
+    val edges = (0 until 45).map { i =>
+      val a = (i * 2654435761L % 60) + 1
+      val b = (i * 40503L % 60) + 1
+      (a, b)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(Dedup.connectedComponents(verts, "doc_id", edges))
+    val dist = toMap(Dedup.connectedComponents(verts, "doc_id", edges,
+      localEdgeThreshold = 0L))
+    assert(local == dist)
+    // the local path reports 0 rounds (no iteration ran)
+    val (_, r) = Dedup.ccRounds(verts, "doc_id", edges, 20, 3)
+    assert(r == 0)
   }
 
   test("bpeTokenCount matches hand-tokenized examples") {
