@@ -27,6 +27,7 @@ object ScaleBench {
     "dedup_exact",          // linear baseline: one hash-groupBy
     "dedup_neardup_pairs",  // LSH banding + bucket-local Jaccard
     "dedup_clusters",       // + iterative connected components
+    "dedup_embed_neardup",  // banded embedding pairs + cosine
     "pipeline_curate",      // full curation chain (score→dedup→CC→split)
     "pipeline_decontam",    // broadcast shingle overlap
     "pipeline_pack",        // sized-shard sequence packing
@@ -40,6 +41,12 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sizes = (if (args.nonEmpty) args(0) else "125000,500000,1000000")
       .split(",").map(_.trim.toLong).toSeq
+    // optional 2nd arg: comma list restricting which queries run (rung
+    // re-measurement / single-query investigation without paying for
+    // the whole ladder); results still land in scale_results.json —
+    // merge partial reruns into the full table by hand
+    val onlyQueries = if (args.length > 1)
+      Some(args(1).split(",").map(_.trim).toSet) else None
     val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -66,7 +73,7 @@ object ScaleBench {
       SparkEntry.queries("dedup_exact")(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-      for (q <- ScaleQueries) {
+      for (q <- ScaleQueries if onlyQueries.forall(_.contains(q))) {
         def timedPass(): (Double, org.apache.spark.sql.DataFrame) = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()

@@ -234,17 +234,39 @@ object Similarity {
     * is a quadratic block and a hot shuffle key at corpus scale — while
     * the (group ++ band) composite key cuts every group into
     * 2^bitsPerBand sub-buckets whose size the hyperplanes, not the
-    * data skew, control. SQL twin: [[graft.queries.SimilaritySql]]. */
+    * data skew, control. SQL twin: [[graft.queries.SimilaritySql]].
+    *
+    * `refineQvCol`: when set (to the quantized-vector column's name),
+    * the banded keys get the same OBSERVED-population skew control as
+    * [[skewSafeBucketKeys]] — a (group, band, band_val) population is
+    * n_group / 2^bitsPerBand in expectation, which grows LINEARLY with
+    * the corpus (band width is fixed), so at scale every banded key is
+    * a quadratic block; measured on the ScaleGen corpus, see
+    * SCALING.md §4.3. Hot keys are refined by [[refineHotKeys]]; cold
+    * keys keep sub = 0 and produce the exact unrefined pair set, which
+    * is why the small-SF oracle twins need no SQL change. */
   def bandedCandidatePairs(vecs: DataFrame, groupCols: Seq[String],
                            idCol: String, bucketCol: String,
-                           bitsPerBand: Int, nBands: Int): DataFrame = {
+                           bitsPerBand: Int, nBands: Int,
+                           refineQvCol: Option[String] = None,
+                           dims: Int = 64, capPop: Int = 256,
+                           maxExtraBits: Int = 8): DataFrame = {
     val banded = vecs.select(
-      groupCols.map(col) ++ Seq(col(idCol).as("_pid"),
+      groupCols.map(col) ++ refineQvCol.map(col).toSeq ++ Seq(
+        col(idCol).as("_pid"),
         posexplode(bucketBands(col(bucketCol), bitsPerBand, nBands))
           .as(Seq("band", "band_val"))): _*)
-    val keys = groupCols ++ Seq("band", "band_val")
-    val a = banded.withColumnRenamed("_pid", "id_a")
-    val b = banded.withColumnRenamed("_pid", "id_b")
+    val keys0 = groupCols ++ Seq("band", "band_val")
+    val (keyed, keys) = refineQvCol match {
+      case Some(qv) =>
+        // extra hyperplanes start past the bucket's own bit family
+        val r = refineHotKeys(banded, keys0, "_pid", qv, dims,
+          offset = bitsPerBand * nBands, capPop, maxExtraBits).drop(qv)
+        (r, keys0 :+ "sub")
+      case None => (banded, keys0)
+    }
+    val a = keyed.withColumnRenamed("_pid", "id_a")
+    val b = keyed.withColumnRenamed("_pid", "id_b")
     a.join(b, keys).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -311,6 +333,24 @@ object Similarity {
   def skewSafeBucketKeys(emb: DataFrame, idCol: String, dims: Int,
                          nBits: Int, capPop: Int = 256,
                          maxExtraBits: Int = 8): DataFrame = {
+    val b = emb.withColumn("bucket", hyperplaneBucket(col("qv"), dims, nBits))
+    refineHotKeys(b, Seq("bucket"), idCol, "qv", dims, offset = nBits,
+      capPop, maxExtraBits)
+  }
+
+  /** The two observed-population passes of [[skewSafeBucketKeys]],
+    * generalized to ANY join-key set over rows that carry a quantized
+    * vector — the shared skew-control core of the bucketed
+    * (`ann_lsh_topk`) and banded (`vpe_similar_topk`,
+    * `dedup_embed_neardup`) pair spaces. Adds column `sub` (0 for
+    * every key whose population is within `capPop` — the common case,
+    * and the reason small-SF oracle results are unchanged); callers
+    * append `sub` to their pair-join key. `offset` must point past the
+    * hyperplane family that produced the incoming keys so refinement
+    * bits are independent of them. */
+  def refineHotKeys(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    qvCol: String, dims: Int, offset: Int,
+                    capPop: Int = 256, maxExtraBits: Int = 8): DataFrame = {
     // ceil(log2(pop/cap)) in pure integer arithmetic: bit width of the
     // truncated quotient (bin() renders a bigint; its length IS
     // floor(log2)+1); 0 when within the cap
@@ -318,20 +358,21 @@ object Similarity {
       val q = floor((pop - 1) / capPop).cast("long")
       when(q === 0, 0).otherwise(length(bin(q))).cast("int")
     }
-    val b = emb.withColumn("bucket", hyperplaneBucket(col("qv"), dims, nBits))
-    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("pop"))
-    val refined = b.join(broadcast(sizes), "bucket")
-      .withColumn("_eb", least(widthOver(col("pop")), lit(maxExtraBits)))
+    val keys = keyCols.map(col)
+    val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("_pop"))
+    val refined = df.join(broadcast(sizes), keyCols)
+      .withColumn("_eb", least(widthOver(col("_pop")), lit(maxExtraBits)))
       .withColumn("_extra",
-        hyperplaneBucket(col("qv"), dims, maxExtraBits, offset = nBits))
+        hyperplaneBucket(col(qvCol), dims, maxExtraBits, offset = offset))
       .withColumn("_sube", expr("_extra & (shiftleft(1L, _eb) - 1)"))
-      .drop("pop", "_eb", "_extra")
-    val sizes2 = refined.groupBy("bucket", "_sube").agg(count(lit(1)).as("pop2"))
-    refined.join(broadcast(sizes2), Seq("bucket", "_sube"))
-      .withColumn("_sb", widthOver(col("pop2")))
+      .drop("_pop", "_eb", "_extra")
+    val sizes2 = refined.groupBy((keys :+ col("_sube")): _*)
+      .agg(count(lit(1)).as("_pop2"))
+    refined.join(broadcast(sizes2), keyCols :+ "_sube")
+      .withColumn("_sb", widthOver(col("_pop2")))
       .withColumn("_salt", abs(xxhash64(col(idCol))))
       .withColumn("sub", expr(
         "shiftleft(_sube, _sb) | (_salt & (shiftleft(1L, _sb) - 1))"))
-      .drop("pop2", "_sb", "_salt", "_sube")
+      .drop("_pop2", "_sb", "_salt", "_sube")
   }
 }

@@ -314,11 +314,17 @@ object DataPipelineQueries {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"),
-        Similarity.hyperplaneBucket(
-          Similarity.quantize(col("embedding")), 64, 8).as("bucket"))
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
       .cache()
+    // refineQvCol: a banded key's population grows linearly with the
+    // corpus (band width is fixed), so hot keys get observed-population
+    // refinement — measured quadratic pre-fix, SCALING.md §4.3; at the
+    // oracle SFs every key is under the cap and the pair set (and the
+    // static SQL twin) is unchanged
     val cand = Similarity.bandedCandidatePairs(
-      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2)
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
+      refineQvCol = Some("qv"))
     val scored = cand
       .join(emb.select(col("vec_id").as("id_a"), col("emb").as("ea")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("emb").as("eb")), "id_b")

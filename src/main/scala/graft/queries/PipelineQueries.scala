@@ -120,8 +120,12 @@ object PipelineQueries {
       .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
       .cache()
+    // refineQvCol: see dedup_embed_neardup — banded keys grow linearly
+    // with the corpus, hot ones get observed-population refinement
+    // (no-op at oracle SFs, so the SQL twin is unchanged)
     val cand = Similarity.bandedCandidatePairs(
-      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2)
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
+      refineQvCol = Some("qv"))
     val scored = cand
       .join(emb.select(col("vec_id").as("id_a"), col("qv").as("qa")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("qv").as("qb")), "id_b")

@@ -163,6 +163,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cand.nonEmpty)
   }
 
+  test("bandedCandidatePairs refinement: no-op when cold, bounded when a label is hot") {
+    // cold: the sf fixture's banded keys are all under the cap, so the
+    // refined operator must produce the EXACT unrefined pair set (this
+    // is the property the static SQL oracle twins rely on)
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    def pairSet(refine: Option[String]) = Similarity.bandedCandidatePairs(
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
+      refineQvCol = refine)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Some("qv")) == pairSet(None))
+
+    // hot: one label holding a pile of identical vectors — the
+    // unrefined pair space is exactly n(n-1)/2; refinement must salt
+    // it down to bounded shards without losing any vector
+    val pile = (1L to 400L).map(i => (i, 1, Array.fill(64)(1000L)))
+      .toDF("vec_id", "label", "qv")
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+    val refined = Similarity.bandedCandidatePairs(
+      pile, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
+      refineQvCol = Some("qv"), capPop = 32)
+    val nPairs = refined.count()
+    assert(nPairs < 400L * 399 / 2 / 4, s"pair space not bounded: $nPairs")
+    // every vector keeps at least one candidate partner (shards ≈ cap)
+    val ids = refined.select(col("id_a").as("id"))
+      .unionByName(refined.select(col("id_b").as("id")))
+      .distinct().count()
+    assert(ids == 400)
+  }
+
   test("deriveNBits sizes the LSH bucket space from the corpus count") {
     import graft.operators.Similarity.deriveNBits
     // shipped SFs (50 / 500 / 5000 vectors) all sit on the 8-bit floor,
