@@ -251,24 +251,72 @@ object Similarity {
                            refineQvCol: Option[String] = None,
                            dims: Int = 64, capPop: Int = 256,
                            maxExtraBits: Int = 8): DataFrame = {
-    val banded = vecs.select(
-      groupCols.map(col) ++ refineQvCol.map(col).toSeq ++ Seq(
-        col(idCol).as("_pid"),
-        posexplode(bucketBands(col(bucketCol), bitsPerBand, nBands))
-          .as(Seq("band", "band_val"))): _*)
-    val keys0 = groupCols ++ Seq("band", "band_val")
-    val (keyed, keys) = refineQvCol match {
-      case Some(qv) =>
-        // extra hyperplanes start past the bucket's own bit family
-        val r = refineHotKeys(banded, keys0, "_pid", qv, dims,
-          offset = bitsPerBand * nBands, capPop, maxExtraBits).drop(qv)
-        (r, keys0 :+ "sub")
-      case None => (banded, keys0)
-    }
+    val (keyed, keys) = bandedKeyed(vecs, groupCols, idCol, bucketCol,
+      bitsPerBand, nBands, refineQvCol, dims, capPop, maxExtraBits, Nil)
     val a = keyed.withColumnRenamed("_pid", "id_a")
     val b = keyed.withColumnRenamed("_pid", "id_b")
     a.join(b, keys).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** [[bandedCandidatePairs]] that also SCORES each pair, inside the
+    * band-local join. The two-phase form — pair ids first, then two
+    * joins back to the corpus to fetch both payloads — reshuffles
+    * |pairs| rows of payload width, and pairs outnumber vectors by the
+    * bucket cap: measured at the 1M-doc rung, ~50 GB of 512-byte
+    * embedding rows through the pair-id joins (SCALING.md §4.4).
+    * Scoring while both payloads are ALREADY co-located in the band
+    * shuffle leaves only (id_a, id_b, score) — 24 bytes — for the
+    * dedup aggregate; the payload never moves again. Band-duplicated
+    * pairs score twice (bounded by nBands) and collapse via max — the
+    * score is a pure function of the pair, so all copies are equal and
+    * the result set is exactly the two-phase one's. */
+  def bandedScoredPairs(vecs: DataFrame, groupCols: Seq[String],
+                        idCol: String, bucketCol: String,
+                        payloadCol: String,
+                        score: (Column, Column) => Column,
+                        bitsPerBand: Int, nBands: Int,
+                        refineQvCol: Option[String] = None,
+                        dims: Int = 64, capPop: Int = 256,
+                        maxExtraBits: Int = 8): DataFrame = {
+    val (keyed, keys) = bandedKeyed(vecs, groupCols, idCol, bucketCol,
+      bitsPerBand, nBands, refineQvCol, dims, capPop, maxExtraBits,
+      carryCols = Seq(payloadCol))
+    val a = keyed.select(keys.map(col) :+ col("_pid").as("id_a")
+      :+ col(payloadCol).as("_pa"): _*)
+    val b = keyed.select(keys.map(col) :+ col("_pid").as("id_b")
+      :+ col(payloadCol).as("_pb"): _*)
+    a.join(b, keys).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), score(col("_pa"), col("_pb")).as("score"))
+      .groupBy("id_a", "id_b").agg(max(col("score")).as("score"))
+  }
+
+  /** Shared core of the banded pair operators: explode bucketCol into
+    * (band, band_val) keys, optionally refine hot keys
+    * ([[refineHotKeys]]), and carry `carryCols` payloads through.
+    * Returns (rows keyed by the result keys with the id as `_pid`,
+    * the pair-join key names). */
+  private def bandedKeyed(vecs: DataFrame, groupCols: Seq[String],
+                          idCol: String, bucketCol: String,
+                          bitsPerBand: Int, nBands: Int,
+                          refineQvCol: Option[String], dims: Int,
+                          capPop: Int, maxExtraBits: Int,
+                          carryCols: Seq[String]): (DataFrame, Seq[String]) = {
+    val carry = (refineQvCol.toSeq ++ carryCols).distinct
+    val banded = vecs.select(
+      groupCols.map(col) ++ carry.map(col) ++ Seq(
+        col(idCol).as("_pid"),
+        posexplode(bucketBands(col(bucketCol), bitsPerBand, nBands))
+          .as(Seq("band", "band_val"))): _*)
+    val keys0 = groupCols ++ Seq("band", "band_val")
+    refineQvCol match {
+      case Some(qv) =>
+        // extra hyperplanes start past the bucket's own bit family
+        val r = refineHotKeys(banded, keys0, "_pid", qv, dims,
+          offset = bitsPerBand * nBands, capPop, maxExtraBits)
+        (if (carryCols.contains(qv)) r else r.drop(qv), keys0 :+ "sub")
+      case None => (banded, keys0)
+    }
   }
 
   /** LSH bucketing by random-hyperplane signs (the ANN scale path):
@@ -360,6 +408,14 @@ object Similarity {
     }
     val keys = keyCols.map(col)
     val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("_pop"))
+    // cold corpus (no key over the cap — every oracle SF, and any
+    // fixture below ~cap·keyspace rows): the refinement would be a
+    // provable no-op, so skip its two broadcast joins and second
+    // aggregate entirely. The probe is a driver-side action BOUNDED by
+    // the key space (≤ 2^nBits + n/capPop rows — control-plane sized,
+    // like the IVF centroid seeds), never by the corpus.
+    if (sizes.filter(col("_pop") > capPop).isEmpty)
+      return df.withColumn("sub", lit(0L))
     val refined = df.join(broadcast(sizes), keyCols)
       .withColumn("_eb", least(widthOver(col("_pop")), lit(maxExtraBits)))
       .withColumn("_extra",

@@ -321,15 +321,14 @@ object DataPipelineQueries {
     // corpus (band width is fixed), so hot keys get observed-population
     // refinement — measured quadratic pre-fix, SCALING.md §4.3; at the
     // oracle SFs every key is under the cap and the pair set (and the
-    // static SQL twin) is unchanged
-    val cand = Similarity.bandedCandidatePairs(
-      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
-      refineQvCol = Some("qv"))
-    val scored = cand
-      .join(emb.select(col("vec_id").as("id_a"), col("emb").as("ea")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("emb").as("eb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("ea"), col("eb")).as("cos"))
+    // static SQL twin) is unchanged. Scoring happens INSIDE the
+    // band-local join (SCALING.md §4.4): re-joining the corpus per pair
+    // id would reshuffle |pairs| embedding-wide rows.
+    val scored = Similarity.bandedScoredPairs(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "emb", score = Similarity.cosine(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+      .withColumnRenamed("score", "cos")
     val directed = scored
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(scored

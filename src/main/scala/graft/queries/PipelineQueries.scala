@@ -122,15 +122,13 @@ object PipelineQueries {
       .cache()
     // refineQvCol: see dedup_embed_neardup — banded keys grow linearly
     // with the corpus, hot ones get observed-population refinement
-    // (no-op at oracle SFs, so the SQL twin is unchanged)
-    val cand = Similarity.bandedCandidatePairs(
-      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
-      refineQvCol = Some("qv"))
-    val scored = cand
-      .join(emb.select(col("vec_id").as("id_a"), col("qv").as("qa")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("qv").as("qb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        Similarity.dotLong(col("qa"), col("qb")).as("score"))
+    // (no-op at oracle SFs, so the SQL twin is unchanged). Scored
+    // inside the band-local join (SCALING.md §4.4), never re-joining
+    // the corpus per pair id.
+    val scored = Similarity.bandedScoredPairs(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "qv", score = Similarity.dotLong(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
     val directed = scored
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
       .unionByName(scored

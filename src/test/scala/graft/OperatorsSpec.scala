@@ -197,6 +197,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids == 400)
   }
 
+  test("bandedScoredPairs ≡ candidate pairs + corpus re-join scoring") {
+    // the in-join scoring form must produce exactly the two-phase
+    // result (pair set AND values) — it exists purely to kill the
+    // payload-wide pair-id reshuffle (SCALING.md §4.4)
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    val inJoin = Similarity.bandedScoredPairs(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "qv", score = Similarity.dotLong(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cand = Similarity.bandedCandidatePairs(
+      emb, Seq("label"), "vec_id", "bucket", bitsPerBand = 4, nBands = 2,
+      refineQvCol = Some("qv"))
+    val twoPhase = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("qv").as("qa")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("qv").as("qb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.dotLong(col("qa"), col("qb")).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inJoin == twoPhase)
+  }
+
   test("deriveNBits sizes the LSH bucket space from the corpus count") {
     import graft.operators.Similarity.deriveNBits
     // shipped SFs (50 / 500 / 5000 vectors) all sit on the 8-bit floor,
