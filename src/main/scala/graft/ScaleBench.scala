@@ -28,6 +28,8 @@ object ScaleBench {
     "dedup_neardup_pairs",  // LSH banding + bucket-local Jaccard
     "dedup_clusters",       // + iterative connected components
     "dedup_embed_neardup",  // banded embedding pairs + cosine
+    "dedup_simhash_pairs",  // 32-bit simhash bands (quadratic OUTPUT, §4.5)
+    "dedup_simhash64_pairs", // 64-bit simhash bands — the at-scale form
     "pipeline_curate",      // full curation chain (score→dedup→CC→split)
     "pipeline_decontam",    // broadcast shingle overlap
     "pipeline_pack",        // sized-shard sequence packing

@@ -103,6 +103,20 @@ object Dedup {
     * fine for single use, not for wide fan-out). */
   def simHash32(text: Column): Column = simHashFromHashes(tokenHashes(text))
 
+  /** 64-bit SimHash of a text column — the AT-SCALE fingerprint width.
+    * 32 bits have too little resolution for corpus-scale near-dup
+    * detection: unrelated short documents land within hamming ≤ 3
+    * often enough that the pair OUTPUT itself grows quadratically
+    * (measured ×39 pairs for ×6.25 docs, SCALING.md §4.5), which no
+    * plan shape can absorb. At 64 bits the expected random-pair count
+    * at hamming ≤ 3 stays single-digit past 10^6 docs (n²·4.4e4/2^64),
+    * the standard web-dedup design point (Manku et al., WWW'07 —
+    * public literature). Low 32 hash bits per token equal the 32-bit
+    * path's, so both fingerprints derive from one md5 pass. */
+  def simHash64(text: Column): Column =
+    org.apache.spark.sql.graft.HashExpressions.simhash64(
+      org.apache.spark.sql.graft.HashExpressions.token_hash64(text))
+
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -177,6 +177,23 @@ object DataPipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dedup_simhash64_pairs: the AT-SCALE simhash near-dup surface —
+    * 64-bit fingerprints, 4 × 16-bit bands (full recall at
+    * hamming ≤ 3 by pigeonhole, same guarantee as the 32-bit form).
+    * Registered ALONGSIDE dedup_simhash_pairs because the 32-bit
+    * output is inherently quadratic in the corpus (measured ×39 pairs
+    * for ×6.25 docs — resolution, not plan shape; SCALING.md §4.5):
+    * a 100-TB user runs this one. Band populations are n/65536 in
+    * expectation, and the 16-bit width also keeps every DuckDB twin
+    * value inside signed-BIGINT range. */
+  private val dedup_simhash64_pairs: Q = (s, d) => {
+    val fps = Tables.documents(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("fp"))
+    Dedup.simHashNearDupPairs(fps, "doc_id", "fp", maxHamming = 3,
+      bits = 64, nBands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** text_stats: token/char statistics + quality scoring (integer
     * basis-point arithmetic). */
   private val text_stats: Q = (s, d) => {
@@ -584,6 +601,7 @@ object DataPipelineQueries {
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_simhash" -> dedup_simhash,
     "dedup_simhash_pairs" -> dedup_simhash_pairs,
+    "dedup_simhash64_pairs" -> dedup_simhash64_pairs,
     "text_stats" -> text_stats,
     "text_bpe_tokens" -> text_bpe_tokens,
     "text_langid" -> text_langid,
@@ -604,6 +622,16 @@ object DataPipelineQueries {
   /** DuckDB twin of HashFunctions.hash32. */
   private def h32(e: String): String =
     s"CAST(CAST('0x' || substr(md5($e), 1, 8) AS UBIGINT) AS BIGINT)"
+
+  /** High half of HashKernels.hash64 (md5 bytes 4-7). */
+  private def hi32(e: String): String =
+    s"CAST(CAST('0x' || substr(md5($e), 9, 8) AS UBIGINT) AS BIGINT)"
+
+  /** 32 per-bit majority-vote terms of a SimHash half over token-hash
+    * list `thCol` — [[simhashBitExprs]] parameterized by column. */
+  private def simhashHalfSql(thCol: String): String = (0 until 32).map { bIdx =>
+    s"(CASE WHEN list_sum(list_transform($thCol, h -> ((h >> $bIdx) & 1) * 2 - 1)) > 0 THEN ${1L << bIdx} ELSE 0 END)"
+  }.mkString(" + ")
 
   /** DuckDB twin of Dedup.shingleHashes (distinct k-shingle hashes). */
   private def shingleHashesSqlK(k: Int): String =
@@ -885,6 +913,37 @@ object DataPipelineQueries {
          |JOIN fp fa ON fa.doc_id = p.id_a
          |JOIN fp fb ON fb.doc_id = p.id_b
          |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // 64-bit twin: the fingerprint is carried as two unsigned-32
+    // halves (lo = md5 bytes 0-3 = the 32-bit path's hash, hi = bytes
+    // 4-7) so every value stays inside signed BIGINT; hamming is the
+    // sum of half-wise bit_counts, bands 0-1 come from lo, 2-3 from hi
+    "dedup_simhash64_pairs" ->
+      s"""WITH th_t AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t -> ${h32("t")}) AS tl,
+         |    list_transform(string_split(text, ' '), t -> ${hi32("t")}) AS th
+         |  FROM documents),
+         |fp AS (SELECT doc_id, ${simhashHalfSql("tl")} AS fp_lo,
+         |  ${simhashHalfSql("th")} AS fp_hi FROM th_t),
+         |banded AS (
+         |  SELECT doc_id, b.band,
+         |    CASE WHEN b.band < 2 THEN (fp_lo >> (b.band * 16)) & 65535
+         |         ELSE (fp_hi >> ((b.band - 2) * 16)) & 65535 END AS band_val
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(bit_count(xor(fa.fp_lo, fb.fp_lo)) +
+         |       bit_count(xor(fa.fp_hi, fb.fp_hi)) AS BIGINT) AS hamming
+         |FROM pairs p
+         |JOIN fp fa ON fa.doc_id = p.id_a
+         |JOIN fp fb ON fb.doc_id = p.id_b
+         |WHERE bit_count(xor(fa.fp_lo, fb.fp_lo)) +
+         |      bit_count(xor(fa.fp_hi, fb.fp_hi)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH th_t AS (

@@ -258,6 +258,73 @@ object HashKernels {
     }
     fp
   }
+
+  /** 64-bit token hash: md5 bytes 4-7 in the high half, bytes 0-3 in
+    * the low half (the low half IS [[hash32]], so the 32-bit twins
+    * keep matching). Split keeps every DuckDB-side computation inside
+    * signed-BIGINT range: the oracle carries (hi, lo) as two unsigned
+    * 32-bit values and never casts a full unsigned 64-bit literal. */
+  def hash64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    val lo = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    val hi = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    (hi << 32) | lo
+  }
+
+  /** array<long> of 64-bit hashes of space-separated tokens. */
+  def tokenHash64(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var nTok = 1
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') nTok += 1; p += 1 }
+    val out = new Array[Long](nTok)
+    var start = 0
+    var t = 0
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') {
+        out(t) = hash64(bytes, start, p - start)
+        t += 1
+        start = p + 1
+      }
+      p += 1
+    }
+    out(t) = hash64(bytes, start, bytes.length - start)
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash from a 64-bit token-hash array — the at-scale
+    * fingerprint width: 32 bits put unrelated short documents within
+    * hamming 3 of each other often enough that the near-dup OUTPUT
+    * grows quadratically with the corpus (measured, SCALING.md §4.5);
+    * at 64 bits the expected random-pair rate at hamming ≤ 3 is
+    * ~n²·4.4e4/2^64 — single digits even at 10^6 docs. */
+  def simHash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L) * 2 - 1).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
 }
 
 /** array<long> of distinct k-shingle hashes of a string column. */
@@ -351,6 +418,42 @@ case class SimHash32(child: Expression)
       s"${ev.value} = org.apache.spark.sql.graft.HashKernels.simHash32($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** array<long> of 64-bit hashes of space-separated tokens. */
+case class TokenHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hash64"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.tokenHash64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.tokenHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash64 =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint from a 64-bit token-hash array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.simHash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.simHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
@@ -494,6 +597,14 @@ object HashExpressions {
   /** One-pass 32-bit SimHash over a token-hash column. */
   def simhash32(th: Column): Column =
     ExpressionUtils.column(SimHash32(ExpressionUtils.expression(th)))
+
+  /** array<long> of 64-bit token hashes of a text column. */
+  def token_hash64(text: Column): Column =
+    ExpressionUtils.column(TokenHash64(ExpressionUtils.expression(text)))
+
+  /** One-pass 64-bit SimHash over a 64-bit token-hash column. */
+  def simhash64(th: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(th)))
 
   /** One-pass struct(n_tokens, n_distinct, top_share_bp) of a text
     * column (codegen'd, zero shuffles). */

@@ -197,6 +197,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids == 400)
   }
 
+  test("simhash64: banded pairs ≡ brute-force hamming ≤ 3; low half = hash32 vote") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf).limit(200).cache()
+    val fps = docs.select(col("doc_id"), Dedup.simHash64(col("text")).as("fp"))
+    val banded = Dedup.simHashNearDupPairs(fps, "doc_id", "fp",
+      maxHamming = 3, bits = 64, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Number](2).longValue).toMap
+    // pigeonhole FULL recall: 4 bands of 16 bits, hamming ≤ 3 < 4 ⇒
+    // at least one band matches exactly ⇒ banding loses nothing
+    val all = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(banded == brute)
+    // the 64-bit fingerprint's low 32 bits vote with the same token
+    // hashes as the 32-bit fingerprint (one md5 pass serves both)
+    val both = docs.select(
+      Dedup.simHash32(col("text")).as("s32"),
+      Dedup.simHash64(col("text")).as("s64")).collect()
+    for (r <- both)
+      assert((r.getLong(1) & 0xffffffffL) == (r.getLong(0) & 0xffffffffL))
+  }
+
   test("bandedScoredPairs ≡ candidate pairs + corpus re-join scoring") {
     // the in-join scoring form must produce exactly the two-phase
     // result (pair set AND values) — it exists purely to kill the
