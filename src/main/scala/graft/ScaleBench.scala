@@ -60,6 +60,9 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // state stores shard across all cores at scale (the cluster-shaped
+    // config); the 4-store default is the small-SF gate's tuning
+    spark.conf.set("graft.statePartitions", cpus)
 
     val out = new StringBuilder("[\n")
     var first = true

@@ -149,6 +149,11 @@ object StreamingOps {
     * ~15%, flat below 4); on a real cluster this knob is sized to
     * executor count instead. The partition count is fixed at the first
     * checkpoint anyway — it is a per-query setting, restored after.
+    * Deployments (and the scale harness) override the cap with
+    * `graft.statePartitions`: millions of live state rows want the
+    * store sharded across every core/executor, while the 4-store
+    * default is tuned for the small-SF gate where per-store fixed
+    * cost dominates.
     * Changelog checkpointing: per-batch durability is the delta log,
     * not a full RocksDB snapshot upload — the per-batch fixed cost
     * that dominates short batches, and exactly the knob a 100-TB
@@ -160,8 +165,9 @@ object StreamingOps {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption(providerKey)
     val prevChangelog = spark.conf.getOption(changelogKey)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(4, prev.toInt).toString)
+    val stateParts = spark.conf.getOption("graft.statePartitions")
+      .map(_.toInt).getOrElse(math.min(4, prev.toInt))
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     spark.conf.set(providerKey, RocksDBProvider)
     spark.conf.set(changelogKey, "true")
     try body
