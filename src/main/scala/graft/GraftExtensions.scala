@@ -45,8 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ShingleHash32(es.head, es(1).eval().asInstanceOf[Number].intValue())
     })
     reg(e, "token_hash32", classOf[TokenHash32])(es => TokenHash32(es.head))
+    reg(e, "token_hash64", classOf[TokenHash64])(es => TokenHash64(es.head))
     reg(e, "minhash_sigs", classOf[MinHashSigs])(es => MinHashSigs(es.head))
     reg(e, "simhash32", classOf[SimHash32])(es => SimHash32(es.head))
+    reg(e, "simhash64", classOf[SimHash64])(es => SimHash64(es.head))
     reg(e, "content_fingerprint", classOf[ContentFingerprint])(es =>
       ContentFingerprint(es.head))
     // aggregate: the analyzer wraps a bare AggregateFunction returned

@@ -79,6 +79,15 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
 
       for (q <- ScaleQueries if onlyQueries.forall(_.contains(q))) {
+        if (q == "dedup_simhash_pairs" && n > 500000 && onlyQueries.isEmpty) {
+          // NOT a silent cap: the 32-bit output is ~n² (SCALING.md
+          // §4.5 — 93.7M pairs at 500k, ~375M projected at 1M), so the
+          // default ladder stops this row at 500k; pass it explicitly
+          // as the query filter to force the larger rungs.
+          System.err.println(s"[scale] skipping $q at n=$n: 32-bit " +
+            "simhash output is ~n^2 (see SCALING.md §4.5); measured " +
+            "through n=500000, pass the query filter arg to force")
+        } else {
         def timedPass(): (Double, org.apache.spark.sql.DataFrame) = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -129,6 +138,7 @@ object ScaleBench {
         if (!first) out.append(",\n")
         out.append("  ").append(line)
         first = false
+        }
       }
     }
     out.append("\n]\n")

@@ -45,6 +45,7 @@ class ExtensionsSpec extends AnyFunSuite {
         |  size(token_hash32('a b c'))                       AS n_tokens,
         |  size(minhash_sigs(shingle_hash32('hello world', 5))) AS n_sigs,
         |  simhash32(token_hash32('hello world'))            AS sh,
+        |  simhash64(token_hash64('hello world'))            AS sh64,
         |  content_fingerprint('hello world')                AS fp
         |""".stripMargin).collect().head
     assert(row.getAs[Long]("dot") == 11L)
@@ -54,6 +55,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_tokens") == 3)
     assert(row.getAs[Int]("n_sigs") == graft.functions.HashFunctions.MinHashCoeffs.size)
     assert(row.getAs[Long]("sh") >= 0L)
+    // the 64-bit fingerprint's low half votes with the same token
+    // hashes as the 32-bit one
+    assert((row.getAs[Long]("sh64") & 0xffffffffL) == row.getAs[Long]("sh"))
     assert(row.getAs[Long]("fp") >= 0L)
   }
 
