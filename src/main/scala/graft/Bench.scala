@@ -59,6 +59,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2": session-conf overrides for tuning
+    // experiments (e.g. graft.statePartitions=16). Unset in driver runs.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     val calBefore = calibrationMs()
 
@@ -78,7 +86,13 @@ object Bench {
     SparkEntry.queries.get("q1_agg")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries —
+    // single-query timing experiments without paying for the full set
+    // (the driver never sets it, so the per-round surface is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // pass-major order (all queries per pass) so a transient host
     // stall degrades one PASS of many queries — which the median
     // discards — instead of all runs of a few adjacent queries

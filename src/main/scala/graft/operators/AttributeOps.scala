@@ -28,8 +28,18 @@ object AttributeOps {
   def fakeScore(id: Column, dim: Int): Column =
     ((id * lit(31 + dim * 2) + lit(7 + dim)) % 997) / lit(997.0)
 
-  /** Deterministic attribute vector of `dims` scores (array<double>). */
+  /** Deterministic attribute vector of `dims` scores (array<double>).
+    * Native loop kernel ([[org.apache.spark.sql.graft.FakeAttrVector]]):
+    * the composed `array(fakeScore(id,0), ...)` form generates one
+    * straight-line codegen method per plan that exceeds HotSpot's JIT
+    * bytecode ceiling at 128 dims and runs interpreted (~23 µs/row
+    * measured); the loop kernel is JIT-friendly at any width. */
   def fakeAttributeVector(id: Column, dims: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.fake_attrs(id, dims)
+
+  /** Composed-builtins twin of [[fakeAttributeVector]] — the executable
+    * spec of the kernel's semantics (OperatorsSpec proves parity). */
+  def fakeAttributeVectorComposed(id: Column, dims: Int): Column =
     array((0 until dims).map(d => fakeScore(id, d)): _*)
 
   /** Field-wise mean of vector columns per key — the A1 aggregation.

@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -110,6 +110,50 @@ case class CosineSimilarityD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic attribute-vector generator: element d of the result is
+  * `((id * (31 + 2d) + (7 + d)) % 997) / 997.0` — exactly the value the
+  * composed form `array(fakeScore(id, 0), ..., fakeScore(id, dims-1))`
+  * produces (parity-checked in OperatorsSpec). The composed form's
+  * codegen emits 128 straight-line sub-expressions whose enclosing
+  * method exceeds HotSpot's JIT bytecode ceiling, so the hot loop ran
+  * INTERPRETED at reference width (measured ~23 µs/row); this loop
+  * form stays a few hundred bytes and vectorizes. Null id → null
+  * array (the generator is only applied to non-null key columns). */
+case class FakeAttrVector(child: Expression, dims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "fake_attr_vector"
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    val arr = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      arr(d) = ((id * (31L + 2L * d) + (7L + d)) % 997L).toDouble / 997.0
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id => {
+      val arr = ctx.freshName("arr")
+      val d = ctx.freshName("d")
+      s"""
+         |final double[] $arr = new double[$dims];
+         |for (int $d = 0; $d < $dims; $d++) {
+         |  $arr[$d] = (double) (($id * (31L + 2L * $d) + (7L + $d)) % 997L) / 997.0;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FakeAttrVector =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Exact integer dot product (codegen'd). Inputs: array<long>. */
   def dot_long(a: Column, b: Column): Column =
@@ -121,6 +165,12 @@ object VectorExpressions {
     ExpressionUtils.column(CosineSimilarityD(
       ExpressionUtils.expression(a.cast("array<double>")),
       ExpressionUtils.expression(b.cast("array<double>"))))
+
+  /** Deterministic attribute vector (codegen'd loop). Input cast to
+    * long; `dims` fixed at plan time. */
+  def fake_attrs(id: Column, dims: Int): Column =
+    ExpressionUtils.column(FakeAttrVector(
+      ExpressionUtils.expression(id.cast("long")), dims))
 
   /** Register SQL names (`dot_long`, `cosine_sim`) on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -55,6 +55,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq == Seq(10.0, 20.0))
   }
 
+  test("fakeAttributeVector kernel ≡ composed array(fakeScore...) form") {
+    // negative, zero, and large ids; reference width (128) and the
+    // 4-dim demo width — the kernel must be bit-identical to the
+    // builtins composition it replaced
+    val ids = spark.range(-5, 5).select(($"id" * 1234567891L).as("id"))
+    for (dims <- Seq(4, graft.functions.AttributeNames.size)) {
+      val rows = ids.select(
+        AttributeOps.fakeAttributeVector($"id", dims).as("fast"),
+        AttributeOps.fakeAttributeVectorComposed($"id", dims).as("spec")).collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Double]]("fast") ==
+          r.getAs[scala.collection.Seq[Double]]("spec"))
+      }
+    }
+  }
+
   test("vector_mean aggregate ≡ posexplode formulation (incl. nulls, many groups)") {
     val df = spark.range(0, 3000)
       .select(($"id" % 37).cast("string").as("k"),
