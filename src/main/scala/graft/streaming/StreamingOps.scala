@@ -236,8 +236,22 @@ object StreamingOps {
 
   def runWithRestart(spark: SparkSession, mkStream: () => DataFrame,
                      name: String): DataFrame = {
+    // Ephemeral harness run = ephemeral checkpoint/sink placement, same
+    // rule as runToMemory: every offset/commit/changelog write is
+    // fsync'd, so prefer tmpfs. The recovery property under test
+    // (offsets + sink log + RocksDB changelog survive a query kill and
+    // restart) is filesystem-agnostic — production pipelines pass a
+    // durable checkpointLocation of their own.
+    val shm = new java.io.File("/dev/shm")
     val base = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), s"graft_${name}_")
+      (if (shm.isDirectory && shm.canWrite) shm.toPath
+       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
+      s"graft_${name}_")
+    // the returned frame reads the sink lazily, so the dir must outlive
+    // this call; tmpfs outlives the PROCESS, so reclaim at JVM exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      catch { case _: java.io.IOException => () }))
     val out = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
     withStateConfig(spark) {
