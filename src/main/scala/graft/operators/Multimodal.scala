@@ -197,6 +197,78 @@ object Multimodal {
     df.withColumn("sampled_frames",
       Sampling.evenSampleIndicesCol(col(nFramesCol).cast("int"), numSamples))
 
+  // ---- audio: PCM16 payloads as opaque binary + typed frame features
+
+  /** 16-bit little-endian PCM encode: signed sample ints (clamped to
+    * [-32768, 32767]) → raw payload bytes. The audio twin of
+    * [[encodeImage]] — the payload column stays opaque `binary`. */
+  def encodePcm16(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      out(i * 2) = (s & 0xff).toByte
+      out(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** 16-bit little-endian PCM decode (odd trailing byte ignored). */
+  def decodePcm16(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xff)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Per-frame energies over an overlapping sliding window: frame f
+    * covers samples [f*hop, f*hop + frameLen); only FULL frames are
+    * emitted (the standard STFT framing rule — a short tail carries
+    * partial-window energy that would need padding semantics). Energy
+    * is the exact integer Σ s² — engine-portable, no float surface. */
+  def frameEnergies(samples: Array[Int], frameLen: Int, hop: Int): Array[(Int, Long)] = {
+    require(frameLen > 0 && hop > 0, "frameLen and hop must be positive")
+    val nFrames = if (samples.length < frameLen) 0
+      else (samples.length - frameLen) / hop + 1
+    Array.tabulate(nFrames) { f =>
+      var e = 0L
+      var i = f * hop
+      val end = i + frameLen
+      while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+      (f, e)
+    }
+  }
+
+  /** Batched audio feature extraction over a binary PCM16 column — the
+    * audio analog of [[decodePixels]]: decode + overlapping-window
+    * framing run per-partition, one output row per (input row, frame).
+    * Appends `frame_idx` (int) and `energy` (long, exact Σ s²). Null
+    * or sub-frame payloads emit no rows (same drop-semantics as a
+    * codec that cannot produce a full window). */
+  def framePcmEnergies(df: DataFrame, blobCol: String,
+                       frameLen: Int, hop: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        if (bytes == null) Iterator.empty
+        else frameEnergies(decodePcm16(bytes), frameLen, hop).iterator.map {
+          // Seq(f, e) would numeric-widen the Int to Long (lub of
+          // Int/Long is Long) and break the row encoder — keep Any
+          case (f, e) => Row.fromSeq(r.toSeq ++ Seq[Any](f, e))
+        }
+      }
+    }(enc)
+  }
+
   /** Nearest-neighbor resize of a packed BGR/RGB byte image — REAL
     * pixel-index arithmetic, no codec involved (it operates on decoded
     * pixel arrays, which is also what the reference resizes: DeepMAR

@@ -588,7 +588,36 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** multimodal_audio_frames: the AUDIO modality end-to-end — a
+    * deterministic PCM16 waveform per doc → 16-bit LE encode into an
+    * opaque `binary` payload → batched [[Multimodal.framePcmEnergies]]
+    * decode + overlapping-window framing (256-sample frames, 128
+    * hop — the standard STFT shape) → exact integer Σ s² per frame.
+    * The oracle regenerates the waveform arithmetically and re-frames
+    * it in SQL, so the hash match proves the byte-level codec and the
+    * window indexing are bit-faithful (same proof shape as
+    * multimodal_codec for images). */
+  private val multimodal_audio_frames: Q = (s, d) => {
+    val N = 1024; val FRAME = 256; val HOP = 128
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("audio", BinaryType))))
+    val encoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate(N)(i =>
+            (((id * 13 + i.toLong * 7) % 4096) - 2048).toInt)
+          Row(id, Multimodal.encodePcm16(samples))
+        }
+      }(enc)
+    Multimodal.framePcmEnergies(encoded, "audio", FRAME, HOP)
+      .select(col("doc_id"), col("frame_idx"), col("energy"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "multimodal_audio_frames" -> multimodal_audio_frames,
     "ann_ivf_trained" -> ann_ivf_trained,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
@@ -1021,6 +1050,20 @@ object DataPipelineQueries {
          |  FROM pairs)
          |SELECT src, rank, dst, score FROM ranked WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+    "multimodal_audio_frames" ->
+      // Arithmetic twin of the PCM16 encode→decode→frame chain: sample
+      // i of frame f is waveform index f*128 + si (overlapping 256/128
+      // framing), value ((doc_id*13 + i*7) % 4096) - 2048.
+      """WITH f AS (
+        |  SELECT d.doc_id, fi.fi, si.si,
+        |    ((d.doc_id * 13 + (fi.fi * 128 + si.si) * 7) % 4096) - 2048 AS smp
+        |  FROM documents d,
+        |    (SELECT unnest(range(0, 7)) AS fi) fi,
+        |    (SELECT unnest(range(0, 256)) AS si) si)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy
+        |FROM f GROUP BY doc_id, fi
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_codec" ->
       """WITH px AS (
         |  SELECT d.doc_id, i.i,

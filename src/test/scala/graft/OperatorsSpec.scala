@@ -55,6 +55,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[scala.collection.Seq[Double]]("mean_vec").toSeq == Seq(10.0, 20.0))
   }
 
+  test("PCM16 codec round-trips; frame energies honor full-frame rule") {
+    // round-trip across the signed range incl. clamp
+    val samples = Array(-32768, -2048, -1, 0, 1, 2047, 32767)
+    assert(Multimodal.decodePcm16(Multimodal.encodePcm16(samples)).toSeq ==
+      samples.toSeq)
+    assert(Multimodal.decodePcm16(
+      Multimodal.encodePcm16(Array(40000, -40000))).toSeq ==
+      Seq(32767, -32768)) // clamped, not wrapped
+    // odd trailing byte ignored
+    assert(Multimodal.decodePcm16(Array[Byte](1, 0, 5)).toSeq == Seq(1))
+    // framing: n=5, frame=3, hop=1 -> 3 full frames; tail dropped
+    val e = Multimodal.frameEnergies(Array(1, 2, 3, 4, 5), 3, 1)
+    assert(e.toSeq == Seq((0, 14L), (1, 29L), (2, 50L)))
+    // sub-frame input -> no frames; exact frame -> one
+    assert(Multimodal.frameEnergies(Array(1, 2), 3, 1).isEmpty)
+    assert(Multimodal.frameEnergies(Array(2, 2, 2), 3, 3).toSeq == Seq((0, 12L)))
+    // the batched operator drops null payloads, keeps the rest
+    val df = Seq(
+      (1L, Multimodal.encodePcm16(Array(3, 4, 0, 5))),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "audio")
+    val out = Multimodal.framePcmEnergies(df, "audio", 2, 2)
+      .select($"id", $"frame_idx", $"energy").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0, 25L), (1L, 1, 25L)))
+  }
+
   test("fakeAttributeVector kernel ≡ composed array(fakeScore...) form") {
     // negative, zero, and large ids; reference width (128) and the
     // 4-dim demo width — the kernel must be bit-identical to the
