@@ -35,6 +35,8 @@ object ScaleBench {
     "pipeline_pack",        // sized-shard sequence packing
     "ann_lsh_topk",         // derived-width hyperplane buckets
     "ann_ivf_topk",         // IVF assign + nProbe search
+    "multimodal_codec",     // real ImageIO encode+decode per doc
+    "multimodal_audio_frames", // PCM16 codec + overlapping framing
     "stream_enrich_join")   // 3-batch stream-stream join, RocksDB state
 
   private def jnum(v: Double): String =
