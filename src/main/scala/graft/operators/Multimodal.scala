@@ -197,6 +197,114 @@ object Multimodal {
     df.withColumn("sampled_frames",
       Sampling.evenSampleIndicesCol(col(nFramesCol).cast("int"), numSamples))
 
+  // ---- video: seekable frame container + frame-sampled decode
+
+  /** Graft video container ("GVID"): 4-byte magic, int frame count, a
+    * fixed-width per-frame byte-length index, then the concatenated
+    * encoded frames. The index is the point: a reader seeks straight
+    * to frame k's byte range without touching any other frame's
+    * payload, so frame-sampled pipelines pay decode cost ∝ frames
+    * KEPT, not frames stored — the property real containers provide
+    * via their sample tables (MP4 stsz/stco). Inter-frame video
+    * codecs aren't in this container, so frames are PNG/JPEG payloads
+    * decoded by the REAL ImageIO path (reference frame grabbing +
+    * re-batching: `BasicTracker.java:89-123`,
+    * `DataManagingApp.java:132-223`). */
+  def encodeVideoContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + 4 * frames.length + frames.iterator.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    bb.putInt(frames.length)
+    frames.foreach(f => bb.putInt(f.length))
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Structural parse of a GVID header: Some(frame byte-ranges) iff
+    * the magic matches AND the index is self-consistent (lengths
+    * non-negative, payload region exactly covered). Touches only the
+    * header + index bytes. */
+  private def videoIndex(container: Array[Byte]): Option[Array[(Int, Int)]] = {
+    if (container == null || container.length < 8 ||
+      container(0) != 'G' || container(1) != 'V' ||
+      container(2) != 'I' || container(3) != 'D') None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(container)
+      val n = bb.getInt(4)
+      if (n < 0 || container.length < 8 + 4L * n) None
+      else {
+        val ranges = new Array[(Int, Int)](n)
+        var off = 8 + 4 * n
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          val len = bb.getInt(8 + 4 * i)
+          if (len < 0 || off + len.toLong > container.length) ok = false
+          else { ranges(i) = (off, len); off += len }
+          i += 1
+        }
+        if (ok && off == container.length) Some(ranges) else None
+      }
+    }
+  }
+
+  /** Header-only frame count (the video analog of [[probeDims]]):
+    * None unless the payload is a structurally valid GVID container. */
+  def videoFrameCount(container: Array[Byte]): Option[Int] =
+    videoIndex(container).map(_.length)
+
+  /** Seek out every `every`-th frame (indices 0, every, 2·every, …)
+    * via the container index: (frame_idx, frame payload bytes).
+    * Non-sampled payload bytes are never read — spec-proven by
+    * corrupting them and asserting identical output. Malformed
+    * containers yield no frames (a corrupt blob in a 100 TB corpus
+    * degrades, never kills the task). */
+  def sampleVideoFrames(container: Array[Byte], every: Int): Seq[(Int, Array[Byte])] = {
+    require(every > 0, "sampling stride must be positive")
+    videoIndex(container) match {
+      case None => Seq.empty
+      case Some(ranges) =>
+        (0 until ranges.length by every).map { fi =>
+          val (off, len) = ranges(fi)
+          (fi, java.util.Arrays.copyOfRange(container, off, off + len))
+        }
+    }
+  }
+
+  /** Batched frame-sampled video decode over a binary container
+    * column — the video analog of [[decodePixels]]: per input row,
+    * seek every `every`-th frame out of the GVID container and REAL-
+    * decode just those via ImageIO; one output row per sampled frame
+    * with `n_frames`, `frame_idx`, dims and packed RGB pixels
+    * appended. Frames without a decodable image payload keep their
+    * row with null pixels; invalid containers emit no rows. */
+  def sampleDecodeVideo(df: DataFrame, blobCol: String, every: Int): DataFrame = {
+    require(every > 0, "sampling stride must be positive")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("pixels", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        videoFrameCount(bytes) match {
+          case None => Iterator.empty
+          case Some(n) =>
+            sampleVideoFrames(bytes, every).iterator.map { case (fi, fb) =>
+              val tail = sniffFormat(fb).flatMap(_ => decodeImage(fb)) match {
+                case Some((w, h, px)) => Seq[Any](n, fi, w, h, px)
+                case None => Seq[Any](n, fi, 0, 0, null)
+              }
+              Row.fromSeq(r.toSeq ++ tail)
+            }
+        }
+      }
+    }(enc)
+  }
+
   // ---- audio: PCM16 payloads as opaque binary + typed frame features
 
   /** 16-bit little-endian PCM encode: signed sample ints (clamped to

@@ -616,8 +616,45 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** multimodal_video_sample: the VIDEO modality's frame-sampling
+    * path end-to-end — per doc, 3..7 deterministic RGB frames → PNG
+    * encode each → pack into the seekable GVID container
+    * ([[Multimodal.encodeVideoContainer]]) → batched
+    * [[Multimodal.sampleDecodeVideo]] seeks every 2nd frame via the
+    * container index and REAL-decodes only those. The oracle
+    * regenerates the sampled frames' pixels arithmetically (only
+    * even frame indices appear), so the hash match proves container
+    * framing, index seek arithmetic, and the per-frame codec are all
+    * bit-faithful; the non-sampled-frames-never-read property is
+    * spec-proven by corruption (OperatorsSpec). */
+  private val multimodal_video_sample: Q = (s, d) => {
+    val W = 8; val H = 6; val EVERY = 2
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("video", BinaryType))))
+    val encoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (3 + id % 5).toInt
+          val frames = Seq.tabulate(n) { f =>
+            val px = Array.tabulate[Byte](W * H * 3)(i =>
+              ((id * 31 + f * 17 + i * 7) % 256).toByte)
+            Multimodal.encodeImage(px, W, H, "png")
+          }
+          Row(id, Multimodal.encodeVideoContainer(frames))
+        }
+      }(enc)
+    Multimodal.sampleDecodeVideo(encoded, "video", EVERY)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"),
+        md5(lower(hex(col("pixels"))).cast("binary")).as("pixel_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_audio_frames" -> multimodal_audio_frames,
+    "multimodal_video_sample" -> multimodal_video_sample,
     "ann_ivf_trained" -> ann_ivf_trained,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
@@ -1063,6 +1100,24 @@ object DataPipelineQueries {
         |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
         |  CAST(sum(smp * smp) AS BIGINT) AS energy
         |FROM f GROUP BY doc_id, fi
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_video_sample" ->
+      // Arithmetic twin of container→seek→decode: doc d has
+      // 3 + d%5 frames; only even frame indices are sampled; pixel i
+      // of frame f is (d*31 + f*17 + i*7) % 256 (PNG is lossless, so
+      // decoded bytes equal the generated pattern).
+      """WITH fr AS (
+        |  SELECT d.doc_id, CAST(3 + d.doc_id % 5 AS INTEGER) AS n_frames, fi.fi
+        |  FROM documents d, (SELECT unnest(range(0, 7)) AS fi) fi
+        |  WHERE fi.fi < 3 + d.doc_id % 5 AND fi.fi % 2 = 0),
+        |px AS (
+        |  SELECT f.doc_id, f.n_frames, f.fi, i.i,
+        |    lower(lpad(to_hex((f.doc_id * 31 + f.fi * 17 + i.i * 7) % 256), 2, '0')) AS hx
+        |  FROM fr f, (SELECT unnest(range(0, 144)) AS i) i)
+        |SELECT doc_id, n_frames, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  md5(string_agg(hx, '' ORDER BY i)) AS pixel_md5
+        |FROM px GROUP BY doc_id, n_frames, fi
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_codec" ->
       """WITH px AS (

@@ -81,6 +81,56 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, 0, 25L), (1L, 1, 25L)))
   }
 
+  test("GVID container: round-trip, header probe, sampling never reads skipped frames") {
+    val frames = Seq.tabulate(5) { f =>
+      Multimodal.encodeImage(
+        Array.tabulate[Byte](2 * 2 * 3)(i => ((f * 50 + i * 3) % 256).toByte),
+        2, 2, "png")
+    }
+    val c = Multimodal.encodeVideoContainer(frames)
+    assert(Multimodal.videoFrameCount(c).contains(5))
+    // stride 1 round-trips every frame bit-exactly
+    val all = Multimodal.sampleVideoFrames(c, 1)
+    assert(all.map(_._1) == Seq(0, 1, 2, 3, 4))
+    all.foreach { case (f, b) => assert(b.sameElements(frames(f))) }
+    // stride 2 keeps 0, 2, 4
+    assert(Multimodal.sampleVideoFrames(c, 2).map(_._1) == Seq(0, 2, 4))
+    // overwrite every NON-sampled frame's payload in place: sampled
+    // slices must be byte-identical — skipped payloads are never read
+    val headerLen = 8 + 4 * frames.length
+    val offsets = frames.scanLeft(headerLen)(_ + _.length)
+    val corrupt = c.clone()
+    for (f <- Seq(1, 3); i <- offsets(f) until offsets(f + 1))
+      corrupt(i) = 0x5a.toByte
+    val sampled = Multimodal.sampleVideoFrames(corrupt, 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4))
+    sampled.foreach { case (f, b) => assert(b.sameElements(frames(f))) }
+    // malformed containers degrade to no frames, never throw: wrong
+    // magic, truncated index, length pointing past the payload,
+    // trailing garbage after the last frame
+    assert(Multimodal.videoFrameCount("nope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.videoFrameCount(c.take(10)).isEmpty)
+    val badLen = c.clone(); badLen(8) = 0x7f.toByte // frame 0 len ≈ 2^31
+    assert(Multimodal.sampleVideoFrames(badLen, 1).isEmpty)
+    assert(Multimodal.videoFrameCount(c :+ 0.toByte).isEmpty)
+    assert(Multimodal.videoFrameCount(null).isEmpty)
+    // empty container is valid and empty
+    val empty = Multimodal.encodeVideoContainer(Seq.empty)
+    assert(Multimodal.videoFrameCount(empty).contains(0))
+    assert(Multimodal.sampleVideoFrames(empty, 2).isEmpty)
+    // the batched operator: extra columns ride along, one row per
+    // sampled frame, invalid containers emit no rows
+    val df = Seq((7L, "keep", c), (8L, "bad", "zzzz".getBytes("UTF-8")))
+      .toDF("id", "tag", "video")
+    val out = Multimodal.sampleDecodeVideo(df, "video", 2)
+      .select($"id", $"tag", $"n_frames", $"frame_idx", $"width", $"height")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getInt(5))).toSeq ==
+      Seq((7L, "keep", 5, 0, 2, 2), (7L, "keep", 5, 2, 2, 2),
+        (7L, "keep", 5, 4, 2, 2)))
+  }
+
   test("fakeAttributeVector kernel ≡ composed array(fakeScore...) form") {
     // negative, zero, and large ids; reference width (128) and the
     // 4-dim demo width — the kernel must be bit-identical to the
