@@ -37,6 +37,7 @@ object ScaleBench {
     "ann_ivf_topk",         // IVF assign + nProbe search
     "multimodal_codec",     // real ImageIO encode+decode per doc
     "multimodal_audio_frames", // PCM16 codec + overlapping framing
+    "multimodal_video_sample", // GVID container + index-seek frame sampling
     "stream_enrich_join")   // 3-batch stream-stream join, RocksDB state
 
   private def jnum(v: Double): String =
@@ -130,6 +131,25 @@ object ScaleBench {
               extras += "rocksdb" ->
                 progresses.exists(_.contains("rocksdb")).toString
             }
+          case "multimodal_video_sample" =>
+            // the container's whole point is decode ∝ frames KEPT, so
+            // measure it: time the stride-1 (decode everything) and
+            // encode-only (no decode at all) arms on the same fixture.
+            // decode-only cost per arm = arm − encode_only; the sampled
+            // arm should hold near half the full arm's decode cost.
+            def timedArm(qfn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+              def pass(): Double = {
+                spark.catalog.clearCache()
+                val t0 = System.nanoTime()
+                qfn(spark, dir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+              math.min(pass(), pass())
+            }
+            extras += "full_decode_sec" ->
+              jnum(timedArm(graft.queries.DataPipelineQueries.videoSampleQuery(1)))
+            extras += "encode_only_sec" ->
+              jnum(timedArm(graft.queries.DataPipelineQueries.videoEncodeOnlyQuery))
           case _ =>
         }
         val extraJson =

@@ -616,22 +616,27 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** multimodal_video_sample: the VIDEO modality's frame-sampling
-    * path end-to-end — per doc, 3..7 deterministic RGB frames → PNG
-    * encode each → pack into the seekable GVID container
-    * ([[Multimodal.encodeVideoContainer]]) → batched
-    * [[Multimodal.sampleDecodeVideo]] seeks every 2nd frame via the
-    * container index and REAL-decodes only those. The oracle
-    * regenerates the sampled frames' pixels arithmetically (only
-    * even frame indices appear), so the hash match proves container
-    * framing, index seek arithmetic, and the per-frame codec are all
-    * bit-faithful; the non-sampled-frames-never-read property is
-    * spec-proven by corruption (OperatorsSpec). */
-  private val multimodal_video_sample: Q = (s, d) => {
-    val W = 8; val H = 6; val EVERY = 2
+  // multimodal_video_sample — the VIDEO modality's frame-sampling path
+  // end-to-end: per doc, 3..7 deterministic RGB frames → PNG encode →
+  // pack into the seekable GVID container → sampleDecodeVideo seeks
+  // every 2nd frame via the container index and REAL-decodes only
+  // those. The oracle regenerates the sampled frames' pixels
+  // arithmetically (only even frame indices appear), so the hash match
+  // proves container framing, seek arithmetic and the codec are all
+  // bit-faithful; non-sampled-frames-never-read is spec-proven by
+  // corruption (OperatorsSpec).
+  private val VideoW = 8; private val VideoH = 6
+
+  /** The video fixture: per doc, 3..7 deterministic RGB frames, each
+    * PNG-encoded and packed into one GVID container payload. Shared by
+    * the registered query and the ScaleBench decode-cost experiment
+    * (which needs this stage timed on its own to subtract fixture cost
+    * from the sampled- vs full-decode comparison). */
+  def videoEncoded(s: SparkSession, d: String): DataFrame = {
+    val W = VideoW; val H = VideoH
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("video", BinaryType))))
-    val encoded = Tables.documents(s, d).select(col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"))
       .repartition(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -645,12 +650,27 @@ object DataPipelineQueries {
           Row(id, Multimodal.encodeVideoContainer(frames))
         }
       }(enc)
-    Multimodal.sampleDecodeVideo(encoded, "video", EVERY)
+  }
+
+  /** Container pack WITHOUT any decode — ScaleBench's control arm:
+    * everything the sampled/full decode arms pay except ImageIO. The
+    * length/frame-count projection forces the container bytes to be
+    * materialized without touching frame payloads. */
+  def videoEncodeOnlyQuery: Q = (s, d) =>
+    videoEncoded(s, d).select(col("doc_id"),
+      length(col("video")).as("container_bytes"))
+
+  /** The frame-sampling path at a given stride; the registered query is
+    * stride 2, ScaleBench also times stride 1 (full decode) to measure
+    * the decode-∝-frames-KEPT claim rather than assert it. */
+  def videoSampleQuery(every: Int): Q = (s, d) =>
+    Multimodal.sampleDecodeVideo(videoEncoded(s, d), "video", every)
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         col("width"), col("height"),
         md5(lower(hex(col("pixels"))).cast("binary")).as("pixel_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
-  }
+
+  private val multimodal_video_sample: Q = videoSampleQuery(2)
 
   val queries: Map[String, Q] = Map(
     "multimodal_audio_frames" -> multimodal_audio_frames,

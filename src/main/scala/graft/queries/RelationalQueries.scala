@@ -262,7 +262,26 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q19_bucketed_join: the BIG-BIG co-located join — orders ⋈
+    * lineitem on order key with BOTH sides bucketed by the join key at
+    * rest ([[graft.storage.BucketedStore]]), merge-hinted so a
+    * broadcast fallback can't hide the distribution claim. The
+    * SortMergeJoin's required hash distribution is satisfied by the
+    * bucket layout, so the join moves ZERO bytes over the network
+    * (PlanAuditSpec: no hash-partitioning exchange in the plan; the
+    * only exchange is the presentation orderBy above the join). The
+    * oracle hash-checks that the bucketed round-trip loses nothing. */
+  private val q19_bucketed_join: Q = (s, d) => {
+    val (o, l) = graft.storage.BucketedStore.ordersLineitemByOrderKey(s, d)
+    o.filter(col("o_orderpriority") === "1-URGENT").hint("merge")
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        col("o_orderpriority"), col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q19_bucketed_join" -> q19_bucketed_join,
     "q18_salted_agg" -> q18_salted_agg,
     "q17_cube" -> q17_cube,
     "q1_agg" -> q1_agg,
@@ -283,6 +302,12 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q19_bucketed_join" ->
+      """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity,
+        |  l_returnflag
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "q18_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n
         |FROM lineitem

@@ -42,6 +42,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q3_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q19_bucketed_join: bucket layout satisfies the join distribution — zero join-side shuffles") {
+    val df = SparkEntry.queries("q19_bucketed_join")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("SortMergeJoin"), s"merge join expected:\n$p")
+    // the ONLY legal exchange is the presentation orderBy's range
+    // partitioning ABOVE the join; a hashpartitioning exchange means
+    // the bucket layout failed to satisfy the join's distribution
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed sides must not shuffle for the join:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"scan must report the bucketed layout:\n$p")
+  }
+
   test("vpe_routed_topic: routing filter becomes topic/partition selection (before/after)") {
     import org.apache.spark.sql.functions._
     // the registered query installs the rule and builds the routed table
