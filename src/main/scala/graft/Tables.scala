@@ -45,13 +45,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as raw long nanos, then truncate to Spark's
-    * microsecond TimestampType (matches DuckDB's ns→µs truncation). */
+  /** events.ts has shipped under two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (no native Spark type — read
+    * as raw long nanos via the legacy flag, then truncate to µs,
+    * matching DuckDB's ns→µs truncation) and plain timestamp[us]
+    * (reads as TIMESTAMP_NTZ). Normalize both to TimestampType; the
+    * session timezone is pinned to UTC everywhere, so the NTZ cast is
+    * lossless and agrees with DuckDB's epoch arithmetic. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

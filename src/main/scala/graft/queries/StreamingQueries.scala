@@ -124,10 +124,9 @@ object StreamingQueries {
     import s.implicits._
     // batch-boundary cuts, derived from the raw table exactly as the
     // stager derives its file splits (bounded driver-side scalar lookup)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val org.apache.spark.sql.Row(tmin: Long, tmax: Long) = s.read
-      .schema(StreamingOps.eventsRawSchema).parquet(s"$d/events.parquet")
-      .agg(min(col("ts")), max(col("ts"))).head()
+    val org.apache.spark.sql.Row(tmin: Long, tmax: Long) =
+      StreamingOps.rawEventsNs(s, s"$d/events.parquet")
+        .agg(min(col("ts")), max(col("ts"))).head()
     val span = tmax - tmin
     val c1ms = Math.floorDiv(tmin + span / 3, 1000000L)            // floor
     val c2ms = -Math.floorDiv(-(tmin + span * 2 / 3), 1000000L)    // ceil

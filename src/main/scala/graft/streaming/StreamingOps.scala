@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Schema of the events table as written (ts is TIMESTAMP(NANOS),
-    * which Spark must read as long — see Tables.events). */
+  /** Canonical RAW events schema: ts as long NANOS. Staged batch files
+    * are always written in this shape, whatever the source's physical
+    * encoding (see [[rawEventsNs]]), so the streaming read path and the
+    * oracle twins' nanosecond cut arithmetic never depend on which
+    * testdata generation produced the source parquet. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,6 +32,25 @@ object StreamingOps {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Batch-read an events parquet into [[eventsRawSchema]] shape (ts =
+    * long nanos) regardless of the file's physical ts encoding:
+    * int64 nanos (legacy TIMESTAMP(NANOS) testdata, ScaleGen fixtures)
+    * or timestamp[us] (current testdata, reads as TIMESTAMP_NTZ). The
+    * session timezone is pinned UTC, so the NTZ→timestamp cast is
+    * lossless and `unix_micros * 1000` equals DuckDB's `epoch_ns`. */
+  private[graft] def rawEventsNs(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    val ns = raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType => raw.withColumn(
+        "ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case TimestampType => raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case other => throw new IllegalStateException(s"unexpected events.ts type $other")
+    }
+    ns.select(eventsRawSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** Streaming read of the events parquet as a MULTI-batch stream:
     * the table is staged (once per sfDir, idempotent) into
@@ -85,8 +107,7 @@ object StreamingOps {
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
     Files.createDirectories(build)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(eventsRawSchema).parquet(src.toString)
+    val raw = rawEventsNs(spark, src.toString)
     val Row(tsMin: Long, tsMax: Long) =
       raw.agg(min(col("ts")), max(col("ts"))).head()
     val span = math.max(tsMax - tsMin, 1L)
