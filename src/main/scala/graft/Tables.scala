@@ -53,6 +53,11 @@ object Tables {
     * session timezone is pinned to UTC everywhere, so the NTZ cast is
     * lossless and agrees with DuckDB's epoch arithmetic. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // nanosAsLong is intentionally session-permanent: it only affects
+    // schema mapping of parquet TIMESTAMP(NANOS) columns (no other
+    // graft table has one), and the scan that needs it executes lazily
+    // — restoring it before the action runs would break the read it
+    // was set for (see StreamingOps.rawEventsNs).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
@@ -60,7 +65,12 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      // fail fast on an unanticipated encoding: a silent pass-through
+      // would flow unnormalized timestamps into every downstream query
+      // (rawEventsNs enforces the same contract on the staging path)
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -16,17 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedStore {
 
+  /** Format version of the derived layouts built through [[cached]],
+    * embedded in every cache-directory name. Same staleness class as
+    * StreamingOps.StageFormatVersion: the (source size+mtime) key sees
+    * source regeneration but not a code change to the derived layout
+    * itself. Bump on any layout/schema/unit change to a cached table. */
+  private[graft] val FormatVersion = 1
+
   /** Build-once cache for derived table layouts: `build` writes the
-    * table to the path it is given; the result is keyed by (sfDir,
-    * events source size+mtime, name) under the JVM temp dir, built
-    * under a temp name and atomically renamed so concurrent processes
-    * see a complete table or build their own. Returns the table path. */
-  private[graft] def cached(sfDir: String, name: String)
+    * table to the path it is given; the result is keyed by (FORMAT
+    * VERSION, sfDir, source size+mtime, name) under the JVM temp dir,
+    * built under a temp name and atomically renamed so concurrent
+    * processes see a complete table or build their own. `source` names
+    * the table the layout is derived from (fingerprint basis). Returns
+    * the table path. */
+  private[graft] def cached(sfDir: String, name: String,
+                            source: String = "events.parquet",
+                            version: Int = FormatVersion)
                            (build: String => Unit): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(sfDir, "events.parquet")
+    val src = Paths.get(sfDir, source)
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_part_" + Integer.toHexString(sfDir.hashCode) +
+      s"graft_part_v${version}_" + Integer.toHexString(sfDir.hashCode) +
         "_" + graft.streaming.StreamingOps.sourceFingerprint(src), name)
     if (Files.isDirectory(dir)) return dir.toString
     val tmp = dir.resolveSibling(dir.getFileName.toString + ".build_" +
@@ -111,11 +122,16 @@ object BucketedStore {
     * lives under the JVM temp dir, then served from the catalog.
     * Fingerprint-keyed like the staging caches, so a regenerated
     * source re-builds instead of silently serving stale buckets. */
+  /** Format version of the bucketed layout, embedded in table/dir
+    * names — bump on any bucketing/schema change (same staleness class
+    * as PartitionedStore.FormatVersion). */
+  private[graft] val FormatVersion = 1
+
   def ordersLineitemByOrderKey(spark: SparkSession,
                                sfDir: String): (DataFrame, DataFrame) =
     synchronized {
       import java.nio.file.Paths
-      val fp = Integer.toHexString(sfDir.hashCode) + "_" +
+      val fp = s"v${FormatVersion}_" + Integer.toHexString(sfDir.hashCode) + "_" +
         graft.streaming.StreamingOps.sourceFingerprint(
           Paths.get(sfDir, "lineitem.parquet"))
       val oT = s"graft_orders_bkt_$fp"

@@ -20,6 +20,18 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Format version of the STAGED event-batch layout, embedded in every
+    * staging-cache directory name. The cache key without it — (sfDir,
+    * source size+mtime) — only detects source REGENERATION; it cannot
+    * see a code change to the staged format itself. That bit round 5:
+    * the staged `ts` unit changed micros→nanos and a round-4-era staged
+    * dir (source untouched) was silently read as nanos, compressing the
+    * event timeline 1000×. Bump this on ANY change to the staged
+    * layout, units, or schema; old-version dirs simply stop being
+    * addressed (and are left for tmp-dir cleanup).
+    *   v1: ts micros (rounds ≤4)   v2: ts nanos (round 5+) */
+  private[graft] val StageFormatVersion = 2
+
   /** Canonical RAW events schema: ts as long NANOS. Staged batch files
     * are always written in this shape, whatever the source's physical
     * encoding (see [[rawEventsNs]]), so the streaming read path and the
@@ -40,6 +52,11 @@ object StreamingOps {
     * session timezone is pinned UTC, so the NTZ→timestamp cast is
     * lossless and `unix_micros * 1000` equals DuckDB's `epoch_ns`. */
   private[graft] def rawEventsNs(spark: SparkSession, path: String): DataFrame = {
+    // Intentionally session-permanent: the flag only affects schema
+    // mapping of parquet TIMESTAMP(NANOS) columns (no other graft table
+    // has one), and the scan that needs it executes LAZILY — restoring
+    // the flag before the action runs would break the read it was set
+    // for. Same setting, same rationale, in Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
     val ns = raw.schema("ts").dataType match {
@@ -49,7 +66,12 @@ object StreamingOps {
       case TimestampType => raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
       case other => throw new IllegalStateException(s"unexpected events.ts type $other")
     }
-    ns.select(eventsRawSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // cast every column to its canonical type (not just reorder): staged
+    // files must be schema-EXACT whatever this testdata generation's
+    // physical types, or eventsStream's forced readStream schema would
+    // fail at stream time instead of here
+    ns.select(eventsRawSchema.fields.toIndexedSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   /** Streaming read of the events parquet as a MULTI-batch stream:
@@ -89,20 +111,35 @@ object StreamingOps {
     java.lang.Long.toHexString(size) + "_" + java.lang.Long.toHexString(mtime)
   }
 
+  /** The staging-cache directory for (sfDir, nBatches) at a given
+    * staged-format version — the full cache key is (FORMAT VERSION,
+    * sfDir, source size+mtime, nBatches). Exposed for the
+    * stale-format regression spec, which plants an old-version dir and
+    * proves it is never addressed by a newer version. */
+  private[graft] def stageDir(sfDir: String, nBatches: Int,
+                              version: Int = StageFormatVersion): java.nio.file.Path = {
+    import java.nio.file.Paths
+    val src = Paths.get(sfDir, "events.parquet")
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_v${version}_" + Integer.toHexString(sfDir.hashCode) +
+        "_" + sourceFingerprint(src), s"events_$nBatches")
+  }
+
   /** Split events.parquet into `nBatches` contiguous event-time ranges
-    * under a temp dir keyed by (sfDir, source size+mtime). Test/verify
+    * under a temp dir keyed by (format version, sfDir, source
+    * size+mtime) — see [[stageDir]]/[[StageFormatVersion]]. Test/verify
     * staging only (the production source is Kafka/file arrival order).
     * The staged dir is built under a temp name and atomically renamed
     * into place, so concurrent processes either see the complete dir or
     * stage their own; a regenerated source file changes the fingerprint
-    * and forces a fresh staging. */
-  private def stageEventBatches(spark: SparkSession, sfDir: String,
-                                nBatches: Int): String = synchronized {
+    * and a staged-format code change bumps the version — either way the
+    * stale dir stops being addressed and a fresh staging runs. */
+  private[graft] def stageEventBatches(spark: SparkSession, sfDir: String,
+                                       nBatches: Int,
+                                       version: Int = StageFormatVersion): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "events.parquet")
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(sfDir.hashCode) +
-        "_" + sourceFingerprint(src), s"events_$nBatches")
+    val dir = stageDir(sfDir, nBatches, version)
     if (Files.isDirectory(dir)) return dir.toString
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
