@@ -32,6 +32,31 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** stream_enrich_late: the late-data DROP path of the ReID assembly
+    * join, oracle-proven (SURVEY J2/J3/W3 — the reference's 600 s retry
+    * buffer DISCARDS a leg whose match never arrives in time,
+    * `PedestrianReIDUsingAttrApp.java:176-192`; stream_enrich_join
+    * proves the buffering half, this proves the dropping half). The
+    * staged arrival order is hostile on purpose: slices (middle third,
+    * last third, FIRST third) of event time, so every batch-2 row is
+    * ~an event-time-third behind the watermark batches 0-1 established
+    * and is dropped by the join's late-input filter on BOTH legs — its
+    * self-match never appears. The oracle keeps exactly the events of
+    * slices 1-2 plus any slice-0 event inside the 10-minute watermark
+    * horizon (none in this corpus, but the predicate is the semantics,
+    * not a corpus accident). A buffer that retained late rows forever
+    * would emit the slice-0 matches and break the hash. */
+  private val stream_enrich_late: Q = (s, d) => {
+    val ev = StreamingOps.eventsStreamLateArrival(s, d)
+    val trackletLeg = ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val attrLeg = ev.select(col("event_id"), col("ts"), col("value"))
+    val joined = StreamingOps.reidAssemblyJoin(trackletLeg, attrLeg, "event_id", "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+    StreamingOps.runToMemory(s, joined, "graft_stream_enrich_late", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** stream_windowed_agg: event-time tumbling window aggregation
     * (SURVEY W1/W2) — 5-minute windows per event type. */
   private val stream_windowed_agg: Q = (s, d) => {
@@ -203,6 +228,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "stream_dedup" -> stream_dedup,
     "stream_enrich_join" -> stream_enrich_join,
+    "stream_enrich_late" -> stream_enrich_late,
     "stream_windowed_agg" -> stream_windowed_agg,
     "stream_session_agg" -> stream_session_agg,
     "stream_completion" -> stream_completion,
@@ -221,6 +247,26 @@ object StreamingQueries {
         |  AND b.ts >= a.ts - INTERVAL 10 MINUTE
         |  AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY a.event_id""".stripMargin,
+    // Simulates the hostile-arrival staging + Spark's late-input filter
+    // exactly: slices (middle, last, first) of event time arrive in that
+    // order, so during the final batch the watermark is the corpus max
+    // event-time (ms-truncated, as Spark tracks it) minus the 10-min
+    // delay. A final-batch row survives only if its µs timestamp is at
+    // or past that watermark; everything else is dropped on BOTH legs
+    // and its self-match never appears. c1 reproduces the stager's
+    // integer-ns slice arithmetic (tmin + span*1/3, floor division).
+    "stream_enrich_late" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) AS tmin, max(epoch_ns(ts)) AS tmax FROM events),
+        |cuts AS (
+        |  SELECT tmin + (tmax - tmin) // 3 AS c1,
+        |    (tmax // 1000000 - 600000) * 1000 AS wm_us
+        |  FROM b)
+        |SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events, cuts
+        |WHERE epoch_ns(ts) >= c1
+        |   OR epoch_ns(ts) // 1000 >= wm_us
+        |ORDER BY event_id""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS v

@@ -85,15 +85,29 @@ object StreamingOps {
     * completion sets) is genuinely exercised by the oracle gate, not
     * just by specs. Mirrors Tables.events' nanos→µs conversion. */
   def eventsStream(spark: SparkSession, sfDir: String,
-                   nBatches: Int = 3): DataFrame = {
-    val dir = stageEventBatches(spark, sfDir, nBatches)
+                   nBatches: Int = 3): DataFrame =
+    streamFromStagedDir(spark, stageEventBatches(spark, sfDir, nBatches))
+
+  /** The HOSTILE-arrival-order twin of [[eventsStream]]: the same three
+    * event-time slices staged as (middle, last, FIRST) — the final
+    * micro-batch arrives ~an event-time-third behind the watermark the
+    * first two batches established. Rows of that batch are genuinely
+    * LATE at the join/aggregation operators (ts < watermark in effect),
+    * so a query over this stream exercises the drop-beyond-watermark
+    * path with oracle-checkable output (reference semantics: the 600 s
+    * retry buffer discards a leg that never finds its match in time,
+    * `PedestrianReIDUsingAttrApp.java:176-192`). */
+  def eventsStreamLateArrival(spark: SparkSession, sfDir: String): DataFrame =
+    streamFromStagedDir(spark,
+      stageEventBatches(spark, sfDir, 3, arrivalOrder = Seq(1, 2, 0)))
+
+  private def streamFromStagedDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
-  }
 
   /** Fingerprint of a parquet table path (file or directory): total
     * byte size + max mtime over all part files. Keys the staging cache
@@ -117,12 +131,14 @@ object StreamingOps {
     * stale-format regression spec, which plants an old-version dir and
     * proves it is never addressed by a newer version. */
   private[graft] def stageDir(sfDir: String, nBatches: Int,
-                              version: Int = StageFormatVersion): java.nio.file.Path = {
+                              version: Int = StageFormatVersion,
+                              arrivalOrder: Seq[Int] = Nil): java.nio.file.Path = {
     import java.nio.file.Paths
     val src = Paths.get(sfDir, "events.parquet")
+    val orderTag = if (arrivalOrder.isEmpty) "" else "_o" + arrivalOrder.mkString("")
     Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_v${version}_" + Integer.toHexString(sfDir.hashCode) +
-        "_" + sourceFingerprint(src), s"events_$nBatches")
+        "_" + sourceFingerprint(src), s"events_$nBatches$orderTag")
   }
 
   /** Split events.parquet into `nBatches` contiguous event-time ranges
@@ -136,10 +152,13 @@ object StreamingOps {
     * stale dir stops being addressed and a fresh staging runs. */
   private[graft] def stageEventBatches(spark: SparkSession, sfDir: String,
                                        nBatches: Int,
-                                       version: Int = StageFormatVersion): String = synchronized {
+                                       version: Int = StageFormatVersion,
+                                       arrivalOrder: Seq[Int] = Nil): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(arrivalOrder.isEmpty || arrivalOrder.sorted == (0 until nBatches),
+      s"arrivalOrder must permute 0..${nBatches - 1}: $arrivalOrder")
     val src = Paths.get(sfDir, "events.parquet")
-    val dir = stageDir(sfDir, nBatches, version)
+    val dir = stageDir(sfDir, nBatches, version, arrivalOrder)
     if (Files.isDirectory(dir)) return dir.toString
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -149,21 +168,27 @@ object StreamingOps {
       raw.agg(min(col("ts")), max(col("ts"))).head()
     val span = math.max(tsMax - tsMin, 1L)
     val base = System.currentTimeMillis()
-    for (b <- 0 until nBatches) {
+    // arrival position pos receives event-time slice order(pos); the
+    // default identity order stages event-time-contiguous ascending
+    // batches (no late rows), a permutation makes chosen slices arrive
+    // BEHIND the watermark earlier slices established
+    val order = if (arrivalOrder.isEmpty) 0 until nBatches else arrivalOrder
+    for (pos <- 0 until nBatches) {
+      val b = order(pos)
       val lo = tsMin + span * b / nBatches
       val hi = tsMin + span * (b + 1) / nBatches
       val slice = raw.filter(
         col("ts") >= lo && (if (b == nBatches - 1) lit(true) else col("ts") < hi))
-      val tmp = build.resolve(s"tmp_$b")
+      val tmp = build.resolve(s"tmp_$pos")
       slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = scala.util.Using.resource(Files.list(tmp))(
         _.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
-      val dst = build.resolve(f"events_$b%02d.parquet")
+      val dst = build.resolve(f"events_$pos%02d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       // ascending mtimes: FileStreamSource picks oldest-first
-      dst.toFile.setLastModified(base + b * 2000L)
+      dst.toFile.setLastModified(base + pos * 2000L)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
