@@ -95,39 +95,67 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     // pass-major order (all queries per pass) so a transient host
     // stall degrades one PASS of many queries — which the median
-    // discards — instead of all runs of a few adjacent queries
+    // discards — instead of all runs of a few adjacent queries.
+    // Every pass is BRACKETED by the calibration loop: a pass whose
+    // post-pass calibration exceeds its pre-pass one by >1.5× ran on a
+    // host that got slower mid-pass (co-tenant contention — five rounds
+    // of driver numbers misled this way), so warm passes are discarded
+    // and re-run, bounded by maxContentionRetries. The retry count and
+    // per-pass brackets ship in the JSON so a reader can adjudicate any
+    // sample from the sample itself.
+    case class Pass(times: Map[String, Double], gcMs: Long,
+                    calPre: Double, calPost: Double) {
+      def contended: Boolean = calPost > calPre * 1.5
+    }
     var gcPrev = gcMillis()
-    def pass(): (Map[String, Double], Long) = {
+    def pass(): Pass = {
+      val cPre = calibrationMs()
       val times = names.map(n => n -> runToNoop(n)).toMap
+      val cPost = calibrationMs()
       val gcNow = gcMillis()
       val d = gcNow - gcPrev
       gcPrev = gcNow
-      (times, d)
+      Pass(times, d, cPre, cPost)
     }
-    val (cold, gcCold) = pass()
-    val warmPasses = Seq(pass(), pass(), pass())
+    val cold = pass() // not retried: a re-run cold pass isn't cold
+    var contendedRetried = 0
+    val maxContentionRetries = 3
+    def warmPass(): Pass = {
+      var p = pass()
+      while (p.contended && contendedRetried < maxContentionRetries) {
+        contendedRetried += 1
+        System.err.println(
+          f"[bench] contended pass (calibration ${p.calPre}%.0f -> ${p.calPost}%.0f ms), retrying")
+        p = pass()
+      }
+      p
+    }
+    val warmPasses = Seq(warmPass(), warmPass(), warmPass())
     val warmMed = names.map { n =>
-      val Seq(a, b, c) = warmPasses.map(_._1(n))
+      val Seq(a, b, c) = warmPasses.map(_.times(n))
       n -> median3(a, b, c)
     }
     // min-of-3: robust when ALL passes are contended (asymmetric noise
     // only ever ADDS time) — the right statistic for "how fast is this
     // code"; the median stays as the primary, comparable series
-    val warmMin = names.map(n => n -> warmPasses.map(_._1(n)).min)
+    val warmMin = names.map(n => n -> warmPasses.map(_.times(n)).min)
 
     val calAfter = calibrationMs()
 
     def qjson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warmMed.map(_._2).sum
-    val coldTotal = names.map(cold).sum
+    val coldTotal = names.map(cold.times).sum
     // failed queries are listed explicitly — a crashing query must not
     // masquerade as a fast success in the totals
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val gcJson = (gcCold +: warmPasses.map(_._2)).mkString("[", ",", "]")
-    val passTotals = warmPasses.map(_._1.values.sum).mkString("[", ",", "]")
+    val allPasses = cold +: warmPasses
+    val gcJson = allPasses.map(_.gcMs).mkString("[", ",", "]")
+    val passTotals = warmPasses.map(_.times.values.sum).mkString("[", ",", "]")
+    val passCal = allPasses
+      .map(p => s"[${p.calPre},${p.calPost}]").mkString("[", ",", "]")
     val minTotal = warmMin.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"queries_min":${qjson(warmMin)},"cold_queries":${qjson(names.map(n => n -> cold(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"queries_min":${qjson(warmMin)},"cold_queries":${qjson(names.map(n => n -> cold.times(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"pass_calibration_ms":$passCal,"contended_passes_retried":$contendedRetried,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
