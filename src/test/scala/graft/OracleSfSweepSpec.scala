@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the streaming batch-equivalence twins at BOTH the quick spec SF
+  * (sf0.001) and the driver's ORACLE SF (sf0.01). Round 5's stale-cache
+  * bug hid exactly in this gap: specs ran sf0.001 against a poisoned
+  * staged dir while the oracle gate staged sf0.01 fresh — each side was
+  * green in its own world and the divergence surfaced only when the
+  * judge ran the suite on a dirty /tmp. Sweeping the twins across both
+  * SFs makes any per-SF staging/cache divergence a spec failure, not a
+  * cross-round surprise. */
+class OracleSfSweepSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  for (sf <- sfs) {
+    test(s"streaming windowed agg equals its batch twin at ${sf.split('/').last}") {
+      val streamed = SparkEntry.queries("stream_windowed_agg")(spark, sf)
+      val batch = Tables.events(spark, sf)
+        .select((floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("bucket_start"),
+          col("event_type"), col("value"))
+        .groupBy(col("bucket_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("bucket_start"), col("event_type"))
+      assert(streamed.collect().sameElements(batch.collect()),
+        s"streamed/batch divergence at $sf — check staged-artifact caches")
+    }
+
+    test(s"late-arrival staging drops the final batch at ${sf.split('/').last}") {
+      // the late-drop stream must lose rows relative to the full table
+      // (the out-of-order slice is behind the watermark) but keep the
+      // in-order two thirds — both bounds break if staging or the
+      // join's late-input filter regress at either SF
+      val out = SparkEntry.queries("stream_enrich_late")(spark, sf).count()
+      val all = Tables.events(spark, sf).count()
+      assert(out < all, s"no rows dropped at $sf — late filter inactive?")
+      assert(out > all / 2, s"too many rows dropped at $sf ($out of $all)")
+    }
+  }
+}
