@@ -16,9 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * (`Stream.java:72-76`, `DataType.java:26-46`: 1 type = 1 topic). The
   * at-rest analog is [[graft.storage.RoutedStore]]: the routed stream
   * exploded on `dest_ports`, written partitioned by `port`, with the
-  * writer-enforced invariant
+  * writer-enforced ROW-WISE invariant (each stored copy carries only
+  * its own port in `dest_ports`, like a Kafka message produced to one
+  * topic)
   *
-  *   row stored under partition p  ⟺  array_contains(dest_ports, p).
+  *   row stored under partition p  ⟺  array_contains(dest_ports, p),
+  *
+  * which makes the rewrite below a strict equivalence — the array
+  * filter and the partition filter select the same multiset of rows.
   *
   * Catalyst cannot push `array_contains(dest_ports, p)` into a parquet
   * scan (no array pushdown), so a consumer's routing filter reads every

@@ -350,9 +350,12 @@ object PipelineQueries {
     * `port = 'reid'` partition selection, so the scan reads only the
     * reid topic directory. PlanAuditSpec asserts the rewrite and the
     * file-level pruning; the oracle checks the routed rows. */
-  private val vpe_routed_topic: Q = (s, d) => {
-    graft.plans.RoutingPushdown.install(s)
-    val dir = graft.storage.PartitionedStore.cached(d, "routed_tracklets") { p =>
+  /** The routed-tracklets fixture (port-partitioned multicast of the
+    * tracklet summaries, built once per sfDir through the versioned
+    * layout cache) — shared by the batch pushdown query, the streaming
+    * subscription query, and PlanAuditSpec's listing audits. */
+  def routedTrackletsDir(s: SparkSession, d: String): String =
+    graft.storage.PartitionedStore.cached(d, "routed_tracklets") { p =>
       val tr = Tracking.trackletSummaries(
         Tracking.detectionsFromEvents(Tables.events(s, d)))
       graft.storage.RoutedStore.write(
@@ -362,16 +365,41 @@ object PipelineQueries {
           when(col("n_boxes") % 3 === 0, lit("reid"))))),
         p)
     }
-    graft.storage.RoutedStore.read(s, dir)
+
+  private val vpe_routed_topic: Q = (s, d) => {
+    graft.plans.RoutingPushdown.install(s)
+    graft.storage.RoutedStore.read(s, routedTrackletsDir(s, d))
       .filter(array_contains(col("dest_ports"), "reid"))
       .groupBy(col("video_id"))
       .agg(count(lit(1)).as("n"), sum(col("n_boxes")).cast("long").as("boxes"))
       .orderBy(col("video_id"))
   }
 
+  /** stream_routed_topic: the STREAMING half of topic subscription
+    * (SURVEY §4 / S1-K1 — the file-stream analog of a Kafka consumer's
+    * topic list, reference `Stream.java:72-76`). The consumer
+    * subscribes to the `reid` topic of the routed store:
+    * [[graft.storage.RoutedStore.subscribe]] restricts the file
+    * stream's input glob to that port's directory, so un-subscribed
+    * topics are never even LISTED by the source (PlanAuditSpec reads
+    * the checkpoint source log to prove it). The oracle is the same
+    * row set as vpe_routed_topic — subscription ≡ routing filter, the
+    * multicast invariant, now proven end-to-end on the streaming
+    * path. */
+  private val stream_routed_topic: Q = (s, d) => {
+    val sub = graft.storage.RoutedStore.subscribe(
+      s, routedTrackletsDir(s, d), Seq("reid"))
+    val agg = sub.groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n"), sum(col("n_boxes")).cast("long").as("boxes"))
+    graft.streaming.StreamingOps
+      .runToMemory(s, agg, "graft_stream_routed", "complete")
+      .orderBy(col("video_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "vpe_partition_prune" -> vpe_partition_prune,
     "vpe_routed_topic" -> vpe_routed_topic,
+    "stream_routed_topic" -> stream_routed_topic,
     "vpe_reid_only" -> vpe_reid_only,
     "vpe_attr_named" -> vpe_attr_named,
     "vpe_fragments" -> vpe_fragments,
@@ -416,6 +444,15 @@ object PipelineQueries {
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
     "vpe_routed_topic" ->
+      s"""SELECT video_id, count(*) AS n, CAST(sum(n_boxes) AS BIGINT) AS boxes
+         |FROM ($trackletsSql) t
+         |WHERE n_boxes % 3 = 0
+         |GROUP BY video_id
+         |ORDER BY video_id""".stripMargin,
+    // subscription ≡ routing filter (the multicast invariant): the
+    // streaming subscriber to the reid topic must land on the exact
+    // same table as the batch routing-filter consumer
+    "stream_routed_topic" ->
       s"""SELECT video_id, count(*) AS n, CAST(sum(n_boxes) AS BIGINT) AS boxes
          |FROM ($trackletsSql) t
          |WHERE n_boxes % 3 = 0

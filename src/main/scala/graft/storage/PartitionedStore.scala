@@ -20,8 +20,10 @@ object PartitionedStore {
     * embedded in every cache-directory name. Same staleness class as
     * StreamingOps.StageFormatVersion: the (source size+mtime) key sees
     * source regeneration but not a code change to the derived layout
-    * itself. Bump on any layout/schema/unit change to a cached table. */
-  private[graft] val FormatVersion = 1
+    * itself. Bump on any layout/schema/unit change to a cached table.
+    *   v1: round-6 initial   v2: RoutedStore copies carry their own
+    *   port only in dest_ports (multiplicity fix, see RoutedStore) */
+  private[graft] val FormatVersion = 2
 
   /** Build-once cache for derived table layouts: `build` writes the
     * table to the path it is given; the result is keyed by (FORMAT
@@ -82,10 +84,19 @@ object RoutedStore {
 
   /** Write `routed` (must carry `dest_ports: array<string>`) as a
     * port-partitioned table at `path`; one copy of each record per
-    * destination port. */
+    * destination port. Each stored COPY carries only its own port in
+    * `dest_ports` — exactly what a Kafka message produced to one topic
+    * carries (`Stream.java:47-70` sends the payload per topic, not the
+    * routing table). This makes the row-wise invariant EXACT:
+    * `array_contains(dest_ports, p)` is true iff the row lives in
+    * partition p, so RoutingPushdown's rewrite is a strict equivalence.
+    * (Storing the full array made the un-rewritten filter match every
+    * copy of a multi-routed record — the rule would have CHANGED the
+    * result multiplicity, an unsound optimization.) */
   def write(routed: DataFrame, path: String): Unit =
     routed
       .withColumn("port", explode(col("dest_ports")))
+      .withColumn("dest_ports", array(col("port")))
       .write.partitionBy("port").mode("overwrite").parquet(path)
 
   /** Read a routed table back; `filter(array_contains($"dest_ports",
@@ -93,6 +104,42 @@ object RoutedStore {
     * RoutingPushdown is active. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** STREAMING topic subscription over the routed layout — the true
+    * analog of handing a Kafka consumer a topic list. The batch rule
+    * ([[graft.plans.RoutingPushdown]]) prunes the SCAN, but a file
+    * STREAM's cost center is upstream of any plan: FileStreamSource
+    * lists its input glob on every trigger and tracks every discovered
+    * file in its seen-map forever. Subscribing by restricting the glob
+    * to the chosen ports' directories means un-subscribed topics are
+    * never listed, never enter the source log, and never wake a
+    * trigger — at 100 TB with 30 topics and one subscriber per topic,
+    * per-trigger listing work drops 30× and checkpoint source logs stop
+    * growing with OTHER topics' traffic. `basePath` keeps `port` a
+    * partition column, so downstream code sees the same schema as
+    * [[read]]. */
+  def subscribe(spark: SparkSession, path: String,
+                ports: Seq[String]): DataFrame = {
+    require(ports.nonEmpty, "subscribe needs at least one port")
+    // DATA schema from a bounded batch read (footer-only) — the `port`
+    // partition column is not in the files; each per-port source
+    // re-attaches it as a literal (a Kafka consumer knows which topic
+    // a record came from the same way: from the subscription, not the
+    // payload). One file-stream source per subscribed port, unioned —
+    // exactly a consumer subscribed to N topics — so each source's
+    // listing glob IS its topic directory and nothing else ever enters
+    // its seen-file log. (A single glob + basePath read would also
+    // subscribe, but FileStreamSource's per-batch relation loses the
+    // discovered partition values in this Spark version.)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(path).schema.filterNot(_.name == "port"))
+    ports.map { p =>
+      spark.readStream
+        .schema(dataSchema)
+        .parquet(s"$path/port=$p")
+        .withColumn("port", lit(p))
+    }.reduce(_.unionAll(_))
+  }
 }
 
 /** Bucket-co-located storage for BIG-BIG joins — the second at-rest

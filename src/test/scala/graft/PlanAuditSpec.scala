@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // the registered query installs the rule and builds the routed table
     SparkEntry.queries("vpe_routed_topic")(spark, sf).collect()
-    val dir = graft.storage.PartitionedStore.cached(sf, "routed_tracklets")(_ => ())
+    val dir = graft.queries.PipelineQueries.routedTrackletsDir(spark, sf)
     def readFiltered() = graft.storage.RoutedStore.read(spark, dir)
       .filter(array_contains(col("dest_ports"), "reid"))
     def planOf(df: org.apache.spark.sql.DataFrame) =
@@ -88,6 +88,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*port[^\\]]*IN \\(".r
       .findFirstIn(orPlan).isDefined,
       s"port disjunction must become an IN partition filter:\n$orPlan")
+  }
+
+  test("stream subscription over RoutedStore lists only the subscribed port's files") {
+    import java.nio.file.Files
+    // the checkpoint's source log is the ground truth of what the file
+    // stream DISCOVERED — subscription must keep un-subscribed topics
+    // out of it entirely (the batch rule prunes the scan; a stream's
+    // cost center is the per-trigger LISTING and the ever-growing
+    // seen-file log, so pruning must happen at the source glob)
+    val dir = graft.queries.PipelineQueries.routedTrackletsDir(spark, sf)
+    val ckpt = Files.createTempDirectory("graft_sub_audit_")
+    try {
+      val sub = graft.storage.RoutedStore.subscribe(spark, dir, Seq("reid"))
+      val q = sub.writeStream.format("memory").queryName("sub_audit")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+
+      val manifest = Files.readString(ckpt.resolve("sources").resolve("0").resolve("0"))
+      val listed = "\"path\":\"([^\"]+)\"".r
+        .findAllMatchIn(manifest).map(_.group(1)).toSeq
+      assert(listed.nonEmpty, s"source log recorded no files:\n$manifest")
+      assert(listed.forall(_.contains("/port=reid/")),
+        s"un-subscribed topic files leaked into the source log:\n${listed.mkString("\n")}")
+      // selectivity is real, not vacuous: other topics DO exist at rest
+      assert(new java.io.File(dir).list().exists(_ == "port=tracklet-save"),
+        "fixture must contain un-subscribed topic directories")
+      // and the subscribed stream carries the port partition column +
+      // exactly the reid topic's rows
+      val streamed = spark.table("sub_audit")
+      assert(streamed.columns.contains("port"))
+      val expected = graft.storage.RoutedStore.read(spark, dir)
+        .filter(org.apache.spark.sql.functions
+          .array_contains(org.apache.spark.sql.functions.col("dest_ports"), "reid"))
+        .count()
+      assert(streamed.count() == expected,
+        "subscription must yield exactly the subscribed topic's rows")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
   }
 
   test("vpe_partition_prune: day filter prunes partitions at the scan") {
