@@ -24,8 +24,10 @@ object Bench {
 
   /** Fixed-work single-thread loop (xorshift64*, 2^27 steps): a
     * deterministic CPU yardstick. Elapsed ms varies only with how much
-    * of a core this process actually got — the co-tenancy stamp. */
-  private def calibrationMs(): Double = {
+    * of a core this process actually got — the co-tenancy stamp.
+    * Shared with ScaleBench, which brackets each ladder measurement the
+    * same way. */
+  private[graft] def calibrationMs(): Double = {
     var x = 0x9e3779b97f4a7c15L
     var i = 0
     val t0 = System.nanoTime()
