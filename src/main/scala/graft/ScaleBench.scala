@@ -67,7 +67,15 @@ object ScaleBench {
     // config); the 4-store default is the small-SF gate's tuning
     spark.conf.set("graft.statePartitions", cpus)
 
-    val out = new StringBuilder("[\n")
+    // stamp the artifact with the code that produced it so the ladder
+    // is diffable round over round (committed as SCALING_results.json)
+    val commit = try {
+      scala.sys.process.Process(Seq("git", "rev-parse", "HEAD"),
+        new java.io.File(".")).!!.trim
+    } catch { case _: Exception => "unknown" }
+
+    val out = new StringBuilder(
+      s"""{"commit":"$commit","cpus":$cpus,"results":[\n""")
     var first = true
     for (n <- sizes) {
       val dir = s"$base/n$n"
@@ -186,7 +194,7 @@ object ScaleBench {
         }
       }
     }
-    out.append("\n]\n")
+    out.append("\n]}\n")
     val resPath = java.nio.file.Paths.get(base, "scale_results.json")
     java.nio.file.Files.createDirectories(resPath.getParent)
     java.nio.file.Files.write(resPath,

@@ -694,7 +694,116 @@ object DataPipelineQueries {
   private val multimodal_video_sample: Q = (s, d) =>
     videoSampleFrom(videoEncodedCached(s, d), 2)
 
+  /** Deterministic per-source keep-rate (basis points) for the domain
+    * mixture: a pure function of the source name, so the policy table
+    * needs no side input and the SQL twin states it as a CASE. */
+  private def mixRateBp(source: Column): Column = {
+    val idx = substring(source, 4, 10).cast("int") % 4
+    when(idx === 0, 10000L).when(idx === 1, 5000L)
+      .when(idx === 2, 2500L).otherwise(1000L)
+  }
+
+  /** pipeline_domain_mix: stratified source-mixture sampling — the
+    * per-domain weighting step of a training-data mix. Each source
+    * (domain) gets a keep-rate in basis points and each row is kept by
+    * a pure hash of (doc_id, source), so the realized mixture is
+    * stable across reruns, engines and cluster layouts (no rand()) and
+    * the decision needs no shuffle at all — it is row-local scan math;
+    * the only shuffle is the per-source audit aggregation (map-side
+    * partials, one row per source). Output: configured rate vs
+    * realized counts per source. */
+  private val pipeline_domain_mix: Q = (s, d) => {
+    val bucket = pmod(HashFunctions.hash32(
+      concat_ws(":", col("doc_id").cast("string"), col("source"))), lit(10000))
+    Tables.documents(s, d)
+      .select(col("source"), mixRateBp(col("source")).as("rate_bp"),
+        bucket.as("bucket"))
+      .groupBy(col("source"), col("rate_bp"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("bucket") < col("rate_bp"), 1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** text_vocab: corpus vocabulary build — top-200 tokens by frequency
+    * with cumulative corpus coverage (the seed step of BPE/vocab
+    * training and the head-coverage diagnostic a mixture report
+    * needs). Scale shape: the token count is the canonical wordcount
+    * (explode → hash-groupBy with map-side partials); top-200 plans as
+    * TakeOrderedAndProject (no global sort materializes); the
+    * single-partition rank/cumsum window then runs over exactly 200
+    * rows, and the corpus total joins in as a broadcast scalar. */
+  private val text_vocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(200)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"),
+        expr("cum_n * 10000 div n_total").as("cum_frac_bp"))
+      .orderBy(col("rank"))
+  }
+
+  /** text_ngram_lm: corpus-statistical language-model scoring — each
+    * document scored by the average corpus frequency of its bigrams
+    * (the integer-exact stand-in for LM log-likelihood: stereotyped
+    * text scores high, novel or garbled text scores low — a real
+    * quality-filter signal next to text_stats' surface heuristics).
+    * Scale shape: bigram counting is wordcount; the scoring join
+    * shuffles both sides on the bigram key (big-big, bucket-local
+    * work only); the per-doc rollup re-shuffles on doc_id. The
+    * exploded bigram frame is cached because it feeds both the count
+    * build and the scoring join. */
+  private val text_ngram_lm: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) > 1,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .cache()
+    val counts = perDoc.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    perDoc.join(counts, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n")).as("sum_n"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_n div n_bigrams").as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** embed_centroids: per-label embedding centroid sums — the exact
+    * integer form of the class-centroid/statistics pass an embedding
+    * corpus runs (and the k-means M-step shape, reusing the same
+    * [[org.apache.spark.sql.graft.VectorSumLong]] aggregate as the
+    * trained-IVF path). One shuffle: the fixed long[dims] buffer
+    * partial-aggregates map-side, so only (label, 64 longs) rows move
+    * — the posexplode-first formulation would multiply the shuffle by
+    * dims. The explode happens AFTER aggregation, over n_labels rows. */
+  private val embed_centroids: Q = (s, d) => {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), qv.as("qv"))
+      .groupBy(col("label"))
+      .agg(org.apache.spark.sql.graft.VectorMeanAgg.vector_sum_long(col("qv")).as("sv"))
+      .select(col("label"), col("sv.n").as("n_vecs"),
+        posexplode(col("sv.sums")).as(Seq("pos", "sum_q")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("sum_q"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_domain_mix" -> pipeline_domain_mix,
+    "text_vocab" -> text_vocab,
+    "text_ngram_lm" -> text_ngram_lm,
+    "embed_centroids" -> embed_centroids,
     "multimodal_audio_frames" -> multimodal_audio_frames,
     "multimodal_video_sample" -> multimodal_video_sample,
     "ann_ivf_trained" -> ann_ivf_trained,
@@ -1245,5 +1354,58 @@ object DataPipelineQueries {
         |  upper(hex(encode(substr(text, 1, 16)))) AS header_hex,
         |  md5(text) AS payload_md5
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(CASE CAST(substr(source, 4) AS INT) % 4
+         |      WHEN 0 THEN 10000 WHEN 1 THEN 5000
+         |      WHEN 2 THEN 2500 ELSE 1000 END AS BIGINT) AS rate_bp,
+         |    ${h32("CAST(doc_id AS VARCHAR) || ':' || source")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT source, rate_bp, count(*) AS n_total,
+         |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
+         |FROM t GROUP BY source, rate_bp
+         |ORDER BY source""".stripMargin,
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        |total AS (SELECT count(*) AS n_total FROM toks),
+        |top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 200),
+        |ranked AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, token) AS cum_n
+        |  FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, n,
+        |  CAST(cum_n * 10000 // (SELECT n_total FROM total) AS BIGINT) AS cum_frac_bp
+        |FROM ranked ORDER BY rank""".stripMargin,
+    "text_ngram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM tk),
+        |counts AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(c.n) // count(*) AS BIGINT) AS lm_score
+        |FROM bg b JOIN counts c USING (bigram)
+        |GROUP BY b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "embed_centroids" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (SELECT unnest(range(1, 65)) AS dim)
+        |SELECT e.label, CAST(d.dim AS BIGINT) AS dim,
+        |  CAST(sum(e.qv[d.dim]) AS BIGINT) AS sum_q,
+        |  count(*) AS n_vecs
+        |FROM e, d
+        |GROUP BY e.label, d.dim
+        |ORDER BY label, dim""".stripMargin)
 }
