@@ -103,8 +103,10 @@ object PlanCompiler {
       prevExecuted = col("exec_prev")).drop("exec_prev")
 
     // save sinks: union of everything routed to a *-save port.
-    // observe() = the reference's per-batch bookkeeping (SURVEY A5):
-    // record counts flow to QueryExecutionListeners without an extra job.
+    // NOTE: the A5 observe() bookkeeping is attached by the caller
+    // ABOVE any presentation sort (see PipelineQueries) — a
+    // CollectMetrics below a global sort is re-executed by the range
+    // partitioner's sampling pass and double-counts.
     val saved =
       routeTo(trackOut, TrackletSavePort)
         .select(col("tracklet_id"), lit("tracklet").as("payload_type"), col("executed"))
@@ -113,9 +115,6 @@ object PlanCompiler {
         .unionByName(routeTo(reidOut, IdRankSavePort)
           .select(col("tracklet_id"), lit("idrank").as("payload_type"), col("executed")))
     saved
-      .observe("graft_pipeline",
-        count(lit(1)).as("n_saved"),
-        approx_count_distinct(col("payload_type")).as("n_sinks"))
       .select(col("tracklet_id"), col("payload_type"),
         array_join(col("executed"), ",").as("executed_path"))
   }

@@ -200,8 +200,16 @@ object PipelineQueries {
     * multicast, markExecuted (O2) and plan combine on the join (U3),
     * observed at the save sinks. */
   private val vpe_plan_pipeline: Q = (s, d) => {
+    // observe() = the reference's per-batch bookkeeping (SURVEY A5):
+    // save counts flow to QueryExecutionListeners on the action's own
+    // job. Attached ABOVE the presentation sort on purpose: a
+    // CollectMetrics below a global sort gets re-executed by the range
+    // partitioner's sampling pass and reports doubled counts.
     graft.plans.PlanCompiler.executeFullPipeline(s, d)
       .orderBy(col("tracklet_id"), col("payload_type"))
+      .observe("graft_pipeline",
+        count(lit(1)).as("n_saved"),
+        approx_count_distinct(col("payload_type")).as("n_sinks"))
   }
 
   /** vpe_multimodal_decode: batched mapPartitions decode of opaque

@@ -51,7 +51,9 @@ final class GraftMonitor private (spark: SparkSession) {
   private val execListener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       addCapped(actionQ, ActionReport(funcName, durationNs / 1000000L,
-        rootMetric(qe, "numOutputRows"), failed = false, heapUsedMb()))
+        rootMetric(qe, "numOutputRows"), failed = false, heapUsedMb(),
+        observed = qe.observedMetrics.view.mapValues(row =>
+          row.schema.fieldNames.zip(row.toSeq).toMap).toMap))
     override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
       addCapped(actionQ, ActionReport(funcName, -1L, -1L, failed = true, heapUsedMb()))
   }
@@ -91,9 +93,14 @@ object GraftMonitor {
                          rowsPerSec: Double, sink: String, stateRows: Long,
                          heapUsedMb: Long)
 
-  /** One completed (or failed) batch action. */
+  /** One completed (or failed) batch action. `observed` carries the
+    * plan's `Dataset.observe` named metrics (observation name →
+    * metric name → value) — the A5 per-batch bookkeeping that rides
+    * the action's own job instead of costing a second one (the
+    * flagship pipeline observes its save-sink counts this way). */
   case class ActionReport(action: String, durationMs: Long, outputRows: Long,
-                          failed: Boolean, heapUsedMb: Long)
+                          failed: Boolean, heapUsedMb: Long,
+                          observed: Map[String, Map[String, Any]] = Map.empty)
 
   /** Register a monitor on the session; caller detaches when done. */
   def attach(spark: SparkSession): GraftMonitor = {

@@ -34,6 +34,21 @@ class MonitorSpec extends AnyFunSuite {
     } finally m.detach()
   }
 
+  test("flagship observe() metrics ride the action into the monitor") {
+    val m = GraftMonitor.attach(spark)
+    try {
+      val n = SparkEntry.queries("vpe_plan_pipeline")(spark, sf).collect().length
+      val rep = eventually("action report carrying graft_pipeline metrics") {
+        m.actionReports.find(r => !r.failed && r.observed.contains("graft_pipeline"))
+      }
+      val obs = rep.observed("graft_pipeline")
+      // the observed save count must equal the rows the action returned
+      // (same job, no second pass) and all three save sinks must appear
+      assert(obs("n_saved") == n.toLong, s"observed=$obs collected=$n")
+      assert(obs("n_sinks") == 3L, s"observed=$obs")
+    } finally m.detach()
+  }
+
   test("streaming batches report rows/s, sink, and state-store size") {
     implicit val sqlCtx = spark.sqlContext
     val m = GraftMonitor.attach(spark)
