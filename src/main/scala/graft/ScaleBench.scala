@@ -33,6 +33,8 @@ object ScaleBench {
     "pipeline_curate",      // full curation chain (score→dedup→CC→split)
     "pipeline_decontam",    // broadcast shingle overlap
     "pipeline_pack",        // sized-shard sequence packing
+    "text_ngram_lm",        // bigram wordcount + big-big scoring join
+    "embed_centroids",      // map-side vector-sum buffers, one shuffle
     "ann_lsh_topk",         // derived-width hyperplane buckets
     "ann_ivf_topk",         // IVF assign + nProbe search
     "multimodal_codec",     // real ImageIO encode+decode per doc
