@@ -89,4 +89,41 @@ object TextAnalysis {
     * kernel ([[org.apache.spark.sql.graft.ContentFingerprint]]). */
   def contentFingerprint(text: Column): Column =
     org.apache.spark.sql.graft.HashExpressions.content_fingerprint(text)
+
+  // ---- BPE merge training ---------------------------------------------
+
+  /** Symbol-list separator for the BPE fold (below). U+001F never
+    * appears in tokenized corpus text (words are split on spaces and
+    * control chars carry no merge information). */
+  val BpeSep = "\u001f"
+
+  /** Adjacent symbol pairs of an array column as (l, r) structs —
+    * empty for arrays of fewer than 2 elements. */
+  def adjacentPairs(syms: Column): Column =
+    when(size(syms) > 1,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** One greedy left-to-right BPE merge applied to a symbol array: every
+    * non-overlapping adjacent (left, right) occurrence fuses into one
+    * symbol. Row-local fold (no shuffle): symbols are re-joined on
+    * [[BpeSep]] while folding — the accumulator merges the incoming
+    * symbol into its LAST segment iff that segment equals `left` and the
+    * incoming symbol equals `right`. This fold is exactly the greedy
+    * skip-2 walk: a merge changes the last segment to left+right, which
+    * can never equal `left` again (right is non-empty), so chained runs
+    * like "aaa" resolve to [aa, a] — property-pinned against a walking
+    * reference in DataMixSpec. The DuckDB twin states the SAME fold via
+    * list_reduce, so both engines share one formulation. */
+  def bpeMergeOnce(syms: Column, left: String, right: String): Column =
+    split(
+      aggregate(
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        element_at(syms, 1),
+        (acc, x) =>
+          when(regexp_extract(acc, "[^\u001f]*$", 0) === lit(left) && x === lit(right),
+            concat(acc, x))
+            .otherwise(concat(acc, lit(BpeSep), x))),
+      BpeSep)
 }

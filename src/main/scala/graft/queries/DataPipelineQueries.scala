@@ -799,7 +799,57 @@ object DataPipelineQueries {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Number of BPE merge-training rounds (kept small because the SQL
+    * twin unrolls one CTE block per round). */
+  private val BPE_MERGES = 3
+
+  /** text_bpe_merges: BPE tokenizer TRAINING — learn the top merge
+    * rules from the corpus (the step that PRODUCES the vocabulary
+    * text_bpe_tokens counts against). Per round: weighted adjacent
+    * symbol-pair counts over the DISTINCT-word vocabulary, argmax pair
+    * (deterministic tie-break), greedy non-overlapping merge applied to
+    * every word, repeat. Scale shape: the state is vocabulary-sized
+    * (distinct words + counts), never corpus-sized — the only
+    * corpus-sized pass is the initial wordcount; each round is one
+    * wordcount-shaped pair aggregation (map-side partials) plus a
+    * row-local fold ([[TextAnalysis.bpeMergeOnce]], no shuffle); the
+    * argmax is a bounded driver decision (one row per round, the same
+    * class as broadcast-threshold decisions). Output: the learned merge
+    * table, K rows. */
+  private val text_bpe_merges: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // char symbols; split-on-empty keeps a trailing "" in Spark but not
+    // in DuckDB — filter to the common semantics
+    var state = vocab.select(col("w"), col("n"),
+      filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to BPE_MERGES) {
+      val best = state
+        .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (bl, br) = (best.getAs[String]("l"), best.getAs[String]("r"))
+      merges += ((k.toLong, bl, br, best.getAs[Long]("cnt")))
+      if (k < BPE_MERGES) {
+        val next = state.withColumn("syms",
+          TextAnalysis.bpeMergeOnce(col("syms"), bl, br)).cache()
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_merges" -> text_bpe_merges,
     "pipeline_domain_mix" -> pipeline_domain_mix,
     "text_vocab" -> text_vocab,
     "text_ngram_lm" -> text_ngram_lm,
@@ -1407,5 +1457,39 @@ object DataPipelineQueries {
         |  count(*) AS n_vecs
         |FROM e, d
         |GROUP BY e.label, d.dim
-        |ORDER BY label, dim""".stripMargin)
+        |ORDER BY label, dim""".stripMargin,
+    "text_bpe_merges" -> bpeMergesSql)
+
+  /** DuckDB twin of text_bpe_merges: one CTE block per merge round.
+    * The merge application is the SAME fold as
+    * [[TextAnalysis.bpeMergeOnce]], stated via list_reduce over a
+    * chr(31)-joined accumulator (acc's last segment == learned left &&
+    * incoming symbol == learned right → fuse, else append). */
+  private def bpeMergesSql: String = {
+    // fold the symbol list under round k's learned pair (bl, br columns
+    // joined in from the bK CTE)
+    def foldSql(syms: String): String =
+      s"string_split(list_reduce($syms, (acc, x) -> " +
+        "CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = bl AND x = br " +
+        "THEN acc || x ELSE acc || chr(31) || x END), chr(31))"
+    val rounds = (1 to BPE_MERGES).map { k =>
+      val prev = if (k == 1) "s1" else s"s$k"
+      s"""p$k AS (SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:]) AS r, n FROM $prev),
+         |b$k AS (SELECT l AS bl, r AS br, CAST(sum(n) AS BIGINT) AS cnt FROM p$k
+         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin +
+        (if (k < BPE_MERGES)
+          s",\ns${k + 1} AS (SELECT w, n, ${foldSql("syms")} AS syms FROM $prev, b$k)"
+        else "")
+    }.mkString(",\n")
+    val out = (1 to BPE_MERGES).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, bl AS lhs, br AS rhs, cnt AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab AS (SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY w),
+       |s1 AS (SELECT w, n, string_split(w, '') AS syms FROM vocab),
+       |$rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
 }

@@ -47,6 +47,54 @@ class DataMixSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE fold merge equals the greedy skip-2 reference walk") {
+    // the walking reference: scan left to right, fuse non-overlapping
+    // (l, r) adjacencies, skip 2 on a fuse
+    def greedy(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    // multi-char symbols included on purpose: boundary confusion (e.g.
+    // [b, ab] vs pair (b, a)) is where a string-level formulation breaks
+    val alphabet = Vector("a", "b", "ab", "ba", "aa")
+    val cases = Seq.tabulate(300) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size))))
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = cases.toDF("id", "syms")
+    for (l <- Seq("a", "b", "aa"); r <- Seq("a", "b", "ab")) {
+      val got = df
+        .select(col("id"),
+          graft.operators.TextAnalysis.bpeMergeOnce(col("syms"), l, r).as("m"))
+        .as[(Long, Seq[String])].collect().toMap
+      cases.foreach { case (id, syms) =>
+        assert(got(id) == greedy(syms, l, r),
+          s"fold diverged from greedy: syms=$syms pair=($l,$r) got=${got(id)}")
+      }
+    }
+  }
+
+  test("BPE merge training: K ranked rules with non-increasing counts") {
+    val rows = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq == (1L to rows.length).toSeq)
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    // merging the argmax pair can only reduce or preserve other pairs'
+    // counts, and new pairs are bounded by the merged pair's count —
+    // so the learned sequence is non-increasing
+    assert(counts == counts.sorted.reverse, s"counts=$counts")
+    rows.foreach { r =>
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+  }
+
   test("centroid sums: vector counts conserve the corpus per dim") {
     val rows = SparkEntry.queries("embed_centroids")(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()
