@@ -240,4 +240,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("md5("),
       "no interpreted per-shingle md5 on the dedup hot path")
   }
+
+  test("embed_centroids: vectors aggregate map-side BEFORE any explode") {
+    val p = plan("embed_centroids")
+    assert(p.contains("vector_sum_long"), "map-side vector-sum buffer expected")
+    // the Generate (posexplode of the per-label sums) must sit ABOVE
+    // the aggregation — exploding first would multiply the shuffle by
+    // the vector width
+    val genAt = p.indexOf("Generate")
+    val aggAt = p.indexOf("vector_sum_long")
+    assert(genAt >= 0 && aggAt >= 0 && genAt < aggAt,
+      s"explode must consume the aggregate's output, not feed it:\n$p")
+  }
+
+  test("text_vocab: top-k is TakeOrdered; the global window runs on 200 rows, not the corpus") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 must not materialize a global sort:\n$p")
+    // the rank/cumsum window is single-partition BY DESIGN but must sit
+    // above the TakeOrdered (bounded input), which the plan shows by
+    // the window's child containing the limit
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"),
+      "window must consume the limited row set (plan prints top-down)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the corpus-total scalar must broadcast into the 200-row frame")
+  }
+
+  test("pipeline_domain_mix: the sampling decision is scan-local (one aggregation exchange only)") {
+    val p = plan("pipeline_domain_mix")
+    // rows are kept by row-local hash math; the only exchanges allowed
+    // are the per-source audit aggregation and the presentation sort
+    // (formatted mode prints each node twice — tree + detail — so count
+    // the numbered detail headers only)
+    val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(ex <= 2, s"expected only audit-agg + orderBy exchanges, saw $ex:\n$p")
+    assert(p.contains("partial_count"), "audit must partial-aggregate map-side")
+  }
 }
