@@ -199,6 +199,44 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("candidate_id"), col("score"))
   }
 
+  // ---- Product quantization (PQ) --------------------------------------
+
+  /** PQ encode: a quantized vector becomes M small codes — per
+    * subspace, the id of the nearest codebook centroid (inline argmin
+    * over literal codebooks, tie → smaller code id, identical to
+    * [[assignCellsQ]]'s struct-min). A pure projection: no shuffle, no
+    * join — at corpus scale encoding is one scan, and everything
+    * downstream touches only the code table (M bytes/vector instead of
+    * the full vector — the memory-bandwidth compression that makes
+    * billion-vector search feasible). */
+  def pqEncode(qv: Column, books: Seq[Seq[(Long, Array[Long])]],
+               subDim: Int): Column =
+    array(books.zipWithIndex.map { case (cents, m) =>
+      val sub = slice(qv, lit(m * subDim + 1), lit(subDim))
+      array_min(array(cents.map { case (cid, qc) =>
+        struct(l2sqLong(sub, array(qc.map(lit): _*)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }: _*)
+
+  /** PQ asymmetric distance (ADC): Σ over subspaces of the exact
+    * integer L2² between the PROBE's subvector and the CANDIDATE's
+    * codeword. The codebooks are literals, so per (probe, candidate)
+    * this is pure column arithmetic — the probe side never builds an
+    * explicit distance table and the candidate side never decodes. */
+  def pqAdcDist(pqv: Column, codes: Column,
+                books: Seq[Seq[(Long, Array[Long])]], subDim: Int): Column =
+    books.zipWithIndex.map { case (cents, m) =>
+      val sub = slice(pqv, lit(m * subDim + 1), lit(subDim))
+      val code = element_at(codes, m + 1)
+      // codeword lookup by id: books are dense 0..K-1 after training
+      // (ids never change, only coordinates), so element_at by code+1
+      // against the id-ordered literal table is the lookup
+      val table = array(cents.sortBy(_._1).map { case (_, qc) =>
+        array(qc.map(lit): _*) }: _*)
+      l2sqLong(sub, element_at(table, (code + 1).cast("int")))
+    }.reduce(_ + _)
+
   /** Bucket-width sizing rule for hyperplane LSH: the smallest nBits
     * whose 2^nBits buckets hold an EXPECTED population of at most
     * `targetBucketPop` (uniform spread), floored at minBits. The width

@@ -588,6 +588,76 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** PQ layout: 64 dims → M=8 subspaces × 8 dims, K=16 codewords per
+    * subspace, one integer-exact Lloyd round from deterministic seeds
+    * (the first K vectors' subvectors). */
+  private val PQ_M = 8
+  private val PQ_SUBDIM = 8
+  private val PQ_K = 16
+
+  /** ADC shortlist size re-ranked exactly per probe. */
+  private val PQ_SHORTLIST = 20
+
+  /** ann_pq_topk: product-quantization ANN — the third classic scale
+    * path next to LSH (hashing, ann_lsh_topk) and IVF (partitioning,
+    * ann_ivf_*): COMPRESSION. Per subspace a K-codeword codebook is
+    * trained (map-side vector_sum_long aggregation, bounded collect of
+    * the K×subDim sum table per round — same trainer as the IVF path);
+    * every vector encodes to M small codes (a pure projection); probes
+    * shortlist candidates by asymmetric distance computed against the
+    * literal codebooks — the scan that touches only the M-byte code
+    * per vector, never the full vector — then the top
+    * [[PQ_SHORTLIST]] re-rank by EXACT quantized L2 (the standard
+    * two-stage PQ search: compressed scan, bounded exact fetch).
+    * Integer-exact end to end, so the DuckDB twin (same seeds, same
+    * Lloyd round, same truncating division, same tie-breaks)
+    * hash-matches. */
+  private val ann_pq_topk: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .cache()
+    val seedRows = q.filter(col("vec_id") < PQ_K).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val books = (0 until PQ_M).map { m =>
+      val sub = q.select(col("vec_id"),
+        slice(col("qv"), lit(m * PQ_SUBDIM + 1), lit(PQ_SUBDIM)).as("qv"))
+      val seeds = seedRows.toSeq.map { case (cid, qc) =>
+        (cid, qc.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)) }
+      Similarity.kmeansQuantized(sub, seeds, iters = 1)
+    }
+    val encoded = q.select(col("vec_id"),
+      Similarity.pqEncode(col("qv"), books, PQ_SUBDIM).as("codes"))
+    val probes = q.filter(col("vec_id") >= PQ_K && col("vec_id") < PQ_K + 10)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
+    // stage 1: compressed ADC scan over the code table only
+    val scored = encoded.join(broadcast(probes),
+        col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("candidate_id"),
+        Similarity.pqAdcDist(col("pqv"), col("codes"), books, PQ_SUBDIM)
+          .as("adc_dist"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("candidate_id").asc)
+    val shortlist = scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PQ_SHORTLIST)
+      .select(col("probe_id"), col("candidate_id"))
+    // stage 2: exact re-rank of the bounded shortlist (full-vector
+    // fetch for PQ_SHORTLIST rows per probe, not the corpus)
+    val exact = shortlist
+      .join(q.select(col("vec_id").as("candidate_id"), col("qv")), "candidate_id")
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("candidate_id"),
+        Similarity.l2sqLong(col("pqv"), col("qv")).as("l2_dist"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("l2_dist").asc, col("candidate_id").asc)
+    exact.withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("candidate_id"), col("l2_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** multimodal_audio_frames: the AUDIO modality end-to-end — a
     * deterministic PCM16 waveform per doc → 16-bit LE encode into an
     * opaque `binary` payload → batched [[Multimodal.framePcmEnergies]]
@@ -849,6 +919,7 @@ object DataPipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "ann_pq_topk" -> ann_pq_topk,
     "text_bpe_merges" -> text_bpe_merges,
     "pipeline_domain_mix" -> pipeline_domain_mix,
     "text_vocab" -> text_vocab,
@@ -991,14 +1062,17 @@ object DataPipelineQueries {
   /** One Lloyd iteration as CTEs: assign to nearest `prevCte` centroid,
     * element-wise integer sums per cell, centroid update s // n
     * (truncating division — matches Scala Long `/`); empty cells keep
-    * their previous centroid. Twin of Similarity.kmeansQuantized. */
-  private def lloydIterSql(prevCte: String, outCte: String, dims: Int): String =
+    * their previous centroid. Twin of Similarity.kmeansQuantized.
+    * `src` is the (vec_id, qv) table the round trains on — the full
+    * corpus by default, a subspace slice for the PQ twin. */
+  private def lloydIterSql(prevCte: String, outCte: String, dims: Int,
+                           src: String = "q"): String =
     s"""a_$outCte AS (
        |  SELECT vec_id, qv, cell FROM (
        |    SELECT v.vec_id, v.qv, c.cid AS cell,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
-       |    FROM q v, $prevCte c) t WHERE rn = 1),
+       |    FROM $src v, $prevCte c) t WHERE rn = 1),
        |s_$outCte AS (
        |  SELECT cell, pos, CAST(sum(qv[pos]) AS BIGINT) AS s, count(*) AS n
        |  FROM a_$outCte, (SELECT unnest(range(1, ${dims + 1})) AS pos) p
@@ -1458,7 +1532,66 @@ object DataPipelineQueries {
         |FROM e, d
         |GROUP BY e.label, d.dim
         |ORDER BY label, dim""".stripMargin,
-    "text_bpe_merges" -> bpeMergesSql)
+    "text_bpe_merges" -> bpeMergesSql,
+    "ann_pq_topk" -> pqTopkSql)
+
+  /** DuckDB twin of ann_pq_topk: per subspace m — slice, seed from the
+    * first K subvectors, ONE Lloyd round (same truncating division and
+    * tie-breaks as kmeansQuantized), assign codes against the TRAINED
+    * books; shortlist per probe by the summed subspace-L2 against the
+    * probe's subvectors (ADC), then exact-L2 re-rank the shortlist. */
+  private def pqTopkSql: String = {
+    val (m, sub, k) = (PQ_M, PQ_SUBDIM, PQ_K)
+    val subspaces = (0 until m).map { i =>
+      val lo = i * sub + 1
+      val hi = (i + 1) * sub
+      s"""qm$i AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM q),
+         |c0_m$i AS (SELECT vec_id AS cid, qv AS qc FROM qm$i WHERE vec_id < $k),
+         |${lloydIterSql(s"c0_m$i", s"c1_m$i", sub, src = s"qm$i")},
+         |enc_m$i AS (
+         |  SELECT vec_id, cell AS code FROM (
+         |    SELECT v.vec_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM qm$i v, c1_m$i c) t WHERE rn = 1),
+         |cb_m$i AS (SELECT list(qc ORDER BY cid) AS books FROM c1_m$i)""".stripMargin
+    }.mkString(",\n")
+    val candJoin = "enc_m0 e0" + (1 until m)
+      .map(i => s" JOIN enc_m$i e$i USING (vec_id)").mkString
+    val candCols = (0 until m).map(i => s"e$i.code AS code$i").mkString(", ")
+    val adcTerms = (0 until m).map { i =>
+      val lo = i * sub + 1
+      val hi = (i + 1) * sub
+      l2Sql(s"p.qv[$lo:$hi]", s"(SELECT books FROM cb_m$i)[ca.code$i + 1]")
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+       |$subspaces,
+       |cand AS (SELECT vec_id, $candCols FROM $candJoin),
+       |probes AS (SELECT vec_id AS probe_id, qv FROM q
+       |  WHERE vec_id >= $k AND vec_id < ${k + 10}),
+       |scored AS (
+       |  SELECT p.probe_id, ca.vec_id AS candidate_id,
+       |    CAST($adcTerms AS BIGINT) AS adc_dist
+       |  FROM probes p, cand ca WHERE ca.vec_id <> p.probe_id),
+       |shortlist AS (SELECT probe_id, candidate_id FROM (
+       |    SELECT probe_id, candidate_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adc_dist ASC, candidate_id ASC) AS adc_rank
+       |    FROM scored) t WHERE adc_rank <= $PQ_SHORTLIST),
+       |rer AS (
+       |  SELECT s.probe_id, s.candidate_id,
+       |    CAST(${l2Sql("p.qv", "c.qv")} AS BIGINT) AS l2_dist
+       |  FROM shortlist s
+       |  JOIN q c ON c.vec_id = s.candidate_id
+       |  JOIN probes p ON p.probe_id = s.probe_id),
+       |ranked AS (SELECT probe_id, candidate_id, l2_dist,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY l2_dist ASC, candidate_id ASC) AS rank
+       |  FROM rer)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, candidate_id, l2_dist
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** DuckDB twin of text_bpe_merges: one CTE block per merge round.
     * The merge application is the SAME fold as

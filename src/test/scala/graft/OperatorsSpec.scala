@@ -622,6 +622,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(assigned.groupBy("vec_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("PQ ADC ranking finds most of the exact-L2 top-k (recall)") {
+    // exact top-3 by quantized L2 (the metric ADC approximates)
+    val q = Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv")).cache()
+    val probes = q.filter($"vec_id" >= 16 && $"vec_id" < 26)
+      .select($"vec_id".as("probe_id"), $"qv".as("pqv"))
+    val exact = q.join(broadcast(probes), $"probe_id" =!= $"vec_id")
+      .select($"probe_id", $"vec_id".as("candidate_id"),
+        Similarity.l2sqLong($"pqv", $"qv").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"d".asc, $"candidate_id".asc)
+    val brute = exact.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("candidate_id"))).toSet
+    val pq = SparkEntry.queries("ann_pq_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("candidate_id"))).toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    // two-stage search: a true top-3 neighbor is missed only when the
+    // compressed ADC scan drops it from the top-20 shortlist
+    assert(recall >= 0.5,
+      s"PQ shortlist+rerank recall $recall vs exact L2")
+  }
+
   test("typed Dataset[Tracklet] pipeline matches the relational form") {
     import graft.operators.TypedPipeline
     val det = Tracking.detectionsFromEvents(Tables.events(spark, sf))
