@@ -225,7 +225,25 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Per-key quota for the streaming sampler (small enough vs the
+    * ~4 events/user corpus that drops actually happen). */
+  private val STREAM_QUOTA_K = 2
+
+  /** stream_quota: per-key quota ACROSS batches — the streaming form of
+    * pipeline_cap_per_key's mixing cap. Keyed state carries each user's
+    * running event count; the kept set hash-equals the batch
+    * `row_number() <= k` twin because staged batches are
+    * event-time-contiguous (see [[graft.streaming.QuotaSampler]]). */
+  private val stream_quota: Q = (s, d) => {
+    val ev = StreamingOps.eventsStream(s, d)
+    val kept = graft.streaming.QuotaSampler
+      .perKeyQuota(ev, STREAM_QUOTA_K).toDF()
+    StreamingOps.runToMemory(s, kept, "graft_stream_quota", "append")
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_quota" -> stream_quota,
     "stream_dedup" -> stream_dedup,
     "stream_enrich_join" -> stream_enrich_join,
     "stream_enrich_late" -> stream_enrich_late,
@@ -236,6 +254,13 @@ object StreamingQueries {
     "stream_recover" -> stream_recover)
 
   val oracles: Map[String, String] = Map(
+    "stream_quota" ->
+      s"""SELECT event_id, user_id, CAST(rn AS BIGINT) AS quota_rank
+         |FROM (SELECT event_id, user_id,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |      FROM events) t
+         |WHERE rn <= $STREAM_QUOTA_K
+         |ORDER BY event_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type
         |FROM events

@@ -96,6 +96,38 @@ class StreamingSpec extends AnyFunSuite {
       s"RocksDB state-store metrics expected in recovered run: $pj")
   }
 
+  test("per-key quota counts across batches; a filled quota never re-opens") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ev = in.toDF().toDF("user_id", "ts", "event_id")
+    val kept = graft.streaming.QuotaSampler.perKeyQuota(ev, 2).toDF()
+    val q = kept.writeStream.format("memory")
+      .queryName("quota_test").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: user 7 sends one event -> kept, rank 1
+      in.addData((7L, ts("2024-01-01 10:00:00"), 100L))
+      q.processAllAvailable()
+      assert(spark.table("quota_test").count() == 1)
+      // batch 2: two more from user 7 (out of id order inside the
+      // batch) -> only ONE fits the quota, and it's the event-time
+      // smaller one; plus user 8's first
+      in.addData((7L, ts("2024-01-01 10:02:00"), 103L),
+        (7L, ts("2024-01-01 10:01:00"), 101L),
+        (8L, ts("2024-01-01 10:00:30"), 200L))
+      q.processAllAvailable()
+      val rows2 = spark.table("quota_test").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("quota_rank"))).toMap
+      assert(rows2 == Map(100L -> 1L, 101L -> 2L, 200L -> 1L), s"$rows2")
+      // batch 3: more traffic for user 7 must NOT re-open the quota,
+      // even though earlier batch-2 overflow already pushed its seen
+      // count past k
+      in.addData((7L, ts("2024-01-01 10:05:00"), 104L))
+      q.processAllAvailable()
+      assert(spark.table("quota_test").count() == 3)
+    } finally q.stop()
+  }
+
   test("completion counter fires exactly once, at the batch completing the set") {
     implicit val sqlCtx = spark.sqlContext
     val savesIn = MemoryStream[(String, Int, Int)]
