@@ -201,6 +201,57 @@ object Similarity {
 
   // ---- Product quantization (PQ) --------------------------------------
 
+  /** Inline argmin cell id against a literal centroid table (struct-min
+    * on (distance, cid): tie → smaller cid — the shared tie-break of
+    * assignCellsQ / pqEncode / every SQL twin's row_number). */
+  private def argminCell(qv: Column, cents: Seq[(Long, Array[Long])]): Column =
+    array_min(array(cents.map { case (cid, qc) =>
+      struct(l2sqLong(qv, array(qc.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Train all M PQ codebooks in ONE pass per Lloyd iteration: each
+    * vector explodes to M (subspace, subvector) rows, the subspace-
+    * dispatched inline argmin assigns a cell, and a single
+    * groupBy(m, cell) vector_sum_long aggregation feeds every book's
+    * centroid update (truncating division, same as kmeansQuantized).
+    * Versus training each subspace separately this replaces 2·M
+    * sequential jobs with ONE corpus scan per iteration — the fixed
+    * per-job cost dominated the per-subspace form (measured 3.7 s →
+    * the scan cost at sf0.1), and at 100 TB one pass over the corpus
+    * instead of M is the only acceptable shape. The M× row explosion
+    * carries subDim-wide slices, so bytes scanned stay ~constant and
+    * the shuffle is the (M × K) partial-sum table per mapper. */
+  def pqTrain(vecsQ: DataFrame,
+              seedBooks: Seq[Seq[(Long, Array[Long])]],
+              subDim: Int, iters: Int): Seq[Seq[(Long, Array[Long])]] = {
+    var books = seedBooks.map(_.sortBy(_._1)).toIndexedSeq
+    val m = books.length
+    val subRows = vecsQ.select(explode(array((0 until m).map { i =>
+      struct(lit(i).as("m"),
+        slice(col("qv"), lit(i * subDim + 1), lit(subDim)).as("sq"))
+    }: _*)).as("s"))
+      .select(col("s.m").as("m"), col("s.sq").as("qv"))
+    for (_ <- 0 until iters) {
+      val cellExpr = books.zipWithIndex.tail.foldLeft(
+        when(col("m") === 0, argminCell(col("qv"), books(0)))) {
+        case (acc, (cents, i)) => acc.when(col("m") === i, argminCell(col("qv"), cents))
+      }
+      val sums = subRows.withColumn("cell", cellExpr)
+        .groupBy(col("m"), col("cell"))
+        .agg(org.apache.spark.sql.graft.VectorMeanAgg
+          .vector_sum_long(col("qv")).as("sn"))
+        .select(col("m"), col("cell"), col("sn.sums"), col("sn.n"))
+        .collect()
+      val updated = sums.map { r =>
+        (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).map(_ / r.getLong(3)).toArray
+      }.toMap
+      books = books.zipWithIndex.map { case (cents, i) =>
+        cents.map { case (cid, qc) => (cid, updated.getOrElse((i, cid), qc)) }
+      }
+    }
+    books
+  }
+
   /** PQ encode: a quantized vector becomes M small codes — per
     * subspace, the id of the nearest codebook centroid (inline argmin
     * over literal codebooks, tie → smaller code id, identical to

@@ -618,13 +618,12 @@ object DataPipelineQueries {
       .cache()
     val seedRows = q.filter(col("vec_id") < PQ_K).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val books = (0 until PQ_M).map { m =>
-      val sub = q.select(col("vec_id"),
-        slice(col("qv"), lit(m * PQ_SUBDIM + 1), lit(PQ_SUBDIM)).as("qv"))
-      val seeds = seedRows.toSeq.map { case (cid, qc) =>
+    val seedBooks = (0 until PQ_M).map { m =>
+      seedRows.toSeq.map { case (cid, qc) =>
         (cid, qc.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)) }
-      Similarity.kmeansQuantized(sub, seeds, iters = 1)
     }
+    // all M books in one corpus scan per iteration (Similarity.pqTrain)
+    val books = Similarity.pqTrain(q, seedBooks, PQ_SUBDIM, iters = 1)
     val encoded = q.select(col("vec_id"),
       Similarity.pqEncode(col("qv"), books, PQ_SUBDIM).as("codes"))
     val probes = q.filter(col("vec_id") >= PQ_K && col("vec_id") < PQ_K + 10)
