@@ -588,6 +588,46 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** dedup_embed_clusters: SEMANTIC grouping — connected components
+    * over the MUTUAL nearest-neighbor graph of the embedding corpus
+    * (the SemDeDup-style pruning pass: one canonical vector kept per
+    * semantic group). Edges are threshold-FREE on purpose: a pair
+    * connects iff each side is the other's top-1 in-band neighbor by
+    * exact integer dot product — a float cosine cutoff would make
+    * cluster membership hinge on engine ulps and (on this corpus)
+    * never fire at all, while mutual-NN forms real clusters at any SF
+    * and is bit-deterministic in both engines. Composed from the same
+    * scale pieces as the Jaccard form: band-local pair generation with
+    * skew refinement, then the size-driven local/distributed CC
+    * switch. */
+  private val dedup_embed_clusters: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    val scored = Similarity.bandedScoredPairs(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "qv", score = Similarity.dotLong(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionByName(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    val top1 = Similarity.topKPerKey(directed, "src", "score", "dst", 1)
+      .select(col("src"), col("dst"))
+    val mutual = top1.as("x")
+      .join(top1.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"))
+    val verts = Tables.embeddings(s, d).select(col("vec_id"))
+    Dedup.connectedComponents(verts, "vec_id", mutual)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** PQ layout: 64 dims → M=8 subspaces × 8 dims, K=16 codewords per
     * subspace, one integer-exact Lloyd round from deterministic seeds
     * (the first K vectors' subvectors). */
@@ -918,6 +958,7 @@ object DataPipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "dedup_embed_clusters" -> dedup_embed_clusters,
     "ann_pq_topk" -> ann_pq_topk,
     "text_bpe_merges" -> text_bpe_merges,
     "pipeline_domain_mix" -> pipeline_domain_mix,
@@ -1532,7 +1573,42 @@ object DataPipelineQueries {
         |GROUP BY e.label, d.dim
         |ORDER BY label, dim""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
-    "ann_pq_topk" -> pqTopkSql)
+    "ann_pq_topk" -> pqTopkSql,
+    "dedup_embed_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label,
+         |    ${SimilaritySql.quantizeSql} AS qv FROM embeddings),
+         |${SimilaritySql.bandedCandCtes("e", Seq("label"))},
+         |pairs AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(list_sum(list_transform(list_zip(ea.qv, eb.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM cand
+         |  JOIN e ea ON ea.vec_id = cand.id_a
+         |  JOIN e eb ON eb.vec_id = cand.id_b),
+         |directed AS (
+         |  SELECT id_a AS src, id_b AS dst, score FROM pairs
+         |  UNION ALL SELECT id_b, id_a, score FROM pairs),
+         |top1 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY score DESC, dst ASC) AS rn
+         |    FROM directed) t WHERE rn = 1),
+         |mutual AS (
+         |  SELECT a.src AS id_a, a.dst AS id_b
+         |  FROM top1 a JOIN top1 b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b, id_a FROM mutual),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT ed.src, reach.r FROM edges ed JOIN reach ON reach.id = ed.dst)
+         |SELECT id AS vec_id, min(r) AS cluster_id,
+         |  min(r) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY vec_id""".stripMargin)
 
   /** DuckDB twin of ann_pq_topk: per subspace m — slice, seed from the
     * first K subvectors, ONE Lloyd round (same truncating division and

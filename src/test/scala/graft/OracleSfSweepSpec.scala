@@ -29,6 +29,20 @@ class OracleSfSweepSpec extends AnyFunSuite {
         s"streamed/batch divergence at $sf — check staged-artifact caches")
     }
 
+    test(s"streaming quota equals its batch row_number twin at ${sf.split('/').last}") {
+      import org.apache.spark.sql.expressions.Window
+      val streamed = SparkEntry.queries("stream_quota")(spark, sf)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val batch = Tables.events(spark, sf)
+        .withColumn("quota_rank", row_number().over(w).cast("long"))
+        .filter(col("quota_rank") <= 2)
+        .select(col("event_id"), col("user_id"), col("quota_rank"))
+        .orderBy(col("event_id"))
+      assert(streamed.collect().sameElements(batch.collect()),
+        s"streamed/batch quota divergence at $sf")
+    }
+
     test(s"late-arrival staging drops the final batch at ${sf.split('/').last}") {
       // the late-drop stream must lose rows relative to the full table
       // (the out-of-order slice is behind the watermark) but keep the
