@@ -588,6 +588,27 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** pipeline_profile: corpus profiling — the per-source quality
+    * histogram + token totals a mixture plan is drawn FROM
+    * (pipeline_domain_mix consumes rates; this produces the evidence).
+    * Pure scan math into one aggregation: quality deciles are integer
+    * buckets of the engine-portable quality score, token totals ride
+    * the same pass. At 100 TB this is the one-scan profiling job run
+    * before every mixture decision. */
+  private val pipeline_profile: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.qualityScoreBp(t).as("q"),
+        TextAnalysis.tokenCount(t).as("tok"))
+      .select(col("source"),
+        expr("least(greatest(q, 0L), 9999L) div 1000").as("q_decile"),
+        col("tok"))
+      .groupBy(col("source"), col("q_decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("source"), col("q_decile"))
+  }
+
   /** dedup_embed_clusters: SEMANTIC grouping — connected components
     * over the MUTUAL nearest-neighbor graph of the embedding corpus
     * (the SemDeDup-style pruning pass: one canonical vector kept per
@@ -958,6 +979,7 @@ object DataPipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "pipeline_profile" -> pipeline_profile,
     "dedup_embed_clusters" -> dedup_embed_clusters,
     "ann_pq_topk" -> ann_pq_topk,
     "text_bpe_merges" -> text_bpe_merges,
@@ -1574,6 +1596,15 @@ object DataPipelineQueries {
         |ORDER BY label, dim""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
     "ann_pq_topk" -> pqTopkSql,
+    "pipeline_profile" ->
+      s"""WITH t AS (
+         |  SELECT source, $qualityBpSql AS q, CAST($tokenCountSql AS BIGINT) AS tok
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(least(greatest(q, 0), 9999) // 1000 AS BIGINT) AS q_decile,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY 1, 2
+         |ORDER BY source, q_decile""".stripMargin,
     "dedup_embed_clusters" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, label,
          |    ${SimilaritySql.quantizeSql} AS qv FROM embeddings),
