@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Deterministic cardinality sketching (HyperLogLog, Flajolet et al.
+  * 2007) built from the engine-portable md5 hash family — every
+  * arithmetic step is integer-exact, so the sketch registers (and the
+  * single float division that produces the estimate) are bit-identical
+  * between Spark and the DuckDB oracle. Spark's own
+  * `approx_count_distinct` is an HLL++ too, but its xxhash64 seeds and
+  * bias tables have no cross-engine twin — this one is the
+  * hash-checkable form of the same idea.
+  *
+  * Why it matters at 100 TB: `COUNT(DISTINCT token)` over a corpus
+  * shuffles every distinct value; the sketch reduces the whole corpus
+  * to `m` integer registers with a map-side-combinable `max` — the
+  * only thing that ever crosses the network is m (key, max) pairs per
+  * partition. Registers from disjoint shards merge by element-wise
+  * max, so per-day sketches roll up to per-year cardinalities without
+  * rescanning (the standard telemetry/corpus-profiling trick).
+  */
+object Sketches {
+
+  /** Register-index bits: m = 2^P registers. 256 registers ≈ 6.5%
+    * standard error — profiling resolution, at 2 KB of state. */
+  val P = 8
+  val M: Int = 1 << P // 256
+
+  /** Hash width actually used (HashFunctions.hash32); the suffix
+    * w = h >> P has HashBits - P = 24 bits, so rho ranges 1..25. */
+  val HashBits = 32
+
+  /** Scaling exponent for the harmonic sum: Σ 2^(-M_j) is rescaled to
+    * Σ 2^(HarmonicScale - M_j), an exact Long (max rho = 25 keeps every
+    * term ≥ 2^5; empty registers contribute 2^HarmonicScale). */
+  val HarmonicScale = 30
+
+  /** α_m · m² for m = 256 (Flajolet's bias correction,
+    * α_m = 0.7213 / (1 + 1.079/m)): both engines evaluate this exact
+    * literal expression the same way, so the estimate divides two
+    * bit-identical numbers. */
+  def alphaM2: Double = 0.7213 / (1.0 + 1.079 / M) * M * M
+
+  /** Per-value (bucket, rho) pair: bucket = low P bits of the 32-bit
+    * hash, rho = 1 + leading zeros of the remaining 24-bit suffix.
+    * The leading-zero count is `24 - bitlength(w) + 1` via `bin()`
+    * (identical no-leading-zeros semantics in Spark and DuckDB) —
+    * integer-only, no log2 float boundary risk. */
+  def bucketAndRho(value: Column): (Column, Column) = {
+    val h = HashFunctions.hash32(value)
+    val w = (h / lit(M)).cast("long") // h >= 0: truncation = floor
+    val rho = when(w === 0, lit(HashBits - P + 1))
+      .otherwise(lit(HashBits - P + 1) - length(bin(w)))
+    (pmod(h, lit(M)).as("bucket"), rho.cast("int").as("rho"))
+  }
+
+  /** HLL registers of a value column: ≤ m rows of (bucket, max rho).
+    * The groupBy partial-aggregates map-side, so the shuffle moves at
+    * most m rows per upstream partition. Buckets no value hashed into
+    * are absent (the estimator counts them as register 0). */
+  def hllRegisters(values: DataFrame, valueCol: String): DataFrame = {
+    val (bucket, rho) = bucketAndRho(col(valueCol))
+    values.select(bucket, rho)
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Collapse registers to a one-row summary: the exact-integer sketch
+    * state (register count, Σρ, the 2^30-scaled harmonic sum including
+    * empty registers) plus the raw HLL estimate
+    * E = α_m · m² · 2^30 / harmonic_scaled, with the small-range
+    * linear-counting correction (E ≤ 2.5m and empty registers present
+    * → m · ln(m / zeros)). Every float input is an exact integer from
+    * the same row, so the rounded estimate reproduces across engines. */
+  def hllSummary(registers: DataFrame): DataFrame = {
+    val m = lit(M.toLong)
+    val zeros = m - col("registers_present")
+    val harmonic = col("harmonic_present") + zeros * lit(1L << HarmonicScale)
+    val rawE = lit(alphaM2) * lit((1L << HarmonicScale).toDouble) / harmonic
+    val estimate = when(rawE <= lit(2.5 * M) && zeros > 0,
+      lit(M.toDouble) * log(m.cast("double") / zeros.cast("double")))
+      .otherwise(rawE)
+    registers
+      .agg(
+        count(lit(1)).cast("long").as("registers_present"),
+        sum(col("m_j").cast("long")).as("sum_rho"),
+        sum(expr(s"shiftleft(1L, $HarmonicScale - m_j)")).as("harmonic_present"))
+      .select(m.as("m"), col("registers_present"), zeros.as("zero_registers"),
+        col("sum_rho"), harmonic.as("harmonic_scaled"),
+        round(estimate, 2).as("hll_estimate"))
+  }
+}

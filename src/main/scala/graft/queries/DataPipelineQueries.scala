@@ -978,7 +978,30 @@ object DataPipelineQueries {
       .orderBy(col("merge_rank"))
   }
 
+  /** pipeline_hll_distinct: corpus distinct-token cardinality via a
+    * DETERMINISTIC HyperLogLog ([[graft.operators.Sketches]]) next to
+    * the exact answer. Scale shape: the sketch path never shuffles
+    * distinct values — tokens reduce map-side to ≤256 (bucket,
+    * max ρ) registers per partition, so the only corpus-sized pass is
+    * the scan (the exact `count_distinct` column exists to CHECK the
+    * estimate; a 100-TB profile drops it and keeps the sketch, whose
+    * registers also merge across shards/days by element-wise max).
+    * Integer-exact registers mean the DuckDB twin reproduces the
+    * estimate bit-for-bit, unlike approx_count_distinct's
+    * engine-private HLL++. */
+  private val pipeline_hll_distinct: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = toks.agg(count_distinct(col("token")).as("exact_distinct"))
+    graft.operators.Sketches.hllSummary(
+        graft.operators.Sketches.hllRegisters(toks, "token"))
+      .crossJoin(broadcast(exact))
+      .withColumn("err_bp", // floor, not cast: DuckDB's double→int cast rounds
+        expr("cast(floor(abs(hll_estimate - exact_distinct) * 10000 / exact_distinct) as bigint)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_hll_distinct" -> pipeline_hll_distinct,
     "pipeline_profile" -> pipeline_profile,
     "dedup_embed_clusters" -> dedup_embed_clusters,
     "ann_pq_topk" -> ann_pq_topk,
@@ -1553,6 +1576,43 @@ object DataPipelineQueries {
          |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
          |FROM t GROUP BY source, rate_bp
          |ORDER BY source""".stripMargin,
+    "pipeline_hll_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT ${h32("token")} AS h FROM toks),
+         |br AS (SELECT h % 256 AS bucket,
+         |    CASE WHEN h // 256 = 0 THEN 25
+         |         ELSE 25 - length(bin(h // 256)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT bucket, max(rho) AS m_j FROM br GROUP BY bucket),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS registers_present,
+         |    CAST(sum(m_j) AS BIGINT) AS sum_rho,
+         |    CAST(sum(1::BIGINT << (30 - m_j)) AS BIGINT) AS harmonic_present
+         |  FROM regs),
+         |ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+         |  FROM toks),
+         |fin AS (SELECT CAST(256 AS BIGINT) AS m, registers_present,
+         |    CAST(256 - registers_present AS BIGINT) AS zero_registers, sum_rho,
+         |    CAST(harmonic_present
+         |      + (256 - registers_present) * (1::BIGINT << 30) AS BIGINT)
+         |      AS harmonic_scaled,
+         |    exact_distinct
+         |  FROM st, ex),
+         |est AS (SELECT *,
+         |    -- literals cast to DOUBLE: DuckDB parses decimal literals as
+         |    -- DECIMAL (overflows at scale 11 and wouldn't mirror Spark's
+         |    -- float arithmetic)
+         |    round(CASE WHEN CAST(${Sketches.alphaM2} AS DOUBLE) * CAST(1073741824 AS DOUBLE) / harmonic_scaled <= 640.0
+         |               AND zero_registers > 0
+         |          THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / zero_registers)
+         |          ELSE CAST(${Sketches.alphaM2} AS DOUBLE) * CAST(1073741824 AS DOUBLE) / harmonic_scaled END, 2)
+         |      AS hll_estimate
+         |  FROM fin)
+         |SELECT m, registers_present, zero_registers, sum_rho, harmonic_scaled,
+         |  hll_estimate, exact_distinct,
+         |  CAST(floor(abs(hll_estimate - exact_distinct) * 10000 / exact_distinct)
+         |    AS BIGINT) AS err_bp
+         |FROM est""".stripMargin,
     "text_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

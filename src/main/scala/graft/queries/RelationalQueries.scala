@@ -280,7 +280,63 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
+  /** q20_asof_join: AS-OF join — each purchase matched to the newest
+    * click at-or-before it by the same user ([[graft.operators
+    * .TemporalJoins.asOfJoin]]: union + running last, ONE shuffle on
+    * user_id, no inequality-join pair explosion). The click side is
+    * pre-aggregated per (user, ts) — the determinism contract a SQL
+    * ASOF join shares — and the DuckDB twin is a NATIVE `ASOF LEFT
+    * JOIN`, so the oracle pins the operator to the industry semantics
+    * (inclusive backward match, left-outer nulls) rather than to a
+    * re-implementation of our own formulation. */
+  private val q20_asof_join: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"),
+        max_by($"value", $"event_id").as("click_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    graft.operators.TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        unix_micros($"ts").as("p_ts_us"),
+        round($"value", 2).as("p_value"),
+        $"asof_click_id".as("click_id"),
+        unix_micros($"asof_ts").as("c_ts_us"),
+        round($"asof_click_value", 2).as("click_value"),
+        (unix_micros($"ts") - unix_micros($"asof_ts")).as("wait_us"))
+      .orderBy($"purchase_id")
+  }
+
+  /** q21_range_join: interval (range) join — signup events open
+    * 30-minute windows; count/aggregate ALL events falling in each
+    * window ([[graft.operators.TemporalJoins.rangeJoinBinned]]:
+    * 10-minute bin keys turn the `lo <= ts < hi` predicate into a
+    * broadcast EQUI-join + residual filter — never the
+    * BroadcastNestedLoop Spark would plan for the bare inequality).
+    * Timestamps compare as epoch micros (exact integers) so boundary
+    * ties cannot diverge between engines. */
+  private val q21_range_join: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value", $"event_type")
+    val iv = ev.filter($"event_type" === "signup")
+      .orderBy($"event_id").limit(20)
+      .select($"event_id".as("iv_id"), $"ts_us".as("lo"),
+        ($"ts_us" + lit(1800L * 1000000L)).as("hi"))
+    graft.operators.TemporalJoins
+      .rangeJoinBinned(broadcast(iv), "lo", "hi", ev, "ts_us", 600L * 1000000L)
+      .groupBy($"iv_id", $"lo")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"iv_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q20_asof_join" -> q20_asof_join,
+    "q21_range_join" -> q21_range_join,
     "q19_bucketed_join" -> q19_bucketed_join,
     "q18_salted_agg" -> q18_salted_agg,
     "q17_cube" -> q17_cube,
@@ -302,6 +358,37 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q20_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id,
+        |    arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS p_ts_us, round(p.value, 2) AS p_value,
+        |  c.click_id, epoch_us(c.ts) AS c_ts_us,
+        |  round(c.click_value, 2) AS click_value,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q21_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value, event_type
+        |  FROM events),
+        |iv AS (
+        |  SELECT event_id AS iv_id, ts_us AS lo, ts_us + 1800000000 AS hi
+        |  FROM ev WHERE event_type = 'signup'
+        |  ORDER BY event_id LIMIT 20)
+        |SELECT iv.iv_id, iv.lo, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM iv JOIN ev e ON e.ts_us >= iv.lo AND e.ts_us < iv.hi
+        |GROUP BY iv.iv_id, iv.lo
+        |ORDER BY iv_id""".stripMargin,
     "q19_bucketed_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity,
         |  l_returnflag

@@ -101,6 +101,21 @@ object StreamingOps {
     streamFromStagedDir(spark,
       stageEventBatches(spark, sfDir, 3, arrivalOrder = Seq(1, 2, 0)))
 
+  /** [[eventsStream]] plus a trailing SENTINEL micro-batch: one
+    * synthetic row (event_id = -1, event-time 2 h past the corpus max)
+    * staged as a 4th file. Its only job is to push the watermark past
+    * every real row's join/aggregation horizon so watermark-driven
+    * state EVICTION (outer-join null emission, final window closes)
+    * actually happens inside the run — with a file source, nothing
+    * else advances the watermark after the last real batch, and
+    * unmatched outer-join rows would sit in state forever. Queries
+    * filter `event_id >= 0` ABOVE their withWatermark so the sentinel
+    * advances the watermark but never enters operator state. */
+  def eventsStreamWithSentinel(spark: SparkSession, sfDir: String,
+                               nBatches: Int = 3): DataFrame =
+    streamFromStagedDir(spark,
+      stageEventBatches(spark, sfDir, nBatches, sentinel = true))
+
   private def streamFromStagedDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
@@ -132,13 +147,15 @@ object StreamingOps {
     * proves it is never addressed by a newer version. */
   private[graft] def stageDir(sfDir: String, nBatches: Int,
                               version: Int = StageFormatVersion,
-                              arrivalOrder: Seq[Int] = Nil): java.nio.file.Path = {
+                              arrivalOrder: Seq[Int] = Nil,
+                              sentinel: Boolean = false): java.nio.file.Path = {
     import java.nio.file.Paths
     val src = Paths.get(sfDir, "events.parquet")
     val orderTag = if (arrivalOrder.isEmpty) "" else "_o" + arrivalOrder.mkString("")
+    val sentTag = if (sentinel) "_sent" else ""
     Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_v${version}_" + Integer.toHexString(sfDir.hashCode) +
-        "_" + sourceFingerprint(src), s"events_$nBatches$orderTag")
+        "_" + sourceFingerprint(src), s"events_$nBatches$orderTag$sentTag")
   }
 
   /** Split events.parquet into `nBatches` contiguous event-time ranges

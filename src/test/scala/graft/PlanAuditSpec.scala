@@ -276,4 +276,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ex <= 2, s"expected only audit-agg + orderBy exchanges, saw $ex:\n$p")
     assert(p.contains("partial_count"), "audit must partial-aggregate map-side")
   }
+
+  test("q20_asof_join: no join node at all — union + window shuffles on the key only") {
+    val p = plan("q20_asof_join")
+    assert(!p.contains("Join"),
+      s"as-of must be the union+window formulation, not an inequality join:\n$p")
+    assert(p.contains("Window"), "running-last window expected")
+    // legal exchanges: click pre-agg on (user_id, ts), the window's
+    // user_id repartition, the presentation orderBy; anything more
+    // means the formulation regressed
+    val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(ex <= 3, s"expected pre-agg + window + orderBy exchanges only, saw $ex:\n$p")
+  }
+
+  test("q21_range_join: bin keys make the interval predicate a broadcast EQUI-join") {
+    val p = plan("q21_range_join")
+    assert(p.contains("BroadcastHashJoin"), s"bin-key equi-join expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a nested-loop/cartesian plan means the range predicate reached the join planner raw")
+  }
+
+  test("pipeline_hll_distinct: registers partial-aggregate map-side (max combine)") {
+    val p = plan("pipeline_hll_distinct")
+    assert(p.contains("partial_max"),
+      s"register max must combine map-side — only (bucket, max rho) rows may shuffle:\n$p")
+  }
 }

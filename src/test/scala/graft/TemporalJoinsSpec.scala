@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sketches, TemporalJoins}
+
+/** TemporalJoins (as-of, binned range join) and Sketches (HLL) checked
+  * against brute-force reference computations on randomized-but-seeded
+  * crafted data — the operators' own formulations (union+window, bin
+  * keys, register math) never appear on the reference side.
+  */
+class TemporalJoinsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // --- as-of join -----------------------------------------------------
+
+  test("asOfJoin equals the brute-force newest-earlier match, incl. ties and no-match") {
+    val rnd = new scala.util.Random(42)
+    val build = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong, rnd.nextInt(1000)))
+      // determinism contract: unique per (key, ts)
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val probe = (1 to 200).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(110).toLong, 1000L + i))
+
+    val b = build.toDF("k", "ts", "bid", "payload")
+    val p = probe.toDF("k", "ts", "pid")
+    val got = TemporalJoins.asOfJoin(p, b, "k", "ts")
+      .select($"pid", $"asof_bid", $"asof_ts", $"asof_payload")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getInt(3)))))
+      .toMap
+
+    val byKey = build.groupBy(_._1)
+    probe.foreach { case (k, ts, pid) =>
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= ts) // inclusive backward match
+        .sortBy(b => (b._2, b._3)).lastOption
+        .map(b => (b._3, b._2, b._4))
+      assert(got(pid) == expect, s"probe $pid (k=$k ts=$ts)")
+    }
+  }
+
+  test("asOfJoin at equal timestamps matches inclusively (build sorts before probe)") {
+    val b = Seq((1L, 10L, 7L)).toDF("k", "ts", "bid")
+    val p = Seq((1L, 10L, 100L)).toDF("k", "ts", "pid")
+    val row = TemporalJoins.asOfJoin(p, b, "k", "ts").select($"asof_bid").head()
+    assert(row.getLong(0) == 7L)
+  }
+
+  // --- range join -----------------------------------------------------
+
+  test("rangeJoinBinned equals the brute-force interval filter for hostile widths") {
+    val rnd = new scala.util.Random(7)
+    // negative and positive domains, intervals up to 40 wide
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextLong() % 500 // JVM %: sign follows dividend — negatives included
+      (i.toLong, lo, lo + rnd.nextInt(40).toLong)
+    }
+    val pts = (1 to 500).map(j => (1000L + j, rnd.nextLong() % 520))
+    val ivDf = ivs.toDF("iv_id", "lo", "hi")
+    val ptDf = pts.toDF("pt_id", "pt")
+    val expected = (for {
+      (iid, lo, hi) <- ivs
+      (pid, pt) <- pts
+      if pt >= lo && pt < hi
+    } yield (iid, pid)).toSet
+    // widths smaller, comparable and larger than intervals; 1 = degenerate
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = TemporalJoins.rangeJoinBinned(ivDf, "lo", "hi", ptDf, "pt", w)
+        .select($"iv_id", $"pt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"binWidth=$w")
+    }
+  }
+
+  test("rangeJoinBinned boundaries: lo inclusive, hi exclusive, exactly at bin edges") {
+    val iv = Seq((1L, 100L, 200L)).toDF("iv_id", "lo", "hi")
+    val pt = Seq((1L, 99L), (2L, 100L), (3L, 199L), (4L, 200L)).toDF("pt_id", "pt")
+    val got = TemporalJoins.rangeJoinBinned(iv, "lo", "hi", pt, "pt", 100L)
+      .select($"pt_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  // --- HLL sketch -----------------------------------------------------
+
+  test("hll rho/bucket match a JVM-reference computation of the same md5 hash") {
+    val values = (1 to 2000).map(i => s"tok_$i")
+    val got = {
+      val (bucket, rho) = Sketches.bucketAndRho($"v")
+      values.toDF("v").select($"v", bucket, rho).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    values.foreach { v =>
+      val h = java.lang.Long.parseLong(
+        md.digest(v.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+      val w = h >>> 8
+      // rho = (leading zeros within the 24-bit suffix) + 1
+      //     = (nlz64(w) - 40) + 1
+      val rho = if (w == 0) 25 else java.lang.Long.numberOfLeadingZeros(w) - 39
+      assert(got(v) == (h % 256, rho), s"value $v h=$h w=$w")
+    }
+  }
+
+  test("hll estimate is within 20% of truth and registers merge by max across shards") {
+    val n = 20000
+    val df = spark.range(n).select(concat(lit("u"), $"id").as("v"))
+    val regs = Sketches.hllRegisters(df, "v")
+    val est = Sketches.hllSummary(regs).select($"hll_estimate").head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.20, s"estimate $est vs $n")
+
+    // shard-merge property: element-wise max of per-shard registers
+    // equals the whole-corpus registers (what makes sketches roll up)
+    val shardRegs = (0 until 4).map(s =>
+      Sketches.hllRegisters(df.filter(pmod($"id", lit(4)) === s), "v"))
+    val merged = shardRegs.reduce(_ unionByName _)
+      .groupBy($"bucket").agg(max($"m_j").as("m_j"))
+    val whole = regs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = merged.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == whole)
+  }
+}
