@@ -57,6 +57,51 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** stream_leftouter: stream-stream LEFT OUTER join with
+    * watermark-driven NULL emission (SURVEY J1/W2/W3 — the outer half
+    * of the assembly join family: an unmatched left row may only be
+    * emitted once the watermark proves its match can no longer
+    * arrive). Each event left-joins to its own event_id on the
+    * purchase leg: purchases match themselves immediately (inner
+    * path), every other event waits in state until the watermark
+    * passes its ±10-minute join horizon and then emits with a NULL
+    * value (eviction path). A trailing sentinel micro-batch
+    * ([[StreamingOps.eventsStreamWithSentinel]]) pushes the watermark
+    * past the corpus tail, so the no-data batch that follows flushes
+    * ALL real unmatched rows — without it the tail would sit in state
+    * forever and the oracle (a plain batch LEFT JOIN) would see
+    * missing rows. The purchase restriction lives INSIDE the join
+    * condition — but Catalyst pushes right-side-only conjuncts into
+    * the right child and below its watermark node anyway, so the
+    * sentinel is TYPED 'purchase' to survive that pushed filter and
+    * keep advancing the right leg's watermark (first cut of this
+    * query used a neutral sentinel type and the min-policy global
+    * watermark stalled at max-purchase-ts − 10 min, holding the last
+    * 42 min of unmatched rows in state). The sentinel itself never
+    * appears: its self-match row is dropped by the event_id filter
+    * after materialization. */
+  private val stream_leftouter: Q = (s, d) => {
+    val ev = StreamingOps.eventsStreamWithSentinel(s, d, sentinelType = "purchase")
+    val left = ev
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
+    val right = ev
+      .select(col("event_id").as("event_id_p"), col("ts").as("ts_p"),
+        col("event_type").as("event_type_p"), col("value"))
+      .withWatermark("ts_p", "10 minutes")
+    val joined = left.join(right,
+      col("event_id") === col("event_id_p") &&
+        col("event_type_p") === "purchase" &&
+        col("ts_p") >= col("ts") - expr("INTERVAL 10 minutes") &&
+        col("ts_p") <= col("ts") + expr("INTERVAL 10 minutes"),
+      "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("p_value"))
+    StreamingOps.runToMemory(s, joined, "graft_stream_leftouter", "append")
+      .filter(col("event_id") >= 0)
+      .orderBy(col("event_id"))
+  }
+
   /** stream_windowed_agg: event-time tumbling window aggregation
     * (SURVEY W1/W2) — 5-minute windows per event type. */
   private val stream_windowed_agg: Q = (s, d) => {
@@ -243,6 +288,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_leftouter" -> stream_leftouter,
     "stream_quota" -> stream_quota,
     "stream_dedup" -> stream_dedup,
     "stream_enrich_join" -> stream_enrich_join,
@@ -254,6 +300,15 @@ object StreamingQueries {
     "stream_recover" -> stream_recover)
 
   val oracles: Map[String, String] = Map(
+    // the batch twin of watermark-complete left-outer semantics: every
+    // event exactly once, purchases self-matched, everyone else NULL
+    // (the time bound is trivially satisfied by the self-match)
+    "stream_leftouter" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  round(p.value, 2) AS p_value
+        |FROM events e LEFT JOIN events p
+        |  ON e.event_id = p.event_id AND p.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "stream_quota" ->
       s"""SELECT event_id, user_id, CAST(rn AS BIGINT) AS quota_rank
          |FROM (SELECT event_id, user_id,

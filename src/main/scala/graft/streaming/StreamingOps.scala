@@ -108,13 +108,24 @@ object StreamingOps {
     * state EVICTION (outer-join null emission, final window closes)
     * actually happens inside the run — with a file source, nothing
     * else advances the watermark after the last real batch, and
-    * unmatched outer-join rows would sit in state forever. Queries
-    * filter `event_id >= 0` ABOVE their withWatermark so the sentinel
-    * advances the watermark but never enters operator state. */
+    * unmatched outer-join rows would sit in state forever.
+    *
+    * `sentinelType` must be chosen so the sentinel SURVIVES every
+    * per-leg row filter between source and watermark node: Catalyst
+    * pushes single-side predicates (even ones written into a join
+    * condition) below EventTimeWatermark when they don't reference the
+    * event-time column, and a sentinel removed there never advances
+    * that leg's watermark — the min-policy global watermark stalls at
+    * the filtered subset's max event time (observed: a 'purchase'-leg
+    * filter pinned the watermark 32 min short of the corpus tail).
+    * Queries exclude the sentinel from RESULTS by event_id < 0
+    * instead, after materialization. */
   def eventsStreamWithSentinel(spark: SparkSession, sfDir: String,
-                               nBatches: Int = 3): DataFrame =
+                               nBatches: Int = 3,
+                               sentinelType: String = "sentinel"): DataFrame =
     streamFromStagedDir(spark,
-      stageEventBatches(spark, sfDir, nBatches, sentinel = true))
+      stageEventBatches(spark, sfDir, nBatches,
+        sentinel = true, sentinelType = sentinelType))
 
   private def streamFromStagedDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
@@ -148,11 +159,12 @@ object StreamingOps {
   private[graft] def stageDir(sfDir: String, nBatches: Int,
                               version: Int = StageFormatVersion,
                               arrivalOrder: Seq[Int] = Nil,
-                              sentinel: Boolean = false): java.nio.file.Path = {
+                              sentinel: Boolean = false,
+                              sentinelType: String = "sentinel"): java.nio.file.Path = {
     import java.nio.file.Paths
     val src = Paths.get(sfDir, "events.parquet")
     val orderTag = if (arrivalOrder.isEmpty) "" else "_o" + arrivalOrder.mkString("")
-    val sentTag = if (sentinel) "_sent" else ""
+    val sentTag = if (sentinel) s"_sent_$sentinelType" else ""
     Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_v${version}_" + Integer.toHexString(sfDir.hashCode) +
         "_" + sourceFingerprint(src), s"events_$nBatches$orderTag$sentTag")
@@ -170,12 +182,14 @@ object StreamingOps {
   private[graft] def stageEventBatches(spark: SparkSession, sfDir: String,
                                        nBatches: Int,
                                        version: Int = StageFormatVersion,
-                                       arrivalOrder: Seq[Int] = Nil): String = synchronized {
+                                       arrivalOrder: Seq[Int] = Nil,
+                                       sentinel: Boolean = false,
+                                       sentinelType: String = "sentinel"): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(arrivalOrder.isEmpty || arrivalOrder.sorted == (0 until nBatches),
       s"arrivalOrder must permute 0..${nBatches - 1}: $arrivalOrder")
     val src = Paths.get(sfDir, "events.parquet")
-    val dir = stageDir(sfDir, nBatches, version, arrivalOrder)
+    val dir = stageDir(sfDir, nBatches, version, arrivalOrder, sentinel, sentinelType)
     if (Files.isDirectory(dir)) return dir.toString
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -206,6 +220,23 @@ object StreamingOps {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       // ascending mtimes: FileStreamSource picks oldest-first
       dst.toFile.setLastModified(base + pos * 2000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    if (sentinel) {
+      // one row, 2 h of event time past the corpus max: enough to clear
+      // any ±10-minute join horizon / window close in the registry
+      import spark.implicits._
+      val row = Seq((-1L, tsMax + 7200L * 1000000000L, -1L, sentinelType, 0.0, ""))
+        .toDF(eventsRawSchema.fieldNames.toIndexedSeq: _*)
+      val tmp = build.resolve("tmp_sentinel")
+      row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(Files.list(tmp))(
+        _.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+      val dst = build.resolve(f"events_$nBatches%02d_sentinel.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(base + nBatches * 2000L)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
