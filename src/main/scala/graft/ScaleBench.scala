@@ -37,6 +37,9 @@ object ScaleBench {
     "embed_centroids",      // map-side vector-sum buffers, one shuffle
     "ann_lsh_topk",         // derived-width hyperplane buckets
     "ann_ivf_topk",         // IVF assign + nProbe search
+    "q20_asof_join",        // as-of join: union + running-last window
+    "q21_range_join",       // bin-key broadcast equi-join over intervals
+    "pipeline_hll_distinct", // HLL registers: scan + 256-group max
     "multimodal_codec",     // real ImageIO encode+decode per doc
     "multimodal_audio_frames", // PCM16 codec + overlapping framing
     "multimodal_video_sample", // GVID container + index-seek frame sampling

@@ -44,6 +44,48 @@ object Sketches {
     * bit-identical numbers. */
   def alphaM2: Double = 0.7213 / (1.0 + 1.079 / M) * M * M
 
+  // --- Count-Min sketch (Cormode & Muthukrishnan 2005) ---------------
+
+  /** Count-Min depth (independent hash rows) and width (counters per
+    * row): d×w = 4×1024 bounds the overestimate of a count by
+    * ~e·N/w with probability 1−e^−d — heavy-hitter resolution in 16 KB
+    * of state. */
+  val CmDepth = 4
+  val CmWidth = 1024
+
+  /** Row-r counter position of a value: the salted portable hash mod
+    * w. Salting with a per-row prefix gives d independent hash
+    * functions from the single md5 family (same twin in SQL). */
+  def cmPosition(value: Column, r: Int): Column =
+    pmod(HashFunctions.hash32(concat(lit(s"cm$r:"), value)), lit(CmWidth))
+
+  /** The d×w counter matrix of a value column: ≤ d·w rows of
+    * (r, pos, c). One corpus-sized pass; the groupBy partial-aggregates
+    * map-side so at most d·w rows per partition shuffle, and counter
+    * matrices from disjoint shards merge by element-wise SUM (the
+    * additivity that makes the sketch roll up across days/shards). */
+  def cmCounters(values: DataFrame, valueCol: String): DataFrame =
+    values
+      .select(posexplode(array((0 until CmDepth)
+        .map(r => cmPosition(col(valueCol), r)): _*)).as(Seq("r", "pos")))
+      .groupBy(col("r"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-estimate the counts of `probes` (a small frame with
+    * `valueCol`) against a counter matrix: est(v) = min over rows r of
+    * counter[r, pos_r(v)] — never an underestimate, overestimate
+    * bounded by the row-collision mass. The counter matrix is ≤ d·w
+    * rows, so it broadcasts; the probe side never shuffles. */
+  def cmEstimate(counters: DataFrame, probes: DataFrame,
+                 valueCol: String): DataFrame = {
+    val probePos = probes.select(col("*"),
+      posexplode(array((0 until CmDepth)
+        .map(r => cmPosition(col(valueCol), r)): _*)).as(Seq("r", "pos")))
+    probePos.join(broadcast(counters), Seq("r", "pos"))
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("c")).as("cm_estimate"))
+  }
+
   /** Per-value (bucket, rho) pair: bucket = low P bits of the 32-bit
     * hash, rho = 1 + leading zeros of the remaining 24-bit suffix.
     * The leading-zero count is `24 - bitlength(w) + 1` via `bin()`

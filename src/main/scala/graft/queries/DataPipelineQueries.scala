@@ -1000,7 +1000,30 @@ object DataPipelineQueries {
         expr("cast(floor(abs(hll_estimate - exact_distinct) * 10000 / exact_distinct) as bigint)"))
   }
 
+  /** pipeline_cm_heavyhitters: heavy-hitter frequency estimation via a
+    * deterministic Count-Min sketch ([[graft.operators.Sketches]]),
+    * checked against the exact top-20 wordcount. Scale shape: the
+    * sketch is ONE corpus pass reduced map-side to a fixed 4×1024
+    * counter matrix (mergeable by SUM across shards — the streaming /
+    * multi-day rollup form); the estimate step broadcasts the 4096-row
+    * matrix, so probing N tokens never shuffles the corpus. CM never
+    * underestimates, so `overestimate` is the per-token collision mass
+    * — the oracle pins both the matrix and the min-over-rows estimate
+    * bit-for-bit. */
+  private val pipeline_cm_heavyhitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val counters = Sketches.cmCounters(toks, "token")
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+    Sketches.cmEstimate(counters, top, "token")
+      .select(col("token"), col("n"), col("cm_estimate"),
+        (col("cm_estimate") - col("n")).as("overestimate"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_cm_heavyhitters" -> pipeline_cm_heavyhitters,
     "pipeline_hll_distinct" -> pipeline_hll_distinct,
     "pipeline_profile" -> pipeline_profile,
     "dedup_embed_clusters" -> dedup_embed_clusters,
@@ -1576,6 +1599,27 @@ object DataPipelineQueries {
          |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
          |FROM t GROUP BY source, rate_bp
          |ORDER BY source""".stripMargin,
+    "pipeline_cm_heavyhitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |rs AS (SELECT unnest(range(0, 4)) AS r),
+         |pos AS (
+         |  SELECT r, ${h32("'cm' || r || ':' || token")} % 1024 AS pos
+         |  FROM toks, rs),
+         |counters AS (SELECT r, pos, count(*) AS c FROM pos GROUP BY r, pos),
+         |top AS (
+         |  SELECT token, count(*) AS n FROM toks
+         |  GROUP BY token ORDER BY n DESC, token LIMIT 20),
+         |probe AS (
+         |  SELECT t.token, t.n, rs.r,
+         |    ${h32("'cm' || rs.r || ':' || t.token")} % 1024 AS pos
+         |  FROM top t, rs),
+         |est AS (
+         |  SELECT p.token, p.n, min(c.c) AS cm_estimate
+         |  FROM probe p JOIN counters c ON p.r = c.r AND p.pos = c.pos
+         |  GROUP BY p.token, p.n)
+         |SELECT token, n, cm_estimate, cm_estimate - n AS overestimate
+         |FROM est ORDER BY n DESC, token""".stripMargin,
     "pipeline_hll_distinct" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -105,6 +105,32 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min never underestimates, bounds overestimates, and merges by sum") {
+    // Zipf-ish corpus: token t_i appears ~1000/i times
+    val df = spark.range(100000)
+      .select(concat(lit("t"), (pmod(col("id") * 2654435761L, lit(1000)) % (pmod(col("id"), lit(97)) + 1)).cast("string")).as("v"))
+    val exact = df.groupBy($"v").agg(count(lit(1)).as("n"))
+    val counters = Sketches.cmCounters(df, "v")
+    val est = Sketches.cmEstimate(counters, exact, "v").collect()
+    val total = 100000L
+    est.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n"), r.getAs[Long]("cm_estimate"))
+      assert(e >= n, s"CM underestimated ${r.getAs[String]("v")}: $e < $n")
+      // classic bound: overestimate <= ~2eN/w with high probability;
+      // use a loose 4x slack — a broken position hash blows far past it
+      assert(e - n <= 4 * math.E * total / Sketches.CmWidth,
+        s"overestimate ${e - n} breaches the CM bound")
+    }
+    // shard-merge: per-shard counter matrices sum to the whole-corpus one
+    val merged = (0 until 3).map(k =>
+        Sketches.cmCounters(df.filter(pmod(crc32($"v".cast("binary")), lit(3)) === k), "v"))
+      .reduce(_ unionByName _)
+      .groupBy($"r", $"pos").agg(sum($"c").as("c"))
+    val whole = counters.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == whole)
+  }
+
   test("hll estimate is within 20% of truth and registers merge by max across shards") {
     val n = 20000
     val df = spark.range(n).select(concat(lit("u"), $"id").as("v"))
