@@ -347,6 +347,28 @@ object PipelineQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** vpe_zorder_box: MULTI-dimensional pruning via the Z-order layout
+    * ([[graft.storage.ZOrderStore]]) — the scale lever one-dimensional
+    * partitioning can't give. The 2-D box (users 4–11 × Jan 7–14)
+    * maps to 8 Z-prefixes of a ~240-directory table; the `zp IN`
+    * filter lands as a PartitionFilter so the scan reads ~3% of the
+    * files for a query that a day-partitioned table would answer with
+    * 27% (8/30 days, ignoring the user bound entirely) and an
+    * unpartitioned table with 100%. The residual exact box predicate
+    * keeps the result independent of bucket geometry — the oracle is a
+    * plain box filter on the raw table, so the layout round-trip loses
+    * nothing. PlanAuditSpec asserts the file-level pruning. */
+  private val vpe_zorder_box: Q = (s, d) => {
+    val zps = graft.storage.ZOrderStore.boxPartitions(4, 11, 7, 14)
+    graft.storage.ZOrderStore.readEventsByZ(s, d)
+      .filter(col("zp").isInCollection(zps) &&
+        col("user_id").between(4, 11) &&
+        dayofmonth(col("ts")).between(7, 14))
+      .groupBy(dayofmonth(col("ts")).cast("long").as("dom"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .orderBy(col("dom"), col("event_type"))
+  }
+
   /** vpe_routed_topic: the routing-pushdown rule end-to-end (SURVEY §4,
     * reference topic-subscription `Stream.java:72-76`). Tracklets are
     * multicast-materialized into the port-partitioned RoutedStore with
@@ -405,6 +427,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "vpe_zorder_box" -> vpe_zorder_box,
     "vpe_partition_prune" -> vpe_partition_prune,
     "vpe_routed_topic" -> vpe_routed_topic,
     "stream_routed_topic" -> stream_routed_topic,
@@ -444,6 +467,16 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    // plain box filter on the raw table: the Z layout must be invisible
+    // to results (pruning is a plan property, audited in PlanAuditSpec)
+    "vpe_zorder_box" ->
+      """SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS v
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 11
+        |  AND EXTRACT(day FROM ts) BETWEEN 7 AND 14
+        |GROUP BY 1, 2
+        |ORDER BY dom, event_type""".stripMargin,
     "vpe_partition_prune" ->
       """SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS v

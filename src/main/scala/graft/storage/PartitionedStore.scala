@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-at-rest storage (SURVEY K3's layout concern): the
@@ -68,6 +68,79 @@ object PartitionedStore {
     * file-listing level (PartitionFilters in the scan node). */
   def readEventsByDay(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(eventsByDay(spark, sfDir))
+}
+
+/** Z-ORDER layout: MULTI-dimensional pruning at rest, the lever
+  * one-dimensional partitioning ([[PartitionedStore.eventsByDay]])
+  * cannot provide. A day-partitioned table prunes time-range queries
+  * but reads every directory for a user-range query; interleaving the
+  * bits of a (user-bucket, day-bucket) pair into a Z-value and
+  * partitioning by it keeps rows that are close in BOTH dimensions in
+  * the same files, so a 2-D box query touches only the Z-prefixes the
+  * box intersects — the curve-clustering trick behind Delta/Iceberg
+  * `OPTIMIZE ZORDER BY`. This is the coarse (partition-level) form;
+  * within-file Z-sorting would additionally prune parquet row groups
+  * by min/max, same math one level down.
+  *
+  * All bucket/interleave arithmetic is integer-exact and mirrored in
+  * the DuckDB oracle, so the layout is correctness-checked, not just
+  * plan-audited.
+  */
+object ZOrderStore {
+
+  /** Bits per dimension: 4+4 → a 0..255 Z-value / ≤256 directories. */
+  val Bits = 4
+
+  /** Z-layout version, embedded in the cache name (bump on any change
+    * to bucket geometry — same staleness class as the store versions).
+    *   v1: user width 64   v2: user width 4 (the testdata's user_id
+    *   cardinality scales with SF; width 4 spreads the spec SF's 15
+    *   users across buckets instead of collapsing them into one) */
+  val LayoutVersion = 2
+
+  /** User-range bucket: floor(user_id / 4), capped at 15 — monotone in
+    * user_id, so a user range maps to a contiguous bucket range. */
+  val UserBucketWidth = 4L
+
+  private def interleave(ub: Int, db: Int): Int =
+    (0 until Bits).map(i =>
+      (((ub >> i) & 1) << (2 * i + 1)) | (((db >> i) & 1) << (2 * i))).sum
+
+  /** Column form of the same interleave — plain div/mod arithmetic
+    * (codegen'd, and expressible verbatim in the oracle SQL). */
+  private def zCol(ub: Column, db: Column): Column =
+    (0 until Bits).map(i =>
+      (ub.divide(1 << i).cast("int") % 2) * (1 << (2 * i + 1)) +
+        (db.divide(1 << i).cast("int") % 2) * (1 << (2 * i)))
+      .reduce(_ + _)
+
+  private def ubCol: Column =
+    least((col("user_id") / UserBucketWidth).cast("int"), lit((1 << Bits) - 1))
+  /** Day-of-month pairs (corpus spans one month): (dom-1)/2 → 0..15. */
+  private def dbCol: Column = ((dayofmonth(col("ts")) - 1) / 2).cast("int")
+
+  /** The Z-partitions a 2-D box intersects: cross product of the two
+    * bucket ranges, interleaved. Bounded driver-side enumeration
+    * (≤ 16×16), same decision class as broadcast thresholds. */
+  def boxPartitions(uLo: Long, uHi: Long, domLo: Int, domHi: Int): Seq[Int] = {
+    val cap = (1 << Bits) - 1
+    val ubs = math.min(uLo / UserBucketWidth, cap).toInt to
+      math.min(uHi / UserBucketWidth, cap).toInt
+    val dbs = ((domLo - 1) / 2) to ((domHi - 1) / 2)
+    for (ub <- ubs; db <- dbs) yield interleave(ub, db)
+  }
+
+  /** events re-written partitioned by Z-value, once per (sfDir, source
+    * fingerprint, format version). */
+  def eventsByZ(spark: SparkSession, sfDir: String): String =
+    PartitionedStore.cached(sfDir, s"events_by_z_v$LayoutVersion") { path =>
+      graft.Tables.events(spark, sfDir)
+        .withColumn("zp", zCol(ubCol, dbCol))
+        .write.partitionBy("zp").mode("overwrite").parquet(path)
+    }
+
+  def readEventsByZ(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(eventsByZ(spark, sfDir))
 }
 
 /** The at-rest analog of Kafka's per-topic multicast (SURVEY K1/S2):

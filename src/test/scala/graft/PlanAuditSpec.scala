@@ -277,6 +277,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "audit must partial-aggregate map-side")
   }
 
+  test("vpe_zorder_box: 2-D box prunes to the intersected Z-prefixes only") {
+    val df = SparkEntry.queries("vpe_zorder_box")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters:") && p.contains("zp"),
+      s"zp IN must land as a PartitionFilter:\n$p")
+    df.collect()
+    def allNodes(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = pl match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      pl +: (pl.children.flatMap(allNodes) ++ inner)
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"expected a FileSourceScanExec among:\n" +
+      nodes.map(_.getClass.getSimpleName).mkString(", "))
+    val numFiles = scans.head.metrics("numFiles").value
+    val totalParts = graft.storage.ZOrderStore.readEventsByZ(spark, sf)
+      .select("zp").distinct().count()
+    // the box intersects 8 of the table's Z-partitions; a layout or
+    // enumeration regression shows up as the scan touching more
+    assert(totalParts >= 40, s"Z table should have ~60+ partitions, saw $totalParts")
+    assert(numFiles > 0 && numFiles <= 10,
+      s"scan must touch only the box's ~8 Z-partitions' files, read $numFiles")
+  }
+
   test("q20_asof_join: no join node at all — union + window shuffles on the key only") {
     val p = plan("q20_asof_join")
     assert(!p.contains("Join"),
