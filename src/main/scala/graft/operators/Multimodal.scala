@@ -404,6 +404,36 @@ object Multimodal {
     out
   }
 
+  /** Average-hash (aHash) of a row-major RGB patch: per-pixel
+    * grayscale by truncating mean of the three channels, then one bit
+    * per pixel — set iff the gray value is STRICTLY above the patch's
+    * truncating mean. The perceptual-fingerprint primitive for image
+    * near-dup detection: tiny pixel noise moves few grays across the
+    * mean, so near-identical images collide. Integer-only on purpose —
+    * the DuckDB oracle reproduces every division bit-for-bit. */
+  def averageHash(px: Array[Byte], w: Int, h: Int): Long = {
+    require(px.length == w * h * 3, s"pixel buffer ${px.length} != $w*$h*3")
+    require(w * h <= 64, s"aHash needs <=64 pixels, got ${w * h}")
+    val n = w * h
+    val gray = new Array[Int](n)
+    var i = 0
+    var sum = 0L
+    while (i < n) {
+      gray(i) = ((px(3 * i) & 0xff) + (px(3 * i + 1) & 0xff) +
+        (px(3 * i + 2) & 0xff)) / 3
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / n
+    var bits = 0L
+    i = 0
+    while (i < n) {
+      if (gray(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
   /** Batched patch resize to a fixed model input size (the DeepMAR
     * 227×227 shape): width/height/patch columns in, patch replaced by
     * the resized pixels and dims rewritten. Same per-partition batch

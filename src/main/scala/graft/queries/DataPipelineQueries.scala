@@ -557,6 +557,52 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** multimodal_phash_dedup: IMAGE near-dup detection — the multimodal
+    * counterpart of the text MinHash/SimHash family. Groups of 4 docs
+    * share a base 12×8 pattern with per-member noise in the first
+    * pixel triple; the chain runs REAL PNG encode → REAL ImageIO
+    * decode → nearest resize to 8×4 → average-hash (grayscale
+    * truncating mean, strict-above threshold bits,
+    * [[Multimodal.averageHash]]) → hash-groupBy. The noise survives
+    * the lossless codec but collapses under the perceptual hash, so
+    * group members collide — exactly how production image dedup
+    * (aHash/pHash buckets) works at scale: fixed 64-bit state per
+    * image, then the same hash-groupBy as exact text dedup. The
+    * oracle recomputes codec+resize+hash arithmetically per target
+    * pixel (same twin style as multimodal_train_tensor). */
+  private val multimodal_phash_dedup: Q = (s, d) => {
+    val W = 12; val H = 8; val TW = 8; val TH = 4
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("img", BinaryType))))
+    val encoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val gid = id / 4
+          val px = Array.tabulate[Byte](W * H * 3)(i =>
+            ((gid * 31 + i * 7 + (if (i < 3) id % 4 else 0L)) % 256).toByte)
+          Row(id, Multimodal.encodeImage(px, W, H, "png"))
+        }
+      }(enc)
+    val resized = Multimodal.resizePatches(
+      Multimodal.decodePixels(encoded, "img").drop("img"),
+      "width", "height", "pixels", targetW = TW, targetH = TH)
+    val hEnc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("phash", LongType))))
+    val idIdx = resized.schema.fieldIndex("doc_id")
+    val pIdx = resized.schema.fieldIndex("pixels")
+    resized.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx),
+          Multimodal.averageHash(r.getAs[Array[Byte]](pIdx), TW, TH))
+      }
+    }(hEnc)
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("phash"))
+  }
+
   /** ann_ivf_topk: IVF-style ANN (the brief's second scale path):
     * deterministic coarse centroids → exact-L2 cell assignment →
     * probe search restricted to nProbe nearest cells. */
@@ -1023,6 +1069,7 @@ object DataPipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "multimodal_phash_dedup" -> multimodal_phash_dedup,
     "pipeline_cm_heavyhitters" -> pipeline_cm_heavyhitters,
     "pipeline_hll_distinct" -> pipeline_hll_distinct,
     "pipeline_profile" -> pipeline_profile,
@@ -1580,6 +1627,35 @@ object DataPipelineQueries {
         |  CAST((px_sum * 10000 // 45 - 1280000) // 256 AS BIGINT) AS pre_mean_bp
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // Arithmetic twin of encode→decode→resize(8×4)→aHash: target pixel
+    // i → (ty, tx, c) → nearest source index via resizeNearest's
+    // truncating divisions (sy = ty*8//4, sx = tx*12//8) → pattern
+    // value with per-member noise on source indices < 3; grayscale and
+    // mean use the same truncating divisions as Multimodal.averageHash.
+    "multimodal_phash_dedup" ->
+      """WITH t AS (
+        |  SELECT d.doc_id, d.doc_id // 4 AS gid,
+        |    (i.i // 24) AS ty, ((i.i % 24) // 3) AS tx, (i.i % 3) AS c
+        |  FROM documents d, (SELECT unnest(range(0, 96)) AS i) i),
+        |v AS (
+        |  SELECT doc_id, ty, tx,
+        |    (gid * 31 + (((ty * 8 // 4) * 12 + (tx * 12 // 8)) * 3 + c) * 7
+        |      + CASE WHEN ((ty * 8 // 4) * 12 + (tx * 12 // 8)) * 3 + c < 3
+        |             THEN doc_id % 4 ELSE 0 END) % 256 AS pv
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, ty, tx, CAST(sum(pv) // 3 AS BIGINT) AS gray
+        |  FROM v GROUP BY doc_id, ty, tx),
+        |m AS (SELECT doc_id, CAST(sum(gray) // 32 AS BIGINT) AS mean
+        |  FROM g GROUP BY doc_id),
+        |hb AS (
+        |  SELECT g.doc_id,
+        |    CAST(sum(CASE WHEN gray > mean
+        |      THEN 1::BIGINT << CAST(ty * 8 + tx AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id)
+        |SELECT phash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM hb GROUP BY phash
+        |ORDER BY phash""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

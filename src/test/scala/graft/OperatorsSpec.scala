@@ -33,6 +33,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("averageHash: flat patch hashes to 0, noise below the mean gap is invariant") {
+    // flat image: no gray is STRICTLY above the mean -> all bits clear
+    val flat = Array.fill[Byte](8 * 4 * 3)(100.toByte)
+    assert(Multimodal.averageHash(flat, 8, 4) == 0L)
+    // half-dark/half-bright: exactly the bright half's bits set
+    val split = Array.tabulate[Byte](8 * 4 * 3)(i => if (i / 3 < 16) 10 else 200.toByte)
+    val h = Multimodal.averageHash(split, 8, 4)
+    assert(h == ((0xFFFFFFFFL << 16) & 0xFFFFFFFFL), f"got $h%x")
+    // perceptual robustness: +-2 noise on a high-contrast patch cannot
+    // move any gray across the mean -> identical hash (the property
+    // that makes near-identical images collide in the dedup groupBy)
+    val rnd = new scala.util.Random(3)
+    val noisy = split.clone()
+    for (i <- noisy.indices) noisy(i) = (noisy(i) + rnd.nextInt(5) - 2).toByte
+    assert(Multimodal.averageHash(noisy, 8, 4) == h)
+  }
+
   test("samplePatches clears patch on non-sample boxes only") {
     val seqCol = transform(sequence(lit(0), lit(29)),
       i => struct(i.as("frame"), lit(Array[Byte](1, 2)).as("patch")))
