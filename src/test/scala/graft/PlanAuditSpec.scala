@@ -310,6 +310,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must touch only the box's ~8 Z-partitions' files, read $numFiles")
   }
 
+  test("runtime bloom filter: a selective dim filter injects row-level pruning into the fact scan") {
+    // the third shuffle-reduction lever next to broadcast and bucketing:
+    // when a big-big join's build side carries a selective filter,
+    // Catalyst can inject a bloom filter of the build keys into the
+    // probe side, discarding non-joining fact rows BEFORE the shuffle —
+    // at 100 TB this cuts the exchanged bytes by the join selectivity
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sf)
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val p = joined.queryExecution.explainString(FormattedMode)
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter on the fact side:\n$p")
+      assert(p.contains("SortMergeJoin"), "the demo needs the non-broadcast path")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q20_asof_join: no join node at all — union + window shuffles on the key only") {
     val p = plan("q20_asof_join")
     assert(!p.contains("Join"),
