@@ -1068,7 +1068,50 @@ object DataPipelineQueries {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** text_bpe_encode: ENCODE the corpus with the learned BPE merges —
+    * the consumer half of text_bpe_merges' trainer (train → encode is
+    * the round trip a tokenizer pipeline actually runs). Same trainer
+    * loop (vocabulary-sized state, bounded driver argmax per round),
+    * but every learned merge is APPLIED, and the final per-word symbol
+    * count becomes the token cost of each corpus word. Scale shape:
+    * encoding is a vocabulary-sized fold (never corpus-sized — each
+    * distinct word is encoded once), then one big-big join word→cost
+    * and a per-doc rollup; the corpus-sized passes are exactly the
+    * wordcount and the scoring join, the same shape as text_ngram_lm. */
+  private val text_bpe_encode: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var state = vocab.select(col("w"), col("n"),
+      filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
+    for (_ <- 1 to BPE_MERGES) {
+      val best = state
+        .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val next = state.withColumn("syms",
+        TextAnalysis.bpeMergeOnce(col("syms"),
+          best.getAs[String]("l"), best.getAs[String]("r"))).cache()
+      state.unpersist()
+      state = next
+    }
+    // final state stays cached: the output plan reads it (Verify/Bench
+    // clear the cache between queries)
+    val tokPerWord = state.select(col("w"), size(col("syms")).cast("long").as("tok"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(tokPerWord, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_encode" -> text_bpe_encode,
     "multimodal_phash_dedup" -> multimodal_phash_dedup,
     "pipeline_cm_heavyhitters" -> pipeline_cm_heavyhitters,
     "pipeline_hll_distinct" -> pipeline_hll_distinct,
@@ -1775,6 +1818,7 @@ object DataPipelineQueries {
         |GROUP BY e.label, d.dim
         |ORDER BY label, dim""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "ann_pq_topk" -> pqTopkSql,
     "pipeline_profile" ->
       s"""WITH t AS (
@@ -1910,5 +1954,35 @@ object DataPipelineQueries {
        |$rounds
        |$out
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB twin of text_bpe_encode: the same per-round CTE blocks as
+    * [[bpeMergesSql]], but every learned merge is APPLIED (s_{k+1}
+    * exists for all k); the final state's symbol counts price each
+    * corpus word and a doc-word join rolls them up per document. */
+  private def bpeEncodeSql: String = {
+    def foldSql(syms: String): String =
+      s"string_split(list_reduce($syms, (acc, x) -> " +
+        "CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = bl AND x = br " +
+        "THEN acc || x ELSE acc || chr(31) || x END), chr(31))"
+    val rounds = (1 to BPE_MERGES).map { k =>
+      s"""p$k AS (SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:]) AS r, n FROM s$k),
+         |b$k AS (SELECT l AS bl, r AS br, CAST(sum(n) AS BIGINT) AS cnt FROM p$k
+         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+         |s${k + 1} AS (SELECT w, n, ${foldSql("syms")} AS syms FROM s$k, b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab AS (SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY w),
+       |s1 AS (SELECT w, n, string_split(w, '') AS syms FROM vocab),
+       |$rounds,
+       |tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS tok FROM s${BPE_MERGES + 1}),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(tok) AS BIGINT) AS n_tokens_bpe
+       |FROM dw JOIN tok USING (w)
+       |WHERE w <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 }
