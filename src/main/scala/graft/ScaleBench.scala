@@ -40,6 +40,10 @@ object ScaleBench {
     "q20_asof_join",        // as-of join: union + running-last window
     "q21_range_join",       // bin-key broadcast equi-join over intervals
     "pipeline_hll_distinct", // HLL registers: scan + 256-group max
+    "pipeline_cm_heavyhitters", // CM counters: 4x explode + 4096-group sum
+    "text_bpe_encode",      // vocab-sized merge folds + word-cost join
+    "multimodal_phash_dedup", // real codec chain + aHash groupBy
+    "stream_leftouter",     // outer join + sentinel watermark flush
     "multimodal_codec",     // real ImageIO encode+decode per doc
     "multimodal_audio_frames", // PCM16 codec + overlapping framing
     "multimodal_video_sample", // GVID container + index-seek frame sampling

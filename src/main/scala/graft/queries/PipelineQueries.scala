@@ -369,6 +369,41 @@ object PipelineQueries {
       .orderBy(col("dom"), col("event_type"))
   }
 
+  /** pipeline_compact: small-file compaction end-to-end (the
+    * OPTIMIZE/maintenance layout op, [[graft.storage.PartitionedStore
+    * .compact]]). The events table is first deliberately fragmented
+    * into 64 shuffled files (what an over-parallel writer or streaming
+    * sink leaves behind), then compacted to 4 range-partitioned,
+    * within-file-sorted files. The query reads THROUGH the compacted
+    * layout and aggregates; the oracle is the same aggregate on the
+    * raw table — compaction must be invisible to results. The file
+    * counts and the sortedness are asserted in PlanAuditSpec (data
+    * properties, not plan prints). Both layouts build once through the
+    * versioned cache. */
+  private[graft] def compactedEventsDir(s: SparkSession, d: String): String = {
+    val frag = graft.storage.PartitionedStore.cached(d, "events_fragmented") {
+      path =>
+        graft.Tables.events(s, d)
+          // shuffle by a non-time key: fragments interleave event time,
+          // the worst case for row-group stats before compaction
+          .repartition(64, col("event_id"))
+          .write.mode("overwrite").parquet(path)
+    }
+    graft.storage.PartitionedStore.cached(d, "events_compacted") { path =>
+      graft.storage.PartitionedStore.compact(
+        s.read.parquet(frag), path, targetFiles = 4, sortCols = Seq("ts", "event_id"))
+    }
+  }
+
+  private val pipeline_compact: Q = (s, d) => {
+    s.read.parquet(compactedEventsDir(s, d))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("v"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** vpe_routed_topic: the routing-pushdown rule end-to-end (SURVEY §4,
     * reference topic-subscription `Stream.java:72-76`). Tracklets are
     * multicast-materialized into the port-partitioned RoutedStore with
@@ -427,6 +462,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "pipeline_compact" -> pipeline_compact,
     "vpe_zorder_box" -> vpe_zorder_box,
     "vpe_partition_prune" -> vpe_partition_prune,
     "vpe_routed_topic" -> vpe_routed_topic,
@@ -467,6 +503,14 @@ object PipelineQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same aggregate on the RAW table: the fragment->compact round trip
+    // must be invisible to results
+    "pipeline_compact" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // plain box filter on the raw table: the Z layout must be invisible
     // to results (pruning is a plan property, audited in PlanAuditSpec)
     "vpe_zorder_box" ->

@@ -68,6 +68,21 @@ object PartitionedStore {
     * file-listing level (PartitionFilters in the scan node). */
   def readEventsByDay(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(eventsByDay(spark, sfDir))
+
+  /** Small-file COMPACTION (the OPTIMIZE/maintenance half of a table
+    * layout): rewrite a table into ~`targetFiles` files, sorted within
+    * files by `sortCols` so parquet row-group min/max stats stay
+    * selective after the rewrite. Small-file sprawl is the silent
+    * 100-TB killer — a streaming sink or over-parallel writer leaves
+    * thousands of KB-sized files per partition, and every subsequent
+    * scan pays per-file listing/open/footer cost. The rewrite is one
+    * range-partitioned shuffle; data content is untouched, which is
+    * exactly what the oracle checks. */
+  def compact(df: DataFrame, path: String, targetFiles: Int,
+              sortCols: Seq[String]): Unit =
+    df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }
 
 /** Z-ORDER layout: MULTI-dimensional pruning at rest, the lever

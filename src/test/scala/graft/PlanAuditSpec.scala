@@ -310,6 +310,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must touch only the box's ~8 Z-partitions' files, read $numFiles")
   }
 
+  test("pipeline_compact: 64 fragments become <=5 sorted files with identical data") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.queries.PipelineQueries.compactedEventsDir(spark, sf)
+    def parquetFiles(d: String): Seq[java.io.File] =
+      new java.io.File(d).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    val fragDir = dir.replace("events_compacted", "events_fragmented")
+    assert(parquetFiles(fragDir).size >= 48,
+      s"fixture must be fragmented, saw ${parquetFiles(fragDir).size} files")
+    val compacted = parquetFiles(dir)
+    assert(compacted.nonEmpty && compacted.size <= 5,
+      s"compaction must produce ~4 files, saw ${compacted.size}")
+    // within-file sortedness is what keeps row-group min/max selective:
+    // each file's rows must be ts-ascending
+    for (f <- compacted) {
+      val ts = spark.read.parquet(f.getAbsolutePath)
+        .select(col("ts").cast("long")).collect().map(_.getLong(0))
+      assert(ts.sameElements(ts.sorted), s"${f.getName} not sorted by ts")
+    }
+  }
+
   test("runtime bloom filter: a selective dim filter injects row-level pruning into the fact scan") {
     // the third shuffle-reduction lever next to broadcast and bucketing:
     // when a big-big join's build side carries a selective filter,
