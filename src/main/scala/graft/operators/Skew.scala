@@ -40,4 +40,24 @@ object Skew {
       .agg(count(lit(1)).as("partial_n"))
       .groupBy(col(keyCol))
       .agg(sum("partial_n").as("n"))
+
+  /** Salted EQUI-JOIN for a hot probe key against a
+    * broadcast-ineligible build side: probe rows are salted from
+    * columns that vary WITHIN the hot key, the build side is exploded
+    * `saltBuckets`× so every (key, salt) bucket finds its match, and
+    * the join runs on the composite key — the hot key's rows spread
+    * over `saltBuckets` reducers instead of one. Build-side cost is
+    * the explosion factor (same trade as a broadcast, paid through the
+    * shuffle), so size `saltBuckets` to the skew, not the cluster.
+    * Each probe row lives in exactly ONE salt bucket and its build row
+    * is present in all of them, so match multiplicity is unchanged —
+    * the parity property OperatorsSpec pins against the plain join. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 saltBuckets: Int, saltFrom: Seq[String],
+                 joinType: String = "inner"): DataFrame = {
+    require(saltFrom.nonEmpty, "salt needs within-key-varying columns")
+    val p = probe.withColumn("__salt", salt(saltBuckets, saltFrom.map(col): _*))
+    val b = explodeSalts(build, saltBuckets).withColumnRenamed("salt", "__salt")
+    p.join(b, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

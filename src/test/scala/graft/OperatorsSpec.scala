@@ -33,6 +33,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join on a hot-key corpus, all join types") {
+    val rnd = new scala.util.Random(11)
+    // 90% of probe rows share key 7 — the shape AQE can't always split
+    val probe = (1 to 5000).map(i =>
+      (if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "row_id")
+    // build has keys 0..39: key 40+ probes miss (exercises outer nulls)
+    val build = (0L until 40L).map(k => (k, s"payload_$k")).toDF("k", "payload")
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = probe.join(build, Seq("k"), jt)
+        .select($"k", $"row_id", $"payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted
+      val salted = Skew.saltedJoin(probe, build, "k", 8, Seq("row_id"), jt)
+        .select($"k", $"row_id", $"payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted
+      assert(salted.sameElements(plain), s"divergence for $jt")
+    }
+  }
+
   test("averageHash: flat patch hashes to 0, noise below the mean gap is invariant") {
     // flat image: no gray is STRICTLY above the mean -> all bits clear
     val flat = Array.fill[Byte](8 * 4 * 3)(100.toByte)

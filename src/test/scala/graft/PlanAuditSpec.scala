@@ -310,6 +310,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must touch only the box's ~8 Z-partitions' files, read $numFiles")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
+    // order-of-magnitude key skew is handled by AQE splitting the hot
+    // partition into subpartitions at runtime — the automatic half of
+    // the skew story (Skew.saltedJoin is the manual half for the cases
+    // AQE can't split). Thresholds lowered so the toy corpus triggers
+    // the same decision a hot key triggers at 100 TB.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // 95% of left rows share key 7; right side is modest and uniform
+      val left = spark.range(200000).select(
+        when(pmod($"id", lit(20)) < 19, 7L).otherwise(pmod($"id", lit(50))).as("k"),
+        $"id".as("row_id"), concat(lit("pad_"), $"id").as("pad"))
+      val right = spark.range(50).select($"id".as("k"), concat(lit("p"), $"id").as("payload"))
+      // max(pad) keeps the unique-suffix column IN the shuffle: skew
+      // detection reads compressed map-output sizes, and a partition of
+      // identical keys alone compresses below any realistic threshold
+      val joined = left.join(right, Seq("k"))
+        .groupBy($"payload").agg(count(lit(1)).as("n"), max($"pad").as("m"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE to mark the hot partition's merge join skew=true:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("pipeline_compact: 64 fragments become <=5 sorted files with identical data") {
     import org.apache.spark.sql.functions.col
     val dir = graft.queries.PipelineQueries.compactedEventsDir(spark, sf)
