@@ -86,6 +86,51 @@ object Sketches {
       .agg(min(col("c")).as("cm_estimate"))
   }
 
+  // --- histogram quantiles -------------------------------------------
+
+  /** Fixed-bin integer histogram quantiles: the deterministic,
+    * mergeable quantile sketch (the role t-digest/KLL play in real
+    * pipelines, in the form whose every step has a bit-exact SQL
+    * twin — their compaction orders don't). Values are binned by
+    * truncating division; a quantile is answered as the lower bound
+    * of the first bin whose cumulative count reaches ceil(q·N) —
+    * resolution = binWidth, state = #occupied bins, shards merge by
+    * per-bin SUM. At 100 TB this is one scan + a histogram-sized
+    * shuffle; the exact alternative (sort or `percentile`) moves the
+    * whole column. */
+  def histogramBins(values: DataFrame, valueCol: String,
+                    binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    values
+      .select(((col(valueCol) - pmod(col(valueCol), lit(binWidth))) / binWidth)
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Answer quantiles from a bin histogram: for each q (in basis
+    * points), the smallest bin lower-bound whose running count reaches
+    * ceil(q·N / 10000). The window runs over the histogram (bins, not
+    * rows); ties and exact-boundary behavior are fully determined by
+    * integer arithmetic. */
+  def histogramQuantiles(bins: DataFrame, binWidth: Long,
+                         qsBp: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(bins.agg(sum(col("c")).as("n_total"))))
+    qsBp.map { q =>
+      cum.filter(col("cum") * 10000 >= col("n_total") * q)
+        .orderBy(col("bin"))
+        .limit(1)
+        .select(lit(q.toLong).as("q_bp"),
+          (col("bin") * binWidth).as("q_value"),
+          col("n_total"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-value (bucket, rho) pair: bucket = low P bits of the 32-bit
     * hash, rho = 1 + leading zeros of the remaining 24-bit suffix.
     * The leading-zero count is `24 - bitlength(w) + 1` via `bin()`

@@ -1110,7 +1110,24 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** pipeline_quantiles: document-length quantiles from a fixed-bin
+    * integer histogram ([[graft.operators.Sketches.histogramBins]]) —
+    * the deterministic quantile sketch completing the profiling trio
+    * (HLL distinct, CM heavy hitters, histogram quantiles). One corpus
+    * scan reduces map-side to occupied (bin, count) rows; the quantile
+    * answers run over the HISTOGRAM, not the rows, and shard
+    * histograms merge by per-bin sum. p50/p90/p99 at binWidth=16
+    * resolution, every step integer-exact in both engines. */
+  private val pipeline_quantiles: Q = (s, d) => {
+    val lens = Tables.documents(s, d)
+      .select(length(col("text")).cast("long").as("len"))
+    val bins = Sketches.histogramBins(lens, "len", 16L)
+    Sketches.histogramQuantiles(bins, 16L, Seq(5000, 9000, 9900))
+      .orderBy(col("q_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_quantiles" -> pipeline_quantiles,
     "text_bpe_encode" -> text_bpe_encode,
     "multimodal_phash_dedup" -> multimodal_phash_dedup,
     "pipeline_cm_heavyhitters" -> pipeline_cm_heavyhitters,
@@ -1718,6 +1735,19 @@ object DataPipelineQueries {
          |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
          |FROM t GROUP BY source, rate_bp
          |ORDER BY source""".stripMargin,
+    "pipeline_quantiles" ->
+      """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS len FROM documents),
+        |b AS (SELECT len // 16 AS bin, count(*) AS c FROM v GROUP BY 1),
+        |cum AS (SELECT bin, c,
+        |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM b),
+        |qs AS (SELECT unnest([5000, 9000, 9900]) AS q_bp)
+        |SELECT CAST(q_bp AS BIGINT) AS q_bp,
+        |  (SELECT CAST(min(bin * 16) AS BIGINT) FROM cum, t
+        |   WHERE cum * 10000 >= n_total * q_bp) AS q_value,
+        |  (SELECT n_total FROM t) AS n_total
+        |FROM qs ORDER BY q_bp""".stripMargin,
     "pipeline_cm_heavyhitters" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

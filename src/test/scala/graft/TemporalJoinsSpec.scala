@@ -105,6 +105,35 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantile is the exact percentile's bin, and bins merge by sum") {
+    val rnd = new scala.util.Random(5)
+    // skewed: lognormal-ish longs in [0, ~3000)
+    val vals = (1 to 20000).map(_ => math.min(
+      math.exp(rnd.nextGaussian() * 1.2 + 5).toLong, 2999L))
+    val df = vals.toDF("v")
+    val binW = 16L
+    val bins = Sketches.histogramBins(df, "v", binW)
+    val qs = Seq(2500, 5000, 9000, 9900)
+    val got = Sketches.histogramQuantiles(bins, binW, qs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      // exact percentile = ceil(q*N/10000)-th order statistic
+      val k = (q.toLong * vals.size + 9999) / 10000
+      val exact = sorted((k - 1).toInt)
+      val qv = got(q.toLong)
+      assert(qv <= exact && exact < qv + binW,
+        s"q=$q: answer bin [$qv, ${qv + binW}) must contain exact $exact")
+    }
+    // shard histograms merge by per-bin sum to the whole-corpus histogram
+    val merged = (0 until 3).map(k =>
+        Sketches.histogramBins(df.filter(pmod($"v", lit(3)) === k), "v", binW))
+      .reduce(_ unionByName _)
+      .groupBy($"bin").agg(sum($"c").as("c"))
+    val whole = bins.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == whole)
+  }
+
   test("count-min never underestimates, bounds overestimates, and merges by sum") {
     // Zipf-ish corpus: token t_i appears ~1000/i times
     val df = spark.range(100000)
