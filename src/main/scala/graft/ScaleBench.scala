@@ -73,8 +73,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // state stores shard across all cores at scale (the cluster-shaped
-    // config); the 4-store default is the small-SF gate's tuning
+    // config); the 4-store default is the small-SF gate's tuning.
+    // Provider pinned to RocksDB: every ladder rung measures the 100-TB
+    // state backing, never the small-state in-memory fast path the
+    // auto choice would pick at the lowest rungs.
     spark.conf.set("graft.statePartitions", cpus)
+    spark.conf.set("graft.stateProvider", "rocksdb")
 
     // stamp the artifact with the code that produced it so the ladder
     // is diffable round over round (committed as SCALING_results.json)

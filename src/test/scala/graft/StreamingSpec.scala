@@ -59,8 +59,18 @@ class StreamingSpec extends AnyFunSuite {
     // the registered oracle queries must genuinely exercise cross-batch
     // state: 3 staged files → batchId ≥ 2, and the state store metrics
     // must come from the RocksDB provider (off-heap/disk state — the
-    // 100-TB shape), not the HDFS-backed in-memory store
-    val out = SparkEntry.queries("stream_session_agg")(spark, sf)
+    // 100-TB shape), not the HDFS-backed in-memory store. The provider
+    // is PINNED here: the auto size-driven choice picks the in-memory
+    // provider at spec SF (identical results, cheaper state), and this
+    // test exists to prove the RocksDB path works for the oracle query
+    // shapes, exactly like ScaleBench pins it for every ladder rung.
+    val prevPin = spark.conf.getOption("graft.stateProvider")
+    spark.conf.set("graft.stateProvider", "rocksdb")
+    val out = try SparkEntry.queries("stream_session_agg")(spark, sf)
+      finally prevPin match {
+        case Some(v) => spark.conf.set("graft.stateProvider", v)
+        case None    => spark.conf.unset("graft.stateProvider")
+      }
     assert(out.count() > 0)
     val pj = StreamingOps.lastProgressJson.getOrElse(
       fail("no streaming progress recorded"))
@@ -83,15 +93,18 @@ class StreamingSpec extends AnyFunSuite {
     // (offsets recovered; a state-less restart would re-begin at 0) —
     // and that the recovered run still ran on RocksDB with live state
     val out = SparkEntry.queries("stream_recover")(spark, sf)
+    // capture the RECOVER run's progress before the twin below
+    // overwrites it (the twin may run on the auto-chosen provider; the
+    // recovery harness itself is pinned to RocksDB)
+    val pj = StreamingOps.lastProgressJson.getOrElse(
+      fail("no streaming progress recorded"))
+    val (b1, b2) = StreamingOps.lastRestartBatchIds.getOrElse(
+      fail("no restart batch ids recorded"))
     val batchTwin = SparkEntry.queries("stream_completion")(spark, sf)
     assert(out.collect().toSeq == batchTwin.collect().toSeq,
       "recovered run must land on the uninterrupted run's exact table")
-    val (b1, b2) = StreamingOps.lastRestartBatchIds.getOrElse(
-      fail("no restart batch ids recorded"))
     assert(b1 >= 0, s"run 1 committed no batch (b1=$b1)")
     assert(b2 > b1, s"run 2 must continue past run 1's batches ($b1 -> $b2)")
-    val pj = StreamingOps.lastProgressJson.getOrElse(
-      fail("no streaming progress recorded"))
     assert(pj.toLowerCase.contains("rocksdb"),
       s"RocksDB state-store metrics expected in recovered run: $pj")
   }
