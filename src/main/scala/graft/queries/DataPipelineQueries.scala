@@ -1126,7 +1126,35 @@ object DataPipelineQueries {
       .orderBy(col("q_bp"))
   }
 
+  /** text_tfidf_terms: per-document distinctive terms — the tf-idf
+    * keyword-extraction shape with an integer-exact score
+    * (tf · 10^6 // df: monotone in tf/df, so the ranking is the tf-idf
+    * ranking without a cross-engine `ln` in sight). Scale shape:
+    * document frequency is wordcount over (doc, token) distincts; the
+    * scoring join is big-big on the token key (bucket-local work
+    * only); the per-doc top-3 plans as WindowGroupLimit — partial
+    * top-k before the shuffle, never a full per-doc sort. */
+  private val text_tfidf_terms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df_, "token")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf_terms" -> text_tfidf_terms,
     "pipeline_quantiles" -> pipeline_quantiles,
     "text_bpe_encode" -> text_bpe_encode,
     "multimodal_phash_dedup" -> multimodal_phash_dedup,
@@ -1735,6 +1763,25 @@ object DataPipelineQueries {
          |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
          |FROM t GROUP BY source, rate_bp
          |ORDER BY source""".stripMargin,
+    "text_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE token <> ''
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (token)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "pipeline_quantiles" ->
       """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS len FROM documents),
         |b AS (SELECT len // 16 AS bin, count(*) AS c FROM v GROUP BY 1),
