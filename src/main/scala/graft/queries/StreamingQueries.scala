@@ -116,6 +116,47 @@ object StreamingQueries {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** stream_windowed_append: the APPEND-mode form of the tumbling
+    * window aggregation — the production output mode
+    * (stream_windowed_agg's complete mode re-emits every window each
+    * batch: unusable at 100 TB where the result table is itself huge).
+    * Append emits a window exactly once, only after the watermark
+    * proves it closed — so this oracle's row set depends on window
+    * FINALIZATION: without the trailing sentinel advancing the
+    * watermark past the corpus tail, the last ~15 minutes of windows
+    * would never emit and the hash would break. The sentinel's own
+    * window is filtered from the materialized output by type. */
+  private val stream_windowed_append: Q = (s, d) => {
+    val ev = StreamingOps.eventsStreamWithSentinel(s, d)
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("v"))
+    StreamingOps.runToMemory(s, agg, "graft_stream_winappend", "append")
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** stream_static_join: stream enriched by a STATIC dimension through
+    * a broadcast hash join (SURVEY J5's streaming form — the lookup
+    * join every production stream runs against its metadata store).
+    * Stateless: no watermark, no state store — the dim broadcasts once
+    * and every micro-batch probes it, the shape that keeps a 100-TB
+    * stream's enrichment off the shuffle entirely. */
+  private val stream_static_join: Q = (s, d) => {
+    val ev = StreamingOps.eventsStream(s, d)
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ev
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+    StreamingOps.runToMemory(s, joined, "graft_stream_static", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** stream_session_agg: event-time SESSION windows per user (5-min
     * inactivity gap) — Spark's native `session_window` doing what the
     * reference's tracklet segmentation hand-rolls (split a per-key
@@ -288,6 +329,8 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_windowed_append" -> stream_windowed_append,
+    "stream_static_join" -> stream_static_join,
     "stream_leftouter" -> stream_leftouter,
     "stream_quota" -> stream_quota,
     "stream_dedup" -> stream_dedup,
@@ -308,6 +351,19 @@ object StreamingQueries {
         |  round(p.value, 2) AS p_value
         |FROM events e LEFT JOIN events p
         |  ON e.event_id = p.event_id AND p.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+    // identical aggregate to the complete-mode twin — but the streaming
+    // side emits each row exactly once at window close (append), so the
+    // match proves finalization, not just accumulation
+    "stream_windowed_append" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS v
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
     "stream_quota" ->
       s"""SELECT event_id, user_id, CAST(rn AS BIGINT) AS quota_rank
