@@ -42,6 +42,7 @@ object ScaleBench {
     "pipeline_hll_distinct", // HLL registers: scan + 256-group max
     "pipeline_cm_heavyhitters", // CM counters: 4x explode + 4096-group sum
     "text_bpe_encode",      // vocab-sized merge folds + word-cost join
+    "text_tfidf_terms",     // big-big token join + per-doc WindowGroupLimit
     "multimodal_phash_dedup", // real codec chain + aHash groupBy
     "stream_leftouter",     // outer join + sentinel watermark flush
     "multimodal_codec",     // real ImageIO encode+decode per doc

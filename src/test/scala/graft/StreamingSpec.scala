@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows > 0, "session state rows expected")
   }
 
+  test("Trigger.AvailableNow drains the staged batches incrementally and stops") {
+    // the scheduled-incremental-batch execution mode (run-as-a-cron-job
+    // streaming): the query processes everything available respecting
+    // maxFilesPerTrigger, then terminates on its own — no
+    // processAllAvailable babysitting. Same staged source, same
+    // watermark semantics, and the result must equal the batch twin.
+    val stream = StreamingOps.eventsStream(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_avnow_").toString
+    val q = stream.writeStream
+      .format("memory").queryName("avnow_test")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      assert(lastBatch >= 2, s"staged files must drain as multiple batches, got $lastBatch")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+    val got = spark.table("avnow_test").orderBy(col("event_type")).collect()
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .orderBy(col("event_type")).collect()
+    assert(got.sameElements(want), "AvailableNow result must equal the batch twin")
+  }
+
   test("checkpoint recovery: killed query resumes the batch sequence with state intact") {
     // stream_recover kills its query after the first committed batch and
     // restarts from the same checkpoint; here we assert the restart
