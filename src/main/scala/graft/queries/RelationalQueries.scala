@@ -334,7 +334,92 @@ object RelationalQueries {
       .orderBy($"iv_id")
   }
 
+  /** q22_gapfill: time-series resampling with GAP FILLING — per event
+    * type, daily buckets including the days with NO events (zero
+    * rows). The date spine derives from the corpus min/max via
+    * `sequence` + explode and cross-joins the type dimension, then the
+    * observed aggregate left-joins onto it — the only corpus-sized
+    * pass is the daily aggregate (map-side partials); the spine is
+    * days × types, a broadcast-sized frame however big the fact table
+    * is. A downstream consumer (charting, forecasting, SLA checks)
+    * needs the explicit zeros; this is the operator that makes them. */
+  private val q22_gapfill: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type", $"value")
+    val agg = ev.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("v"))
+    val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(ev.select($"event_type").distinct())
+    spine.join(agg, Seq("day", "event_type"), "left_outer")
+      .select($"day".cast("string").as("day"), $"event_type",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"v", lit(0.0)).as("v"))
+      .orderBy($"day", $"event_type")
+  }
+
+  /** q23_funnel: ordered-sequence FUNNEL analysis — per user, did a
+    * signup precede a click precede a purchase (strict event-time
+    * order, ties broken by event_id like every serial assignment
+    * here)? One shuffle on user_id; each stage is a conditional MIN
+    * over the user's partition (no self-joins — the naive 3-way
+    * event⋈event⋈event explodes quadratically on active users).
+    * Output is the funnel histogram: users reaching stage 1/2/3. */
+  private val q23_funnel: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+    val stages = ev.groupBy($"user_id").agg(
+      min(when($"event_type" === "signup",
+        struct($"us", $"event_id"))).as("s1"),
+      min(when($"event_type" === "click",
+        struct($"us", $"event_id"))).as("c"),
+      min(when($"event_type" === "purchase",
+        struct($"us", $"event_id"))).as("p"))
+    // stage-2 click = first click AFTER the signup; stage-3 purchase =
+    // first purchase after that click. min-over-filtered-structs keeps
+    // it one aggregation: recompute with the stage-1 bound applied.
+    val staged = ev.join(stages.select($"user_id", $"s1"), "user_id")
+      .groupBy($"user_id", $"s1")
+      .agg(min(when($"event_type" === "click" && $"s1".isNotNull &&
+          struct($"us", $"event_id") > $"s1",
+        struct($"us", $"event_id"))).as("c2"))
+    val full = ev.join(staged, "user_id")
+      .groupBy($"user_id", $"s1", $"c2")
+      .agg(min(when($"event_type" === "purchase" && $"c2".isNotNull &&
+          struct($"us", $"event_id") > $"c2",
+        struct($"us", $"event_id"))).as("p3"))
+    full.agg(
+      count(lit(1)).as("n_users"),
+      count($"s1").as("stage1_signup"),
+      count($"c2").as("stage2_click_after"),
+      count($"p3").as("stage3_purchase_after"))
+  }
+
+  /** q24_cohort: RETENTION cohorts — users grouped by first-activity
+    * week, activity counted per weeks-since-cohort offset. Two
+    * aggregations: first-seen per user (one shuffle on user_id), then
+    * the (cohort, offset) rollup after a broadcast-sized join of the
+    * per-user cohort back onto the activity — at 100 TB the per-user
+    * frame is the one that must stay narrow (2 longs/user), which it
+    * is. */
+  private val q24_cohort: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", expr("unix_micros(ts) div 604800000000L").as("week"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(count_distinct($"user_id").as("active_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q22_gapfill" -> q22_gapfill,
+    "q23_funnel" -> q23_funnel,
+    "q24_cohort" -> q24_cohort,
     "q20_asof_join" -> q20_asof_join,
     "q21_range_join" -> q21_range_join,
     "q19_bucketed_join" -> q19_bucketed_join,
@@ -358,6 +443,60 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q22_gapfill" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+        |agg AS (
+        |  SELECT day, event_type, count(*) AS n, round(sum(value), 2) AS v
+        |  FROM ev GROUP BY day, event_type),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT s.day, t.event_type
+        |  FROM spine s, (SELECT DISTINCT event_type FROM ev) t)
+        |SELECT CAST(g.day AS VARCHAR) AS day, g.event_type AS event_type,
+        |  coalesce(a.n, 0) AS n, coalesce(a.v, 0.0) AS v
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.day = a.day AND g.event_type = a.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q23_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |        THEN {'us': us, 'id': event_id} END) AS s1
+        |  FROM ev GROUP BY user_id),
+        |c AS (
+        |  SELECT ev.user_id, s.s1,
+        |    min(CASE WHEN event_type = 'click' AND s.s1 IS NOT NULL
+        |             AND {'us': us, 'id': event_id} > s.s1
+        |        THEN {'us': us, 'id': event_id} END) AS c2
+        |  FROM ev JOIN s USING (user_id) GROUP BY ev.user_id, s.s1),
+        |p AS (
+        |  SELECT ev.user_id, c.s1, c.c2,
+        |    min(CASE WHEN event_type = 'purchase' AND c.c2 IS NOT NULL
+        |             AND {'us': us, 'id': event_id} > c.c2
+        |        THEN {'us': us, 'id': event_id} END) AS p3
+        |  FROM ev JOIN c USING (user_id) GROUP BY ev.user_id, c.s1, c.c2)
+        |SELECT count(*) AS n_users,
+        |  count(s1) AS stage1_signup,
+        |  count(c2) AS stage2_click_after,
+        |  count(p3) AS stage3_purchase_after
+        |FROM p""".stripMargin,
+    "q24_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM ev e JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q20_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id,
