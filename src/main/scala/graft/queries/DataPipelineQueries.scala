@@ -1153,7 +1153,38 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** pipeline_validate: declarative data-quality EXPECTATIONS over a
+    * table (the dbt-test / Great-Expectations shape): null checks,
+    * range checks, set-membership, uniqueness, and a referential check
+    * (events.user_id ⊆ customer keys — run as a broadcast anti-join
+    * probe, never a shuffle of the fact side). ONE scan computes every
+    * row-local expectation as conditional counts (map-side combined);
+    * uniqueness is its own hash-groupBy; the output is the violation
+    * report a pipeline gate consumes. At 100 TB this replaces N
+    * full-table validation queries with one pass + one anti-join. */
+  private val pipeline_validate: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val custKeys = Tables.customer(s, d).select($"c_custkey")
+    val rowLocal = ev.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"event_id".isNull, 1)).as("null_event_id"),
+      count(when($"user_id".isNull || $"user_id" < 0, 1)).as("bad_user_id"),
+      count(when(!$"event_type".isin("click", "purchase", "signup",
+        "view", "scroll", "error"), 1)).as("bad_event_type"),
+      count(when($"value".isNull || isnan($"value"), 1)).as("bad_value"),
+      count(when(year($"ts") < 2020 || year($"ts") > 2030, 1)).as("ts_out_of_range"))
+    val dupIds = ev.groupBy($"event_id").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .agg(count(lit(1)).cast("long").as("dup_event_ids"))
+    val fkMisses = ev.select($"user_id")
+      .join(broadcast(custKeys), $"user_id" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("fk_miss_rows"))
+    rowLocal.crossJoin(broadcast(dupIds)).crossJoin(broadcast(fkMisses))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_validate" -> pipeline_validate,
     "text_tfidf_terms" -> text_tfidf_terms,
     "pipeline_quantiles" -> pipeline_quantiles,
     "text_bpe_encode" -> text_bpe_encode,
@@ -1763,6 +1794,25 @@ object DataPipelineQueries {
          |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
          |FROM t GROUP BY source, rate_bp
          |ORDER BY source""".stripMargin,
+    "pipeline_validate" ->
+      """WITH rl AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(CASE WHEN event_id IS NULL THEN 1 END) AS null_event_id,
+        |    count(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 END) AS bad_user_id,
+        |    count(CASE WHEN event_type NOT IN
+        |      ('click', 'purchase', 'signup', 'view', 'scroll', 'error')
+        |      THEN 1 END) AS bad_event_type,
+        |    count(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) AS bad_value,
+        |    count(CASE WHEN EXTRACT(year FROM ts) < 2020
+        |      OR EXTRACT(year FROM ts) > 2030 THEN 1 END) AS ts_out_of_range
+        |  FROM events),
+        |dup AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS dup_event_ids FROM (
+        |    SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1) t),
+        |fk AS (
+        |  SELECT count(*) AS fk_miss_rows FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |SELECT * FROM rl, dup, fk""".stripMargin,
     "text_tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (
