@@ -416,7 +416,56 @@ object RelationalQueries {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** q25_pivot: crosstab — days × event-type matrix via `pivot` with
+    * an EXPLICIT value list (the open-ended form needs a distinct scan
+    * first and produces an unbounded schema; production pivots pin the
+    * columns). Catalyst compiles it to the same one-pass conditional
+    * aggregation the SQL twin writes out — wide tables for free. */
+  private val q25_pivot: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(to_date($"ts").cast("string").as("day"), $"event_type", $"value")
+      .groupBy($"day")
+      .pivot("event_type", Seq("click", "purchase", "signup"))
+      .agg(round(sum($"value"), 2))
+      .na.fill(0.0, Seq("click", "purchase", "signup"))
+      .orderBy($"day")
+  }
+
+  /** q26_lag_delta: day-over-day deltas per event type via `lag` — the
+    * window-navigation family (lag/lead) the running-sum query doesn't
+    * cover. One shuffle on the type key; each partition is a day
+    * series. */
+  private val q26_lag_delta: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    Tables.events(s, d)
+      .select(to_date($"ts").cast("string").as("day"), $"event_type")
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag($"n", 1).over(w))
+      .withColumn("delta", $"n" - coalesce($"prev_n", $"n"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** q27_setops: INTERSECT / EXCEPT — Catalyst's set operators (planned
+    * as aggregate/join under the hood, here demonstrated as the user
+    * writes them): customers active in 1994 ∩ 1995, and 1994 ∖ 1995,
+    * counted. */
+  private val q27_setops: Q = (s, d) => {
+    import s.implicits._
+    val ords = Tables.orders(s, d)
+    val a = ords.filter(year($"o_orderdate") === 1994).select($"o_custkey")
+    val b = ords.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+    val both = a.intersect(b).agg(count(lit(1)).as("n")).select(lit("both_years").as("set_name"), $"n")
+    val only94 = a.except(b).agg(count(lit(1)).as("n")).select(lit("only_1994").as("set_name"), $"n")
+    both.unionByName(only94).orderBy($"set_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q25_pivot" -> q25_pivot,
+    "q26_lag_delta" -> q26_lag_delta,
+    "q27_setops" -> q27_setops,
     "q22_gapfill" -> q22_gapfill,
     "q23_funnel" -> q23_funnel,
     "q24_cohort" -> q24_cohort,
@@ -443,6 +492,34 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q25_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click,
+        |  coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase,
+        |  coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0.0) AS signup
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+    "q26_lag_delta" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |  lag(n, 1) OVER w AS prev_n,
+        |  n - coalesce(lag(n, 1) OVER w, n) AS delta
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin,
+    "q27_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1994),
+        |b AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
+        |SELECT 'both_years' AS set_name,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t) AS n
+        |UNION ALL
+        |SELECT 'only_1994',
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t)
+        |ORDER BY set_name""".stripMargin,
     "q22_gapfill" ->
       """WITH ev AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
