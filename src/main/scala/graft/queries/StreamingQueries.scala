@@ -157,6 +157,35 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** stream_routed_sink: the streaming PRODUCER half of topic routing
+    * (K1 write side — `RoutedStore.produceStream`): the event stream
+    * computes per-record destinations (every record to archive,
+    * purchases additionally to billing, even users to audit) and each
+    * micro-batch multicast-appends into the port-partitioned store.
+    * The registered query reads the produced layout back and
+    * aggregates per port, so the oracle hash-checks the multicast
+    * MULTIPLICITY (a 2-destination record must appear exactly twice,
+    * once per topic) across all micro-batches. Built once per sfDir
+    * through the versioned layout cache. */
+  private val stream_routed_sink: Q = (s, d) => {
+    val out = graft.storage.PartitionedStore.cached(d, "stream_routed_sink") {
+      path =>
+        val routed = StreamingOps.eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"),
+            array_compact(array(
+              lit("archive"),
+              when(col("event_type") === "purchase", lit("billing")),
+              when(col("user_id") % 2 === 0, lit("audit")))).as("dest_ports"))
+        graft.storage.RoutedStore.produceStream(routed, path)
+    }
+    s.read.parquet(out)
+      .groupBy(col("port"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy(col("port"))
+  }
+
   /** stream_session_agg: event-time SESSION windows per user (5-min
     * inactivity gap) — Spark's native `session_window` doing what the
     * reference's tracklet segmentation hand-rolls (split a per-key
@@ -329,6 +358,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_routed_sink" -> stream_routed_sink,
     "stream_windowed_append" -> stream_windowed_append,
     "stream_static_join" -> stream_static_join,
     "stream_leftouter" -> stream_leftouter,
@@ -352,6 +382,22 @@ object StreamingQueries {
         |FROM events e LEFT JOIN events p
         |  ON e.event_id = p.event_id AND p.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    // batch twin of the streaming multicast: explode the same per-record
+    // destination list and aggregate per port — the hash match pins the
+    // produced copies' multiplicity across micro-batches
+    "stream_routed_sink" ->
+      """WITH r AS (
+        |  SELECT event_id, value,
+        |    unnest(list_filter(
+        |      ['archive',
+        |       CASE WHEN event_type = 'purchase' THEN 'billing' END,
+        |       CASE WHEN user_id % 2 = 0 THEN 'audit' END],
+        |      x -> x IS NOT NULL)) AS port
+        |  FROM events)
+        |SELECT port, count(*) AS n, round(sum(value), 2) AS v,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY port
+        |ORDER BY port""".stripMargin,
     // identical aggregate to the complete-mode twin — but the streaming
     // side emits each row exactly once at window close (append), so the
     // match proves finalization, not just accumulation

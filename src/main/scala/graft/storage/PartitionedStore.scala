@@ -193,6 +193,36 @@ object RoutedStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** STREAMING producer half of the routed store (the Kafka
+    * `producer.send(topic, …)` analog, K1's write side): each
+    * micro-batch multicast-explodes on `dest_ports` and APPENDS into
+    * the port-partitioned layout via foreachBatch, so a record with
+    * destinations {a, b} lands once under `port=a` and once under
+    * `port=b` — exactly [[write]]'s invariant, maintained
+    * incrementally. Runs the stream to completion (file-source
+    * catch-up semantics; a resident pipeline would leave the query
+    * running). foreachBatch + blind parquet append is at-least-once
+    * under MID-BATCH failure; the reference's Kafka producer has the
+    * same contract (`Stream.java:47-70`), and an exactly-once
+    * deployment swaps the body for a transactional/Delta writer —
+    * the routing semantics under test do not change. */
+  def produceStream(routed: DataFrame, path: String): Unit = {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft_routed_produce_ckpt_")
+    try {
+      val q = routed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .withColumn("port", explode(col("dest_ports")))
+            .withColumn("dest_ports", array(col("port")))
+            .write.partitionBy("port").mode("append").parquet(path)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
+
   /** STREAMING topic subscription over the routed layout — the true
     * analog of handing a Kafka consumer a topic list. The batch rule
     * ([[graft.plans.RoutingPushdown]]) prunes the SCAN, but a file
