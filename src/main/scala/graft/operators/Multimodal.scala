@@ -305,6 +305,45 @@ object Multimodal {
     }(enc)
   }
 
+  /** Scene-CUT detection over a GVID container (the temporal
+    * segmentation pass a video curation pipeline runs before sampling
+    * or deduplicating clips): decode the frames IN SEQUENCE and emit
+    * (cut_idx, delta) for every consecutive pair whose summed absolute
+    * RGB difference exceeds `threshold` — within-scene change stays
+    * low, a content change jumps orders of magnitude above it.
+    * Row-local and scan-shaped like every codec kernel here; deltas
+    * are exact integers, so the oracle recomputes them
+    * arithmetically. Undecodable frames and dimension changes break
+    * the pair chain silently (corrupt data degrades, never kills). */
+  def sceneCuts(df: DataFrame, blobCol: String, threshold: Long): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("cut_idx", IntegerType), StructField("delta", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val frames = sampleVideoFrames(bytes, 1)
+          .map { case (fi, fb) =>
+            (fi, sniffFormat(fb).flatMap(_ => decodeImage(fb))) }
+        frames.sliding(2).flatMap {
+          case Seq((_, Some((w1, h1, p1))), (fi, Some((w2, h2, p2))))
+              if w1 == w2 && h1 == h2 && p1.length == p2.length =>
+            var dsum = 0L
+            var i = 0
+            while (i < p1.length) {
+              dsum += math.abs((p1(i) & 0xff) - (p2(i) & 0xff)); i += 1
+            }
+            // Seq[Any]: a bare Seq(fi, dsum) numeric-widens the Int to
+            // Long and breaks the encoder's INT field
+            if (dsum > threshold) Some(Row.fromSeq(r.toSeq ++ Seq[Any](fi, dsum)))
+            else None
+          case _ => None
+        }
+      }
+    }(enc)
+  }
+
   // ---- audio: PCM16 payloads as opaque binary + typed frame features
 
   /** 16-bit little-endian PCM encode: signed sample ints (clamped to

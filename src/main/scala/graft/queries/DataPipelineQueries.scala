@@ -1183,7 +1183,47 @@ object DataPipelineQueries {
     rowLocal.crossJoin(broadcast(dupIds)).crossJoin(broadcast(fkMisses))
   }
 
+  /** multimodal_video_scenes: temporal SCENE segmentation over the
+    * GVID container ([[Multimodal.sceneCuts]]) — the pass a video
+    * curation pipeline runs before clip sampling/dedup. The fixture
+    * has genuine scene structure (12 frames, content constant within
+    * each 4-frame scene, changed at frames 4 and 8), PNG-encoded and
+    * container-packed once through the versioned layout cache; the
+    * operator decodes frames in sequence and emits consecutive-pair
+    * deltas above threshold. The oracle recomputes each boundary's
+    * exact Σ|Δ| arithmetically — a hash match proves codec fidelity,
+    * container order, AND that within-scene pairs produced no spurious
+    * cuts (they would add rows). */
+  private val multimodal_video_scenes: Q = (s, d) => {
+    val W = 8; val H = 6; val NF = 12; val SL = 4
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("video", BinaryType))))
+    val path = graft.storage.PartitionedStore.cached(
+      d, "video_scenes_gvid", source = "documents.parquet") { p =>
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val frames = Seq.tabulate(NF) { f =>
+              val scene = f / SL
+              val px = Array.tabulate[Byte](W * H * 3)(i =>
+                ((id * 37 + scene * 101 + i * 3) % 256).toByte)
+              Multimodal.encodeImage(px, W, H, "png")
+            }
+            Row(id, Multimodal.encodeVideoContainer(frames))
+          }
+        }(enc)
+        .write.parquet(p)
+    }
+    Multimodal.sceneCuts(s.read.parquet(path), "video", threshold = 100L)
+      .select(col("doc_id"), col("cut_idx").cast("long").as("cut_idx"),
+        col("delta"))
+      .orderBy(col("doc_id"), col("cut_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "multimodal_video_scenes" -> multimodal_video_scenes,
     "pipeline_validate" -> pipeline_validate,
     "text_tfidf_terms" -> text_tfidf_terms,
     "pipeline_quantiles" -> pipeline_quantiles,
@@ -1794,6 +1834,22 @@ object DataPipelineQueries {
          |  count(CASE WHEN bucket < rate_bp THEN 1 END) AS n_kept
          |FROM t GROUP BY source, rate_bp
          |ORDER BY source""".stripMargin,
+    // arithmetic twin of decode->consecutive-delta: only the two scene
+    // boundaries (frames 4 and 8) produce a nonzero Σ|Δ|; within-scene
+    // pairs are identical frames, so any spurious row breaks the hash
+    "multimodal_video_scenes" ->
+      """WITH b AS (SELECT unnest([4, 8]) AS cut_idx),
+        |i AS (SELECT unnest(range(0, 144)) AS i),
+        |v AS (
+        |  SELECT d.doc_id, b.cut_idx,
+        |    abs((d.doc_id * 37 + (b.cut_idx // 4) * 101 + i.i * 3) % 256
+        |      - (d.doc_id * 37 + (b.cut_idx // 4 - 1) * 101 + i.i * 3) % 256) AS ad
+        |  FROM documents d, b, i)
+        |SELECT doc_id, CAST(cut_idx AS BIGINT) AS cut_idx,
+        |  CAST(sum(ad) AS BIGINT) AS delta
+        |FROM v GROUP BY doc_id, cut_idx
+        |HAVING sum(ad) > 100
+        |ORDER BY doc_id, cut_idx""".stripMargin,
     "pipeline_validate" ->
       """WITH rl AS (
         |  SELECT count(*) AS n_rows,
