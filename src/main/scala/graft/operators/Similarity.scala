@@ -270,6 +270,35 @@ object Similarity {
       }: _*)).getField("cid")
     }: _*)
 
+  /** Per-probe ADC lookup TABLE: lut(m)(k) = exact integer L2² between
+    * the probe's m-th subvector and codeword k — the precompute real
+    * PQ scanners run so the code scan is M table lookups per
+    * candidate instead of M sub-vector distance computations.
+    * Driver-side over the bounded probe set (same decision class as
+    * broadcast builds); pairs with [[pqAdcDistLut]]. */
+  def pqAdcLut(probeQv: Seq[Long],
+               books: Seq[Seq[(Long, Array[Long])]],
+               subDim: Int): Seq[Seq[Long]] =
+    books.zipWithIndex.map { case (cents, m) =>
+      val sub = probeQv.slice(m * subDim, (m + 1) * subDim)
+      cents.sortBy(_._1).map { case (_, qc) =>
+        sub.iterator.zip(qc.iterator).map { case (a, b) =>
+          val d = a - b; d * d
+        }.sum
+      }
+    }
+
+  /** ADC via the precomputed per-probe LUT column (`array<array
+    * <bigint>>` from [[pqAdcLut]], broadcast with the probes): the
+    * candidate-side cost is M nested `element_at` lookups — no slice
+    * allocations, no per-row subvector arithmetic. Same exact integers
+    * as [[pqAdcDist]] (property-pinned in OperatorsSpec). */
+  def pqAdcDistLut(lut: Column, codes: Column, m: Int): Column =
+    (0 until m).map { i =>
+      element_at(element_at(lut, i + 1),
+        element_at(codes, i + 1).cast("int") + 1)
+    }.reduce(_ + _)
+
   /** PQ asymmetric distance (ADC): Σ over subspaces of the exact
     * integer L2² between the PROBE's subvector and the CANDIDATE's
     * codeword. The codebooks are literals, so per (probe, candidate)

@@ -733,13 +733,25 @@ object DataPipelineQueries {
     val books = Similarity.pqTrain(q, seedBooks, PQ_SUBDIM, iters = 1)
     val encoded = q.select(col("vec_id"),
       Similarity.pqEncode(col("qv"), books, PQ_SUBDIM).as("codes"))
-    val probes = q.filter(col("vec_id") >= PQ_K && col("vec_id") < PQ_K + 10)
-      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
+    // probes + their precomputed ADC lookup tables (pqAdcLut): the
+    // bounded probe set collects driver-side (10 rows) and each carries
+    // its M×K distance table, so the compressed scan below is M nested
+    // element_at lookups per candidate — no per-row subvector slices
+    // (the slice-per-subspace form allocated 8 arrays per pair and was
+    // the query's hot spot)
+    import s.implicits._
+    val probeLut = q.filter(col("vec_id") >= PQ_K && col("vec_id") < PQ_K + 10)
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Long](1).toSeq
+        (r.getLong(0), qv, Similarity.pqAdcLut(qv, books, PQ_SUBDIM))
+      }.toSeq.sortBy(_._1)
+      .toDF("probe_id", "pqv", "lut")
     // stage 1: compressed ADC scan over the code table only
-    val scored = encoded.join(broadcast(probes),
+    val scored = encoded.join(broadcast(probeLut),
         col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("candidate_id"),
-        Similarity.pqAdcDist(col("pqv"), col("codes"), books, PQ_SUBDIM)
+        Similarity.pqAdcDistLut(col("lut"), col("codes"), PQ_M)
           .as("adc_dist"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
@@ -752,7 +764,7 @@ object DataPipelineQueries {
     // fetch for PQ_SHORTLIST rows per probe, not the corpus)
     val exact = shortlist
       .join(q.select(col("vec_id").as("candidate_id"), col("qv")), "candidate_id")
-      .join(broadcast(probes), "probe_id")
+      .join(broadcast(probeLut.select(col("probe_id"), col("pqv"))), "probe_id")
       .select(col("probe_id"), col("candidate_id"),
         Similarity.l2sqLong(col("pqv"), col("qv")).as("l2_dist"))
     val wExact = org.apache.spark.sql.expressions.Window

@@ -33,6 +33,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdcDistLut equals pqAdcDist for random codebooks and vectors") {
+    val rnd = new scala.util.Random(13)
+    val subDim = 4; val m = 3; val k = 5
+    val books = Seq.fill(m)(Seq.tabulate(k)(cid =>
+      (cid.toLong, Array.fill(subDim)(rnd.nextInt(100).toLong))))
+    val rows = Seq.fill(40) {
+      (Seq.fill(m * subDim)(rnd.nextInt(100).toLong),
+        Seq.fill(m)(rnd.nextInt(k).toLong))
+    }
+    val df = rows.toDF("pqv", "codes")
+    val direct = df.select(
+      Similarity.pqAdcDist($"pqv", $"codes", books, subDim).as("d"))
+      .collect().map(_.getLong(0))
+    val withLut = rows.map { case (qv, codes) =>
+      (qv, codes, Similarity.pqAdcLut(qv, books, subDim))
+    }.toDF("pqv", "codes", "lut")
+      .select(Similarity.pqAdcDistLut($"lut", $"codes", m).as("d"))
+      .collect().map(_.getLong(0))
+    assert(direct.sameElements(withLut))
+  }
+
   test("saltedJoin equals the plain join on a hot-key corpus, all join types") {
     val rnd = new scala.util.Random(11)
     // 90% of probe rows share key 7 — the shape AQE can't always split
