@@ -75,15 +75,22 @@ object Sketches {
     * `valueCol`) against a counter matrix: est(v) = min over rows r of
     * counter[r, pos_r(v)] — never an underestimate, overestimate
     * bounded by the row-collision mass. The counter matrix is ≤ d·w
-    * rows, so it broadcasts; the probe side never shuffles. */
+    * rows, so it broadcasts; the probe side never shuffles.
+    *
+    * The counter matrix stores only OCCUPIED cells, so the join must be
+    * a LEFT join with absent cells read as 0 — a true Count-Min cell
+    * that nothing hashed into holds zero, and a probe value absent from
+    * the sketched corpus must estimate as the min INCLUDING its zero
+    * cells (an inner join would inflate it to the min of only the
+    * colliding cells, or drop the probe row entirely). */
   def cmEstimate(counters: DataFrame, probes: DataFrame,
                  valueCol: String): DataFrame = {
     val probePos = probes.select(col("*"),
       posexplode(array((0 until CmDepth)
         .map(r => cmPosition(col(valueCol), r)): _*)).as(Seq("r", "pos")))
-    probePos.join(broadcast(counters), Seq("r", "pos"))
+    probePos.join(broadcast(counters), Seq("r", "pos"), "left")
       .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min(col("c")).as("cm_estimate"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
   }
 
   // --- histogram quantiles -------------------------------------------

@@ -56,6 +56,15 @@ object Skew {
                  saltBuckets: Int, saltFrom: Seq[String],
                  joinType: String = "inner"): DataFrame = {
     require(saltFrom.nonEmpty, "salt needs within-key-varying columns")
+    // The multiplicity argument above holds only for probe-preserving
+    // join types: a build row's saltBuckets-1 unmatched copies would
+    // emit EXTRA null-probe rows under right/full outer. Reject those
+    // rather than silently multiply (a right-outer caller swaps the
+    // sides; full outer needs a copy-dedup this operator doesn't do).
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+        "semi", "anti").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves multiplicity only for probe-preserving " +
+        s"join types (inner/left_outer/left_semi/left_anti): $joinType")
     val p = probe.withColumn("__salt", salt(saltBuckets, saltFrom.map(col): _*))
     val b = explodeSalts(build, saltBuckets).withColumnRenamed("salt", "__salt")
     p.join(b, Seq(key, "__salt"), joinType).drop("__salt")

@@ -50,7 +50,15 @@ object TemporalJoins {
     * `last(build payload, ignoreNulls)`. Build rows sort BEFORE probe
     * rows at equal ts (side 0 < 1), which is what makes the match
     * inclusive. One exchange on `keyCol`; skew is bounded by per-key
-    * row count, not by match multiplicity. */
+    * row count, not by match multiplicity.
+    *
+    * The build payload is carried as ONE atomic struct, not per-field:
+    * a per-field `last(ignoreNulls)` would let a NULL payload field
+    * "see through" to an OLDER build row while its siblings come from
+    * the newest — mixing fields across build rows, which no ASOF join
+    * may do. The struct wrapper is never null for a build row (even
+    * when every field inside is), so the running carry always moves
+    * whole rows. */
   def asOfJoin(probe: DataFrame, build: DataFrame,
                keyCol: String, tsCol: String): DataFrame = {
     val payloadFields = build.schema.fields
@@ -58,15 +66,16 @@ object TemporalJoins {
     val probeCols = probe.columns.toIndexedSeq
     require(!probeCols.exists(_.startsWith("asof_")),
       "probe columns may not start with the reserved prefix asof_")
+    val payloadType = org.apache.spark.sql.types.StructType(payloadFields)
 
     val buildSide = build.select(
-      Seq(col(keyCol), col(tsCol).as("__ts"), lit(0).as("__side")) ++
-        payloadFields.map(f => col(f.name).as(s"asof_${f.name}")) ++
+      Seq(col(keyCol), col(tsCol).as("__ts"), lit(0).as("__side"),
+        struct(payloadFields.map(f => col(f.name)): _*).as("__b")) ++
         probeCols.filter(_ != keyCol)
           .map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
     val probeSide = probe.select(
-      Seq(col(keyCol), col(tsCol).as("__ts"), lit(1).as("__side")) ++
-        payloadFields.map(f => lit(null).cast(f.dataType).as(s"asof_${f.name}")) ++
+      Seq(col(keyCol), col(tsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__b")) ++
         probeCols.filter(_ != keyCol).map(col): _*)
 
     val w = Window.partitionBy(col(keyCol))
@@ -75,11 +84,14 @@ object TemporalJoins {
     val carried = buildSide.unionByName(probeSide)
       .select(
         Seq(col(keyCol), col("__side")) ++
+          probeCols.filter(_ != keyCol).map(col) :+
+          last(col("__b"), ignoreNulls = true).over(w).as("__c"): _*)
+    carried.filter(col("__side") === 1)
+      .select(
+        Seq(col(keyCol)) ++
           probeCols.filter(_ != keyCol).map(col) ++
           payloadFields.map(f =>
-            last(col(s"asof_${f.name}"), ignoreNulls = true).over(w)
-              .as(s"asof_${f.name}")): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+            col("__c").getField(f.name).as(s"asof_${f.name}")): _*)
   }
 
   /** Range (interval) join: every (interval, point) pair with

@@ -189,14 +189,6 @@ object StreamingOps {
     require(arrivalOrder.isEmpty || arrivalOrder.sorted == (0 until nBatches),
       s"arrivalOrder must permute 0..${nBatches - 1}: $arrivalOrder")
     val src = Paths.get(sfDir, "events.parquet")
-    // record the source size for the AUTO state-provider choice (before
-    // the cache early-return so every staged-stream run sees it)
-    spark.conf.set("graft.streamSourceBytes",
-      (if (Files.isDirectory(src))
-        scala.util.Using.resource(Files.walk(src))(
-          _.iterator().asScala.filter(Files.isRegularFile(_))
-            .map(Files.size).sum)
-      else Files.size(src)).toString)
     val dir = stageDir(sfDir, nBatches, version, arrivalOrder, sentinel, sentinelType)
     if (Files.isDirectory(dir)) return dir.toString
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
@@ -298,6 +290,33 @@ object StreamingOps {
     * explicitly so the 100-TB configuration stays oracle-checked. */
   val AutoRocksDBSourceBytes: Long = 64L << 20
 
+  /** Total on-disk bytes of `stream`'s OWN file sources, from a walk of
+    * the paths its logical plan actually reads — None when the stream
+    * has no file source (memory/rate test streams). Replaces the former
+    * session-conf handoff (`graft.streamSourceBytes`, set by whichever
+    * staging ran LAST): a shared mutable conf let a later run over a
+    * different source tune its provider from a stale size. Bounded
+    * driver-side work: one directory walk per source path. */
+  private[graft] def streamSourceBytes(stream: DataFrame): Option[Long] = {
+    import java.nio.file.{Files, Paths}
+    val paths = org.apache.spark.sql.graft.StreamingInternals
+      .fileSourcePaths(stream)
+      .map { p => // strip a file: scheme if present; else use verbatim
+        val uriPath = scala.util.Try(java.net.URI.create(p).getPath)
+          .toOption.filter(s => s != null && s.nonEmpty)
+        Paths.get(uriPath.getOrElse(p))
+      }
+      .filter(Files.exists(_))
+    if (paths.isEmpty) None
+    else Some(paths.map { p =>
+      if (Files.isDirectory(p))
+        scala.util.Using.resource(Files.walk(p))(
+          _.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(Files.size).sum)
+      else Files.size(p)
+    }.sum)
+  }
+
   /** Run `body` with the streaming state configuration the engine
     * deploys with — RocksDB provider, changelog checkpointing, state
     * partitions capped at 4 — restoring every touched setting after.
@@ -317,7 +336,8 @@ object StreamingOps {
     * not a full RocksDB snapshot upload — the per-batch fixed cost
     * that dominates short batches, and exactly the knob a 100-TB
     * deployment flips for second-scale triggers. */
-  private def withStateConfig[A](spark: SparkSession)(body: => A): A = {
+  private def withStateConfig[A](spark: SparkSession,
+                                 sourceBytes: Option[Long])(body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
@@ -327,15 +347,16 @@ object StreamingOps {
     val stateParts = spark.conf.getOption("graft.statePartitions")
       .map(_.toInt).getOrElse(math.min(4, prev.toInt))
     // provider choice: explicit `graft.stateProvider` (rocksdb|memory)
-    // wins; otherwise size-driven — RocksDB iff the staged source is at
-    // least AutoRocksDBSourceBytes (unknown size = conservative RocksDB)
+    // wins; otherwise size-driven off the QUERY'S OWN file sources —
+    // RocksDB iff they total at least AutoRocksDBSourceBytes. A stream
+    // with no file source (memory/rate test streams) has ephemeral toy
+    // state by construction → in-memory provider; every durability
+    // proof and the scale ladder pin rocksdb explicitly.
     val provider = spark.conf.getOption("graft.stateProvider") match {
       case Some("rocksdb") => RocksDBProvider
       case Some("memory")  => MemoryProvider
       case _ =>
-        val srcBytes = spark.conf.getOption("graft.streamSourceBytes")
-          .flatMap(_.toLongOption).getOrElse(Long.MaxValue)
-        if (srcBytes >= AutoRocksDBSourceBytes) RocksDBProvider
+        if (sourceBytes.exists(_ >= AutoRocksDBSourceBytes)) RocksDBProvider
         else MemoryProvider
     }
     spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
@@ -357,7 +378,7 @@ object StreamingOps {
 
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
                   outputMode: String): DataFrame = {
-    withStateConfig(spark) {
+    withStateConfig(spark, streamSourceBytes(stream)) {
       // Ephemeral run = ephemeral checkpoint: state/offset/commit writes
       // are fsync'd, so place them on tmpfs when present instead of disk
       // (durable pipelines pass a real checkpointLocation of their own,
@@ -431,7 +452,7 @@ object StreamingOps {
     // the small-state fast path the auto provider would pick here
     val prevPin = spark.conf.getOption("graft.stateProvider")
     spark.conf.set("graft.stateProvider", "rocksdb")
-    try withStateConfig(spark) {
+    try withStateConfig(spark, sourceBytes = None) { // pinned above
       def start(df: DataFrame) = df.writeStream
         .format("parquet")
         .option("path", out)

@@ -71,6 +71,11 @@ class OperatorsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted
       assert(salted.sameElements(plain), s"divergence for $jt")
     }
+    // build-preserving types would emit the exploded copies' unmatched
+    // rows as extra null-probe rows — rejected, not silently multiplied
+    for (jt <- Seq("right_outer", "full_outer", "outer"))
+      assertThrows[IllegalArgumentException](
+        Skew.saltedJoin(probe, build, "k", 8, Seq("row_id"), jt))
   }
 
   test("averageHash: flat patch hashes to 0, noise below the mean gap is invariant") {

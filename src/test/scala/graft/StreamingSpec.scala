@@ -86,6 +86,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows > 0, "session state rows expected")
   }
 
+  test("auto state-provider size derives from the stream's OWN file sources") {
+    // regression for the shared-conf staleness (round-6 ADVICE): the
+    // size driving the provider choice must come from the plan's own
+    // source paths, not from whichever staging ran last in the session
+    val staged = StreamingOps.eventsStream(spark, sf)
+    val bytes = StreamingOps.streamSourceBytes(staged)
+    assert(bytes.exists(_ > 0), s"staged file stream must resolve a size: $bytes")
+    // a memory stream has no file source: size is None (ephemeral toy
+    // state), regardless of any staged stream built before it
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long].toDF()
+    assert(StreamingOps.streamSourceBytes(mem).isEmpty)
+    // a union of both legs still sees the staged leg's files
+    val both = staged.select(col("event_id"))
+      .unionByName(mem.select(col("value").as("event_id")))
+    assert(StreamingOps.streamSourceBytes(both) == bytes)
+  }
+
   test("Trigger.AvailableNow drains the staged batches incrementally and stops") {
     // the scheduled-incremental-batch execution mode (run-as-a-cron-job
     // streaming): the query processes everything available respecting

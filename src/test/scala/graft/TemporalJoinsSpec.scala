@@ -50,6 +50,20 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 7L)
   }
 
+  test("asOfJoin carries build rows ATOMICALLY when payload fields are null") {
+    // newest build row has a NULL payload field; a per-field carry
+    // would let that field 'see through' to the older row's value
+    // while asof_ts comes from the newest — whole-row ASOF must emit
+    // (ts=20, tag=null), never the mixed (ts=20, tag="old")
+    val b = Seq((1L, 10L, Some("old")), (1L, 20L, None))
+      .toDF("k", "ts", "tag")
+    val p = Seq((1L, 30L, 100L)).toDF("k", "ts", "pid")
+    val row = TemporalJoins.asOfJoin(p, b, "k", "ts")
+      .select($"asof_ts", $"asof_tag").head()
+    assert(row.getLong(0) == 20L)
+    assert(row.isNullAt(1), s"expected null tag from the newest build row, got ${row.get(1)}")
+  }
+
   // --- range join -----------------------------------------------------
 
   test("rangeJoinBinned equals the brute-force interval filter for hostile widths") {
@@ -149,6 +163,18 @@ class TemporalJoinsSpec extends AnyFunSuite {
       // use a loose 4x slack — a broken position hash blows far past it
       assert(e - n <= 4 * math.E * total / Sketches.CmWidth,
         s"overestimate ${e - n} breaches the CM bound")
+    }
+    // a probe value ABSENT from the sketched corpus: its estimate must
+    // come from the true cells INCLUDING empty ones (0 unless every one
+    // of its d cells collides with corpus mass) — the inner-join form
+    // either dropped the row or inflated it to the colliding cells' min
+    val ghost = Seq("zzz_never_hashed_1", "zzz_never_hashed_2").toDF("v")
+    val ghostEst = Sketches.cmEstimate(counters, ghost, "v").collect()
+    assert(ghostEst.length == 2, "absent probes must not vanish")
+    ghostEst.foreach { r =>
+      val e = r.getAs[Long]("cm_estimate")
+      assert(e <= 4 * math.E * total / Sketches.CmWidth,
+        s"absent probe estimated $e — zero cells were ignored")
     }
     // shard-merge: per-shard counter matrices sum to the whole-corpus one
     val merged = (0 until 3).map(k =>
