@@ -157,7 +157,23 @@ object Bench {
     val passCal = allPasses
       .map(p => s"[${p.calPre},${p.calPost}]").mkString("[", ",", "]")
     val minTotal = warmMin.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"queries_min":${qjson(warmMin)},"cold_queries":${qjson(names.map(n => n -> cold.times(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"pass_calibration_ms":$passCal,"contended_passes_retried":$contendedRetried,"sf":"$sfDir"}""")
+
+    // FULL metrics go to a FILE the round commits (BENCH_results.json,
+    // commit-stamped like SCALING_results.json): the per-query map for
+    // 100+ queries exceeds what the driver's line capture retains —
+    // round 6's committed artifact lost 52 of 107 per-query numbers to
+    // a mid-JSON truncation. Stdout carries a COMPACT summary line
+    // (total + pass totals + calibration + artifact pointer) that can
+    // never outgrow the capture; the committed file stands on its own.
+    val commit = try {
+      scala.sys.process.Process(Seq("git", "rev-parse", "HEAD"),
+        new java.io.File(".")).!!.trim
+    } catch { case _: Exception => "unknown" }
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","commit":"$commit","min_total":$minTotal,"cold_total":$coldTotal,"failed":$failedJson,"queries":${qjson(warmMed)},"queries_min":${qjson(warmMin)},"cold_queries":${qjson(names.map(n => n -> cold.times(n)))},"warm_pass_totals":$passTotals,"gc_ms":$gcJson,"calibration_ms":[$calBefore,$calAfter],"pass_calibration_ms":$passCal,"contended_passes_retried":$contendedRetried,"sf":"$sfDir"}"""
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_results.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (fullJson + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cold_total":$coldTotal,"n_queries":${names.size},"failed":$failedJson,"warm_pass_totals":$passTotals,"calibration_ms":[$calBefore,$calAfter],"contended_passes_retried":$contendedRetried,"sf":"$sfDir","full_results":"$artifact"}""")
     spark.stop()
   }
 }
