@@ -34,6 +34,28 @@ object HashFunctions {
     (374761393L % 1000003L, 2003L), (2166136261L % 1000003L, 4001L),
     (16777619L % 1000003L, 8009L), (1540483477L % 1000003L, 16001L))
 
+  /** DISJOINT second MinHash coefficient family — the refinement-bit
+    * source for hot LSH band keys (the MinHash analog of the extra
+    * hyperplane family `Similarity.refineHotKeys` draws on for
+    * embedding buckets). Bit j of the refinement value is the low bit
+    * of min over the shingle set of (a_j·h + b_j) mod p: documents
+    * with IDENTICAL shingle sets always agree on every bit (exact
+    * duplicates are never split apart), near-duplicates at Jaccard J
+    * agree per bit with probability ≥ (1+J)/2 (they share the
+    * minimizing shingle with probability J; otherwise a fair coin),
+    * and unrelated documents that merely collided on one band agree
+    * with probability ~1/2 per bit — which is what spreads a
+    * saturated band bucket. */
+  val MinHashExtraCoeffs: IndexedSeq[(Long, Long)] = IndexedSeq(
+    (2971215073L % 1000003L, 31L), (433494437L % 1000003L, 131L),
+    (1640531527L % 1000003L, 419L), (2178309L % 1000003L, 1021L),
+    (3474701532L % 1000003L, 2053L), (1442695041L % 1000003L, 4099L),
+    (40503L % 1000003L, 8191L), (2110823573L % 1000003L, 16127L),
+    (2654437171L % 1000003L, 32003L), (2246823479L % 1000003L, 64007L),
+    (3266490179L % 1000003L, 127031L), (668266163L % 1000003L, 254027L),
+    (374762683L % 1000003L, 508037L), (2166137123L % 1000003L, 1016063L),
+    (16778213L % 1000003L, 2032111L), (1540484609L % 1000003L, 4064197L))
+
   /** Character k-shingles of a string, as an array column.
     * Strings shorter than k yield a single shingle (the whole string). */
   def shingles(text: Column, k: Int): Column =

@@ -71,6 +71,104 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** ONE-PASS LSH near-dup pairs WITH exact Jaccard: the scale form of
+    * `lshCandidatePairsFromHashes` + `jaccardForPairs`, producing the
+    * identical result frame (spec-pinned parity).
+    *
+    * Why the two-phase form fails at corpus scale (measured at the 2M
+    * rung, SCALING.md §4.6): it pays the shingle-hash arrays THREE
+    * more times after computing them — once filling a columnar cache
+    * (array<long> columns build element-wise: ~100 s of the 207 s rung
+    * was the cache fill alone) and twice re-joining the corpus to
+    * fetch both payloads per candidate pair (the §4.4 pair-refetch
+    * reshuffle: |pairs| × set width through two exchanges). Here the
+    * shingle sets are hashed ONCE, ride the single band-key shuffle,
+    * and the Jaccard is computed where both sets are already
+    * co-located in the band-local join; only (id_a, id_b, n_inter,
+    * n_union, jaccard_bp) — ~40 bytes — flows onward. Band-duplicated
+    * pairs (a pair sharing both bands) compute the Jaccard ≤ nBands
+    * times and collapse via max (the score is a pure function of the
+    * pair, so every copy is equal — same argument as
+    * `Similarity.bandedScoredPairs`).
+    *
+    * The band keys themselves are guarded by observed-population
+    * refinement ([[Similarity.refineHotKeysBy]] on extra MinHash bits
+    * from the DISJOINT second coefficient family): band-bucket
+    * populations densify as a corpus outgrows its vocabulary (measured
+    * on the ScaleGen fixture: max band population 194 → 361 for 1M →
+    * 2M docs), and past `capPop` a bucket's pair space is quadratic in
+    * its population. Exact duplicates share every refinement bit (same
+    * shingle set) and are NEVER split; near-dups at Jaccard J agree
+    * per bit with probability ≥ (1+J)/2 and usually re-meet through
+    * their other band. Below the cap — every shipped oracle SF — the
+    * refinement is a provable no-op (sub = 0 everywhere) and the
+    * output is bit-identical to the two-phase form. A residual pile
+    * that even the extra bits cannot split is salted on a CONTENT
+    * hash (xxhash64 of the shingle-hash set), never the doc id: true
+    * duplicates always co-shard, so no duplicate pair is ever lost to
+    * the salt (spec-pinned). The flip side is that a content-IDENTICAL
+    * pile beyond the cap keeps its quadratic pair space — for such
+    * data the pair list itself is quadratic, and the right pipeline
+    * runs exact dedup first (as pipeline_curate does). */
+  /** Corpus size at which the one-pass band-shuffle form takes over
+    * from the cached two-phase form (measured crossover, SCALING.md
+    * §4.6: two-phase 22.6 s vs one-pass 34.6 s at 1M docs; 207 s vs
+    * one-pass at 2M where the columnar array cache fill alone costs
+    * ~100 s). The same size-driven strategy switch as the CC
+    * local/distributed split — both paths produce the identical frame
+    * below the refinement cap (spec-pinned parity). */
+  val OnePassMinDocs: Long = 1200000L
+
+  def lshJaccardPairs(hashed: DataFrame, rowsPerBand: Int,
+                      capPop: Int = 256,
+                      maxExtraBits: Int = 8,
+                      onePassMinDocs: Long = OnePassMinDocs): DataFrame = {
+    // cheap strategy probe: count() prunes the shingle-hash kernel
+    // column away, so this scans the doc source without hashing
+    val nDocs = hashed.count()
+    if (nDocs < onePassMinDocs) {
+      // two-phase: skinny banding + per-pair payload fetch off the
+      // columnar cache — fastest while the hash arrays cache cleanly
+      val h = hashed.cache()
+      return jaccardForPairs(h, lshCandidatePairsFromHashes(h, rowsPerBand))
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+          col("jaccard_bp"))
+    }
+    val nBands = MinHashCoeffs.length / rowsPerBand
+    val sig = hashed.select(col("doc_id"), col("hs"),
+      org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sig"),
+      org.apache.spark.sql.graft.HashExpressions.minhash_extra_bits(col("hs")).as("_xb"))
+    val banded = sig.select(col("doc_id"), col("hs"), col("_xb"),
+      posexplode(transform(
+        sequence(lit(0), lit(nBands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig")))
+    val refined = graft.operators.Similarity.refineHotKeysBy(
+      banded, Seq("band", "band_sig"), "doc_id", col("_xb"),
+      capPop, maxExtraBits, saltCol = Some(xxhash64(col("hs"))))
+    // the carried set rides the band exchange, so halve its bytes:
+    // hash32 values shift bijectively into signed-int range —
+    // intersection/union CARDINALITIES are shift-invariant, and
+    // nothing downstream reads the values themselves
+    val keys = Seq("band", "band_sig", "sub")
+    val shifted = refined.select(keys.map(col) :+ col("doc_id") :+
+      transform(col("hs"), h => (h - 2147483648L).cast("int")).as("hsi"): _*)
+    val a = shifted.select(keys.map(col) :+ col("doc_id").as("id_a")
+      :+ col("hsi").as("set_a"): _*)
+    val b = shifted.select(keys.map(col) :+ col("doc_id").as("id_b")
+      :+ col("hsi").as("set_b"): _*)
+    // hash join, not sort-merge: SMJ would externally sort both sides
+    // WITH the set payload (~2× corpus set bytes); the hash build per
+    // partition is corpus_bytes/shuffle_partitions and the two sides
+    // read one reused exchange
+    a.join(b.hint("SHUFFLE_HASH"), keys).filter(col("id_a") < col("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("n_inter")).as("n_inter"), max(col("n_union")).as("n_union"))
+      .withColumn("jaccard_bp",
+        floor(col("n_inter").cast("long") * 10000 / col("n_union")).cast("long"))
+  }
+
   /** Exact Jaccard over hashed shingle sets for given candidate pairs
     * (pairsDf: id_a, id_b). Set ops run on long arrays (8 bytes/elem),
     * not strings; the pair list is assumed pre-pruned (LSH or

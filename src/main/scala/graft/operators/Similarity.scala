@@ -516,37 +516,72 @@ object Similarity {
     * bits are independent of them. */
   def refineHotKeys(df: DataFrame, keyCols: Seq[String], idCol: String,
                     qvCol: String, dims: Int, offset: Int,
-                    capPop: Int = 256, maxExtraBits: Int = 8): DataFrame = {
+                    capPop: Int = 256, maxExtraBits: Int = 8): DataFrame =
+    refineHotKeysBy(df, keyCols, idCol,
+      hyperplaneBucket(col(qvCol), dims, maxExtraBits, offset = offset),
+      capPop, maxExtraBits)
+
+  /** [[refineHotKeys]] with a PLUGGABLE refinement-bit source — the
+    * shared observed-population core, generalized past quantized
+    * vectors so the MinHash band keys can refine on extra MinHash
+    * bits (`HashExpressions.minhash_extra_bits`) the same way the
+    * hyperplane buckets refine on extra hyperplane signs. `extraBits`
+    * must be a long column whose low `maxExtraBits` bits are
+    * (approximately) independent of the bits that formed `keyCols`,
+    * and on which true neighbors/duplicates mostly agree — that is
+    * the recall contract of the split.
+    *
+    * Broadcast discipline: only keys OVER the cap are broadcast back
+    * (left join + coalesce), never the full population table — for
+    * band-shaped key spaces the distinct-key count is corpus-sized
+    * (mostly singletons) while the hot set is bounded by n/capPop.
+    *
+    * `saltCol` shards the residual still-hot piles (default: the row
+    * id — right when pile members are interchangeable, as ANN
+    * neighbors are). A DEDUP caller passes a CONTENT hash instead so
+    * true duplicates always land in the same shard (splitting a
+    * duplicate pair loses a real result, not a redundant neighbor);
+    * the flip side — a content-identical pile beyond the cap keeps
+    * its quadratic pair space, because that pair space IS the output
+    * for such data — is the caller's documented trade. */
+  def refineHotKeysBy(df: DataFrame, keyCols: Seq[String], idCol: String,
+                      extraBits: Column, capPop: Int,
+                      maxExtraBits: Int,
+                      saltCol: Option[Column] = None): DataFrame = {
     // ceil(log2(pop/cap)) in pure integer arithmetic: bit width of the
     // truncated quotient (bin() renders a bigint; its length IS
-    // floor(log2)+1); 0 when within the cap
+    // floor(log2)+1); 0 when within the cap (incl. the left-join-miss
+    // sentinel pop = 1)
     def widthOver(pop: Column): Column = {
       val q = floor((pop - 1) / capPop).cast("long")
-      when(q === 0, 0).otherwise(length(bin(q))).cast("int")
+      when(q <= 0, 0).otherwise(length(bin(q))).cast("int")
     }
     val keys = keyCols.map(col)
-    val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("_pop"))
+    val hot = df.groupBy(keys: _*).agg(count(lit(1)).as("_pop"))
+      .filter(col("_pop") > capPop)
     // cold corpus (no key over the cap — every oracle SF, and any
     // fixture below ~cap·keyspace rows): the refinement would be a
     // provable no-op, so skip its two broadcast joins and second
-    // aggregate entirely. The probe is a driver-side action BOUNDED by
-    // the key space (≤ 2^nBits + n/capPop rows — control-plane sized,
-    // like the IVF centroid seeds), never by the corpus.
-    if (sizes.filter(col("_pop") > capPop).isEmpty)
+    // aggregate entirely. The probe is a driver-side action over the
+    // hot-key aggregate (map-side combined; ≤ n/capPop surviving rows).
+    if (hot.isEmpty)
       return df.withColumn("sub", lit(0L))
-    val refined = df.join(broadcast(sizes), keyCols)
-      .withColumn("_eb", least(widthOver(col("_pop")), lit(maxExtraBits)))
-      .withColumn("_extra",
-        hyperplaneBucket(col(qvCol), dims, maxExtraBits, offset = offset))
+    val refined = df.join(broadcast(hot), keyCols, "left")
+      .withColumn("_eb",
+        least(widthOver(coalesce(col("_pop"), lit(1L))), lit(maxExtraBits)))
+      .withColumn("_extra", extraBits)
       .withColumn("_sube", expr("_extra & (shiftleft(1L, _eb) - 1)"))
-      .drop("_pop", "_eb", "_extra")
-    val sizes2 = refined.groupBy((keys :+ col("_sube")): _*)
-      .agg(count(lit(1)).as("_pop2"))
-    refined.join(broadcast(sizes2), keyCols :+ "_sube")
-      .withColumn("_sb", widthOver(col("_pop2")))
-      .withColumn("_salt", abs(xxhash64(col(idCol))))
+      .drop("_pop", "_extra")
+    // pass 2 over the hot rows only: a key cold in pass 1 stays cold
+    // (its population did not change), so its residual probe is free
+    val hot2 = refined.filter(col("_eb") > 0)
+      .groupBy((keys :+ col("_sube")): _*).agg(count(lit(1)).as("_pop2"))
+      .filter(col("_pop2") > capPop)
+    refined.join(broadcast(hot2), keyCols :+ "_sube", "left")
+      .withColumn("_sb", widthOver(coalesce(col("_pop2"), lit(1L))))
+      .withColumn("_salt", abs(saltCol.getOrElse(xxhash64(col(idCol)))))
       .withColumn("sub", expr(
         "shiftleft(_sube, _sb) | (_salt & (shiftleft(1L, _sb) - 1))"))
-      .drop("_pop2", "_sb", "_salt", "_sube")
+      .drop("_pop2", "_sb", "_salt", "_sube", "_eb")
   }
 }

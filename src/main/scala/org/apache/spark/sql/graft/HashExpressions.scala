@@ -198,6 +198,45 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  // Disjoint refinement coefficient family — single source of truth is
+  // graft.functions.HashFunctions.MinHashExtraCoeffs.
+  private lazy val extraA: Array[Long] =
+    graft.functions.HashFunctions.MinHashExtraCoeffs.map(_._1).toArray
+  private lazy val extraB: Array[Long] =
+    graft.functions.HashFunctions.MinHashExtraCoeffs.map(_._2).toArray
+
+  /** Refinement bits for hot LSH band keys, ONE pass over the shingle
+    * hash array: bit j = low bit of min over h of (h·a'_j + b'_j) mod p
+    * with the DISJOINT MinHashExtraCoeffs family (16 bits packed into
+    * one long; callers mask to the observed-population width). Exact
+    * duplicates always agree; near-dups at Jaccard J agree per bit with
+    * probability ≥ (1+J)/2. Empty input → 0. */
+  def minHashExtraBits(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val m = extraA.length
+    val mins = new Array[Long](m)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < m) {
+        val v = (h * extraA(j) + extraB(j)) % minHashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < m) {
+      bits |= (mins(j) & 1L) << j
+      j += 1
+    }
+    bits
+  }
+
   /** Per-document repetition statistics in ONE pass over the raw text:
     * (n_tokens, n_distinct, top_share_bp) where tokens are
     * single-space-separated (empties kept, matching `split(text, " ")`)
@@ -403,6 +442,25 @@ case class MinHashSigs(child: Expression)
     copy(child = newChild)
 }
 
+/** Packed refinement bits from a shingle-hash array (see
+  * [[HashKernels.minHashExtraBits]]). */
+case class MinHashExtraBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "minhash_extra_bits"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.minHashExtraBits(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashKernels.minHashExtraBits($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExtraBits =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash fingerprint from a token-hash array. */
 case class SimHash32(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -593,6 +651,10 @@ object HashExpressions {
   /** One-pass MinHash signature array over a hash-set column. */
   def minhash_sigs(hs: Column): Column =
     ExpressionUtils.column(MinHashSigs(ExpressionUtils.expression(hs)))
+
+  /** Packed hot-band refinement bits over a hash-set column. */
+  def minhash_extra_bits(hs: Column): Column =
+    ExpressionUtils.column(MinHashExtraBits(ExpressionUtils.expression(hs)))
 
   /** One-pass 32-bit SimHash over a token-hash column. */
   def simhash32(th: Column): Column =

@@ -91,6 +91,29 @@ class HashKernelsSpec extends AnyFunSuite {
       array(HashFunctions.MinHashCoeffs.indices.map(j => hofMinHashSig(hs, j)): _*))
   }
 
+  test("minhash_extra_bits kernel ≡ packed low bits of per-family array_min") {
+    val hs = HashExpressions.shingle_hash32(col("text"), 5)
+    val twin = coalesce(
+      HashFunctions.MinHashExtraCoeffs.zipWithIndex.map { case ((a, b), j) =>
+        shiftleft(array_min(transform(hs,
+          h => HashFunctions.affineHash(h, a, b))).bitwiseAND(lit(1L)), j)
+      }.reduce(_ + _),
+      lit(0L)) // empty shingle set: kernel packs 0, array_min is null
+    assertSame("minhash_extra_bits",
+      HashExpressions.minhash_extra_bits(hs), twin)
+  }
+
+  test("extra coefficient family is disjoint from the signature family and well-formed") {
+    val primary = HashFunctions.MinHashCoeffs.toSet
+    val extra = HashFunctions.MinHashExtraCoeffs
+    assert(extra.size == 16)
+    assert(extra.toSet.size == 16, "extra coefficients must be distinct")
+    assert(extra.forall { case (a, _) => a != 0 },
+      "a ≡ 0 mod p degenerates the hash to a constant")
+    assert(extra.map(_._1).toSet.intersect(primary.map(_._1).toSet).isEmpty,
+      "refinement bits must be independent of the band-forming family")
+  }
+
   test("minhash_sigs of an empty hash array is null (array_min semantics)") {
     val r = spark.range(1)
       .select(HashExpressions.minhash_sigs(array().cast("array<long>")).as("s"))

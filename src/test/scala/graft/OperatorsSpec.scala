@@ -622,6 +622,125 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac.exists(r => r.getAs[Long]("id_b") == 3L && r.getAs[Long]("jaccard_bp") > 8000L))
   }
 
+  test("lshJaccardPairs (one-pass) ≡ two-phase candidates + jaccard, frame-exact") {
+    // seeded corpus: unrelated docs + exact dups + light mutations, so
+    // the pair set exercises all three jaccard regimes
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def fresh(): String =
+      Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    for (i <- 0 until 200) {
+      if (i % 5 == 4) texts += texts(i - 1) // exact dup
+      else if (i % 7 == 6) { // near dup: swap one token
+        val t = texts(i - 2).split(" ")
+        t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.size))
+        texts += t.mkString(" ")
+      } else texts += fresh()
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("doc_id", "text")
+    val hashed = Dedup.shingleHashSets(docs, "doc_id", "text", 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", $"n_inter", $"n_union", $"jaccard_bp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sorted.toSeq
+    val twoPhase = rows(Dedup.jaccardForPairs(hashed,
+      Dedup.lshCandidatePairsFromHashes(hashed, 4)))
+    // onePassMinDocs = 0 forces the band-shuffle form (the size switch
+    // would route a 200-doc corpus to the two-phase path — a trivial
+    // self-parity); both paths must produce the identical frame
+    val onePass = rows(Dedup.lshJaccardPairs(hashed, 4, onePassMinDocs = 0))
+    assert(twoPhase.nonEmpty, "fixture must produce candidate pairs")
+    assert(onePass == twoPhase)
+    // and the switch itself routes small corpora through two-phase
+    val switched = rows(Dedup.lshJaccardPairs(hashed, 4))
+    assert(switched == twoPhase)
+  }
+
+  test("refineHotKeysBy: hot key splits on extra bits, residual piles salt, cold is a no-op") {
+    // one hot key of 500 rows whose extra bits carry 3 informative bits
+    val hot = spark.range(500)
+      .select(lit(0L).as("k"), $"id", ($"id" % 8).as("xb"))
+    val out = Similarity.refineHotKeysBy(hot, Seq("k"), "id", $"xb",
+      capPop = 64, maxExtraBits = 8)
+    assert(out.count() == 500, "refinement must not drop or duplicate rows")
+    val pops = out.groupBy($"k", $"sub").count().collect().map(_.getLong(2))
+    assert(pops.length >= 8, s"expected the 8 extra-bit classes to split: ${pops.length}")
+    assert(pops.forall(_ <= 128), s"population cap breached: ${pops.max}")
+    // equal extra bits, nothing informative: the id salt must bound it
+    val pile = spark.range(500)
+      .select(lit(0L).as("k"), $"id", lit(5L).as("xb"))
+    val pileOut = Similarity.refineHotKeysBy(pile, Seq("k"), "id", $"xb",
+      capPop = 64, maxExtraBits = 8)
+    assert(pileOut.count() == 500)
+    val pilePops = pileOut.groupBy($"k", $"sub").count().collect().map(_.getLong(2))
+    assert(pilePops.forall(_ <= 128), s"pile shard over 2·cap: ${pilePops.max}")
+    // cold input: sub = 0 everywhere, frame otherwise untouched
+    val cold = spark.range(50).select(lit(0L).as("k"), $"id", ($"id" % 8).as("xb"))
+    val coldOut = Similarity.refineHotKeysBy(cold, Seq("k"), "id", $"xb",
+      capPop = 64, maxExtraBits = 8)
+    assert(coldOut.select($"sub").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("lshJaccardPairs under heavy refinement still finds exact duplicates") {
+    // 300 docs sharing a dominant shingle core (one saturated band
+    // bucket) + one exact-dup pair; with capPop far below the bucket
+    // population the band keys refine hard, but identical shingle sets
+    // share every refinement bit — the dup pair must survive
+    val core = (0 until 40).map(i => s"common$i").mkString(" ")
+    val docs = ((0 until 300).map(i => (i.toLong, s"$core rare${i}suffix"))
+      :+ (300L, s"$core exactdup") :+ (301L, s"$core exactdup"))
+      .toDF("doc_id", "text")
+    val hashed = Dedup.shingleHashSets(docs, "doc_id", "text", 5)
+    val refined = Dedup.lshJaccardPairs(hashed, 4, capPop = 16,
+      maxExtraBits = 8, onePassMinDocs = 0).collect()
+    val dup = refined.find(r =>
+      r.getAs[Long]("id_a") == 300L && r.getAs[Long]("id_b") == 301L)
+    assert(dup.isDefined, "exact-dup pair split apart by refinement")
+    assert(dup.get.getAs[Long]("jaccard_bp") == 10000L)
+    // and the refinement genuinely pruned the saturated bucket's
+    // spurious pair space (the unrefined candidate set is ~bucket²/2)
+    val unrefined = Dedup.jaccardForPairs(hashed,
+      Dedup.lshCandidatePairsFromHashes(hashed, 4)).count()
+    assert(refined.length < unrefined / 2,
+      s"refinement had no effect: ${refined.length} vs $unrefined")
+  }
+
+  test("staged ANN index artifacts equal a fresh deterministic train") {
+    import graft.queries.DataPipelineQueries._
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv"))
+    // PQ codebooks: cached artifact vs an in-test fresh train
+    val seedRows = q.filter($"vec_id" < PQ_K).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val seedBooks = (0 until PQ_M).map { m =>
+      seedRows.toSeq.map { case (cid, qc) =>
+        (cid, qc.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)) }
+    }
+    val fresh = Similarity.pqTrain(q, seedBooks, PQ_SUBDIM, iters = 1)
+    val cached = trainedPqBooks(spark, sf)
+    assert(cached.size == fresh.size)
+    for (m <- fresh.indices) {
+      assert(cached(m).map(_._1) == fresh(m).map(_._1), s"book $m cids")
+      cached(m).zip(fresh(m)).foreach { case ((_, a), (_, b)) =>
+        assert(a.sameElements(b), s"book $m codeword drift")
+      }
+    }
+    // IVF centroids: same property
+    val seeds = q.filter($"vec_id" < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    val freshC = Similarity.kmeansQuantized(q, seeds, iters = 2)
+    val cachedC = trainedIvfCentroids(spark, sf)
+    assert(cachedC.map(_._1) == freshC.map(_._1))
+    cachedC.zip(freshC).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b), "centroid drift")
+    }
+  }
+
   test("simhash: near-dup texts have small hamming distance, different texts large") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
