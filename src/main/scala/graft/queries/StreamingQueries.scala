@@ -326,6 +326,33 @@ object StreamingQueries {
       .orderBy(col("task_id"))
   }
 
+  /** stream_asof_enrich: STREAMING AS-OF enrichment (the stateful
+    * cousin of q20's batch asOfJoin — SURVEY J2/J3's real semantics:
+    * match each record to the newest EARLIER state of its key, where
+    * "earlier" spans the whole stream). Each click is enriched with
+    * the user's newest preceding purchase via one BuildState row per
+    * key carried across micro-batches by flatMapGroupsWithState
+    * ([[graft.streaming.StreamAsof]]). The row set depends on state
+    * crossing batch boundaries: a batch-2 click whose newest earlier
+    * purchase arrived in batch 0 enriches correctly only if the carry
+    * survived two batch cuts — a fresh-state-per-batch implementation
+    * would emit NULL there and break the hash. Oracle: DuckDB's
+    * native ASOF LEFT JOIN (brute-force batch twin). */
+  private val stream_asof_enrich: Q = (s, d) => {
+    import s.implicits._
+    val ev = StreamingOps.eventsStream(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        (col("event_type") === "purchase").as("is_build"),
+        col("event_id"), col("value"))
+      .as[graft.streaming.StreamAsof.AsofEvent]
+    val out = graft.streaming.StreamAsof.enrich(ev).toDF()
+      .select(col("event_id"), col("user_id"), col("asof_event_id"),
+        round(col("asof_value"), 2).as("asof_value"))
+    StreamingOps.runToMemory(s, out, "graft_stream_asof", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** stream_dedup: streaming exact-dedup state (P6 in streaming form —
     * the reference drops duplicated storing requests across batches,
     * `vpe/data/DataManagingApp.java:447-455`). dropDuplicates keys the
@@ -358,6 +385,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_asof_enrich" -> stream_asof_enrich,
     "stream_routed_sink" -> stream_routed_sink,
     "stream_windowed_append" -> stream_windowed_append,
     "stream_static_join" -> stream_static_join,
@@ -373,6 +401,21 @@ object StreamingQueries {
     "stream_recover" -> stream_recover)
 
   val oracles: Map[String, String] = Map(
+    // brute-force batch twin of the cross-batch AS-OF carry: DuckDB's
+    // native ASOF LEFT JOIN; build ties at equal (user, ts) resolve to
+    // the greatest event_id on both sides
+    "stream_asof_enrich" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS asof_event_id,
+        |    max_by(value, event_id) AS pv
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.asof_event_id,
+        |  round(p.pv, 2) AS asof_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     // the batch twin of watermark-complete left-outer semantics: every
     // event exactly once, purchases self-matched, everyone else NULL
     // (the time bound is trivially satisfied by the self-match)

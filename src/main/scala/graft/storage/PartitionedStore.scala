@@ -22,8 +22,10 @@ object PartitionedStore {
     * source regeneration but not a code change to the derived layout
     * itself. Bump on any layout/schema/unit change to a cached table.
     *   v1: round-6 initial   v2: RoutedStore copies carry their own
-    *   port only in dest_ports (multiplicity fix, see RoutedStore) */
-  private[graft] val FormatVersion = 2
+    *   port only in dest_ports (multiplicity fix, see RoutedStore)
+    *   v3: produceStream lands each micro-batch in its own batch=<id>
+    *   sub-partition (exactly-once replay commit) */
+  private[graft] val FormatVersion = 3
 
   /** Build-once cache for derived table layouts: `build` writes the
     * table to the path it is given; the result is keyed by (FORMAT
@@ -189,39 +191,64 @@ object RoutedStore {
 
   /** Read a routed table back; `filter(array_contains($"dest_ports",
     * p))` on the result is rewritten to partition selection when
-    * RoutingPushdown is active. */
+    * RoutingPushdown is active. The producer's physical `batch`
+    * sub-partition (absent from batch-written layouts) is dropped —
+    * it is a commit unit, not data. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path).drop("batch")
 
   /** STREAMING producer half of the routed store (the Kafka
     * `producer.send(topic, …)` analog, K1's write side): each
-    * micro-batch multicast-explodes on `dest_ports` and APPENDS into
-    * the port-partitioned layout via foreachBatch, so a record with
+    * micro-batch multicast-explodes on `dest_ports` and lands in the
+    * port-partitioned layout via foreachBatch, so a record with
     * destinations {a, b} lands once under `port=a` and once under
     * `port=b` — exactly [[write]]'s invariant, maintained
     * incrementally. Runs the stream to completion (file-source
     * catch-up semantics; a resident pipeline would leave the query
-    * running). foreachBatch + blind parquet append is at-least-once
-    * under MID-BATCH failure; the reference's Kafka producer has the
-    * same contract (`Stream.java:47-70`), and an exactly-once
-    * deployment swaps the body for a transactional/Delta writer —
-    * the routing semantics under test do not change. */
+    * running).
+    *
+    * EXACTLY-ONCE under mid-batch failure: each micro-batch writes
+    * into its OWN `batch=<id>` sub-partition with DYNAMIC partition
+    * overwrite. foreachBatch re-delivers an uncommitted batch with
+    * the SAME batchId on restart, and the transform is deterministic,
+    * so the replay overwrites exactly the partitions the crashed
+    * attempt touched — a no-op in content — instead of appending a
+    * second copy (the blind-append form duplicated the whole batch; a
+    * Kafka deployment gets the same contract from the idempotent/
+    * transactional producer). Readers treat `batch` as an opaque
+    * physical sub-partition: [[read]] drops it, and the routing
+    * invariant (row under `port=p` iff `array_contains(dest_ports,
+    * p)`) is untouched. */
   def produceStream(routed: DataFrame, path: String): Unit = {
     import java.nio.file.Files
     val ckpt = Files.createTempDirectory("graft_routed_produce_ckpt_")
     try {
       val q = routed.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch
-            .withColumn("port", explode(col("dest_ports")))
-            .withColumn("dest_ports", array(col("port")))
-            .write.partitionBy("port").mode("append").parquet(path)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          appendBatchExactlyOnce(batch, batchId, path)
         }
         .option("checkpointLocation", ckpt.toString)
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
   }
+
+  /** One micro-batch of the routed producer — the idempotent commit
+    * unit (exposed for the replay spec). Dynamic overwrite of the
+    * (port, batch) partitions this batch's rows map to: a replay of
+    * the same (batch, batchId) rewrites those partitions with
+    * identical content; partitions of OTHER batches are untouched. */
+  private[graft] def appendBatchExactlyOnce(batch: DataFrame, batchId: Long,
+                                            path: String): Unit =
+    batch
+      .withColumn("port", explode(col("dest_ports")))
+      .withColumn("dest_ports", array(col("port")))
+      .withColumn("batch", lit(batchId))
+      .write
+      .partitionBy("port", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
 
   /** STREAMING topic subscription over the routed layout — the true
     * analog of handing a Kafka consumer a topic list. The batch rule

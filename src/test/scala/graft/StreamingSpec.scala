@@ -86,6 +86,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows > 0, "session state rows expected")
   }
 
+  test("routed producer: crash after sink write, before commit — restart leaves no duplicates") {
+    // the exactly-once window under test: foreachBatch has WRITTEN a
+    // micro-batch's files but the checkpoint has not committed the
+    // batch. A restart re-delivers that batch with the SAME batchId;
+    // the batchId-partitioned dynamic overwrite must make the replay a
+    // content no-op instead of a second copy (the blind-append form
+    // duplicated the whole batch here).
+    val base = java.nio.file.Files.createTempDirectory("graft_routed_eo_")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def routed = StreamingOps.eventsStream(spark, sf)
+      .select(col("event_id"), col("value"),
+        array_compact(array(
+          lit("archive"),
+          when(col("event_type") === "purchase", lit("billing")),
+          when(col("user_id") % 2 === 0, lit("audit")))).as("dest_ports"))
+    def start() = routed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.storage.RoutedStore.appendBatchExactlyOnce(b, id, out)
+        if (id == 1 && !crashed.getAndSet(true))
+          throw new RuntimeException("injected crash between write and commit")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(crashed.get, "the injected crash never fired")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // every (event, port) copy exactly once, equal to the batch twin
+    val got = spark.read.parquet(out)
+      .groupBy(col("port"), col("event_id")).count()
+    assert(got.filter(col("count") =!= 1).isEmpty,
+      "replayed batch left duplicate copies")
+    val expected = Tables.events(spark, sf)
+      .select(col("event_id"),
+        explode(array_compact(array(
+          lit("archive"),
+          when(col("event_type") === "purchase", lit("billing")),
+          when(col("user_id") % 2 === 0, lit("audit"))))).as("port"))
+      .count()
+    assert(got.count() == expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("auto state-provider size derives from the stream's OWN file sources") {
     // regression for the shared-conf staleness (round-6 ADVICE): the
     // size driving the provider choice must come from the plan's own
