@@ -27,11 +27,17 @@ object StreamProbe {
         case _ =>
       }
     })
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[probe] $name total ${dt}%.2f s; per-batch progress:")
+    // 3rd arg: pass count — extra passes re-run warm in the same JVM so
+    // per-pass cost is visible without cold-JVM classloading/codegen
+    val passes = if (args.length > 2) args(2).toInt else 1
+    for (i <- 1 to passes) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name pass $i total ${dt}%.2f s")
+    }
+    println(s"[probe] $name per-batch progress (last pass):")
     graft.streaming.StreamingOps.recentProgressJsons.foreach(println)
     spark.stop()
   }

@@ -28,7 +28,8 @@ object StreamingQueries {
     val joined = StreamingOps.reidAssemblyJoin(trackletLeg, attrLeg, "event_id", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 2).as("value"))
-    StreamingOps.runToMemory(s, joined, "graft_stream_enrich", "append")
+    StreamingOps.runToMemory(s, joined, "graft_stream_enrich", "append",
+      noDataBatches = false) // inner join: eviction emits nothing
       .orderBy(col("event_id"))
   }
 
@@ -53,7 +54,8 @@ object StreamingQueries {
     val joined = StreamingOps.reidAssemblyJoin(trackletLeg, attrLeg, "event_id", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 2).as("value"))
-    StreamingOps.runToMemory(s, joined, "graft_stream_enrich_late", "append")
+    StreamingOps.runToMemory(s, joined, "graft_stream_enrich_late", "append",
+      noDataBatches = false) // inner join: eviction emits nothing
       .orderBy(col("event_id"))
   }
 
@@ -112,7 +114,8 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n"), col("v"))
-    StreamingOps.runToMemory(s, agg, "graft_stream_winagg", "complete")
+    StreamingOps.runToMemory(s, agg, "graft_stream_winagg", "complete",
+      noDataBatches = false) // complete mode re-emits the full result each batch
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
@@ -201,7 +204,8 @@ object StreamingQueries {
       .select(unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"), col("v"))
-    StreamingOps.runToMemory(s, agg, "graft_stream_session", "complete")
+    StreamingOps.runToMemory(s, agg, "graft_stream_session", "complete",
+      noDataBatches = false) // complete mode re-emits the full result each batch
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -232,7 +236,8 @@ object StreamingQueries {
     val jobs = CompletionCounter
       .completionJobsTtl(saves, stateTtlMs = 45L * 24 * 3600 * 1000).toDF()
       .select(col("task_id"), col("n_saved").cast("long").as("n_saved"))
-    StreamingOps.runToMemory(s, jobs, "graft_stream_completion", "append")
+    StreamingOps.runToMemory(s, jobs, "graft_stream_completion", "append",
+      noDataBatches = false) // 45-day TTL: no timeout can fire in-corpus
       .orderBy(col("task_id"))
   }
 

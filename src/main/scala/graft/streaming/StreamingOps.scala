@@ -29,8 +29,14 @@ object StreamingOps {
     * event timeline 1000×. Bump this on ANY change to the staged
     * layout, units, or schema; old-version dirs simply stop being
     * addressed (and are left for tmp-dir cleanup).
-    *   v1: ts micros (rounds ≤4)   v2: ts nanos (round 5+) */
-  private[graft] val StageFormatVersion = 2
+    *   v1: ts micros (rounds ≤4)   v2: ts nanos (round 5+)
+    *   v3: sentinel row rides INSIDE the last data batch file instead
+    *       of a 4th file (round 7+) — one fewer trigger per sentinel
+    *       stream; identical rows (the watermark only advances at
+    *       batch END, so the co-batched sentinel cannot late-drop the
+    *       real rows it shares a file with, and the flush batch that
+    *       follows evicts exactly the same state either way). */
+  private[graft] val StageFormatVersion = 3
 
   /** Canonical RAW events schema: ts as long NANOS. Staged batch files
     * are always written in this shape, whatever the source's physical
@@ -101,14 +107,17 @@ object StreamingOps {
     streamFromStagedDir(spark,
       stageEventBatches(spark, sfDir, 3, arrivalOrder = Seq(1, 2, 0)))
 
-  /** [[eventsStream]] plus a trailing SENTINEL micro-batch: one
-    * synthetic row (event_id = -1, event-time 2 h past the corpus max)
-    * staged as a 4th file. Its only job is to push the watermark past
-    * every real row's join/aggregation horizon so watermark-driven
-    * state EVICTION (outer-join null emission, final window closes)
-    * actually happens inside the run — with a file source, nothing
-    * else advances the watermark after the last real batch, and
-    * unmatched outer-join rows would sit in state forever.
+  /** [[eventsStream]] plus a SENTINEL row: one synthetic row
+    * (event_id = -1, event-time 2 h past the corpus max) staged INSIDE
+    * the last data batch file (StageFormatVersion v3 — it used to be a
+    * dedicated 4th file; co-batching saves one trigger per run and the
+    * rows are identical because the watermark only advances at batch
+    * END). Its only job is to push the watermark past every real row's
+    * join/aggregation horizon so watermark-driven state EVICTION
+    * (outer-join null emission, final window closes) actually happens
+    * inside the run's trailing no-data batch — with a file source,
+    * nothing else advances the watermark after the last real batch,
+    * and unmatched outer-join rows would sit in state forever.
     *
     * `sentinelType` must be chosen so the sentinel SURVIVES every
     * per-leg row filter between source and watermark node: Catalyst
@@ -204,12 +213,27 @@ object StreamingOps {
     // batches (no late rows), a permutation makes chosen slices arrive
     // BEHIND the watermark earlier slices established
     val order = if (arrivalOrder.isEmpty) 0 until nBatches else arrivalOrder
+    // sentinel row: event-time 2 h past the corpus max — enough to
+    // clear any ±10-minute join horizon / window close in the registry.
+    // It rides in the LAST-ARRIVING batch file (not a file of its own):
+    // the watermark only advances at batch END, so it cannot late-drop
+    // the real rows it shares a batch with, and the no-data flush batch
+    // that follows evicts exactly the same state as a dedicated
+    // sentinel batch would — one fewer trigger per streaming oracle.
+    val sentinelRow: Option[DataFrame] = if (!sentinel) None else {
+      import spark.implicits._
+      Some(Seq((-1L, tsMax + 7200L * 1000000000L, -1L, sentinelType, 0.0, ""))
+        .toDF(eventsRawSchema.fieldNames.toIndexedSeq: _*))
+    }
     for (pos <- 0 until nBatches) {
       val b = order(pos)
       val lo = tsMin + span * b / nBatches
       val hi = tsMin + span * (b + 1) / nBatches
-      val slice = raw.filter(
+      val dataSlice = raw.filter(
         col("ts") >= lo && (if (b == nBatches - 1) lit(true) else col("ts") < hi))
+      val slice =
+        if (pos == nBatches - 1) sentinelRow.fold(dataSlice)(dataSlice.unionByName(_))
+        else dataSlice
       val tmp = build.resolve(s"tmp_$pos")
       slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = scala.util.Using.resource(Files.list(tmp))(
@@ -220,23 +244,6 @@ object StreamingOps {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       // ascending mtimes: FileStreamSource picks oldest-first
       dst.toFile.setLastModified(base + pos * 2000L)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    }
-    if (sentinel) {
-      // one row, 2 h of event time past the corpus max: enough to clear
-      // any ±10-minute join horizon / window close in the registry
-      import spark.implicits._
-      val row = Seq((-1L, tsMax + 7200L * 1000000000L, -1L, sentinelType, 0.0, ""))
-        .toDF(eventsRawSchema.fieldNames.toIndexedSeq: _*)
-      val tmp = build.resolve("tmp_sentinel")
-      row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = scala.util.Using.resource(Files.list(tmp))(
-        _.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
-      val dst = build.resolve(f"events_$nBatches%02d_sentinel.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(base + nBatches * 2000L)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
@@ -376,9 +383,25 @@ object StreamingOps {
     }
   }
 
+  /** `noDataBatches = false` disables Spark's trailing no-data
+    * micro-batch (`spark.sql.streaming.noDataMicroBatches.enabled`)
+    * for this run. Only valid for queries whose RESULT ROWS don't
+    * depend on watermark-driven no-data processing: inner stream-
+    * stream joins (eviction emits nothing), complete-mode aggregations
+    * (every batch re-emits the full result), and stateful ops whose
+    * timeouts cannot fire within the corpus horizon. Each opted-out
+    * query's oracle hash is the proof the opt-out is sound — eviction/
+    * finalization oracles (left-outer null emission, append-mode
+    * window close, TTL expiry) keep the default, their no-data batch
+    * IS the semantics under test. Saves one trigger execution
+    * (~0.5-0.7 s at the small-SF gate) per opted-out query. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-                  outputMode: String): DataFrame = {
-    withStateConfig(spark, streamSourceBytes(stream)) {
+                  outputMode: String,
+                  noDataBatches: Boolean = true): DataFrame = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    if (!noDataBatches) spark.conf.set(noDataKey, "false")
+    try withStateConfig(spark, streamSourceBytes(stream)) {
       // Ephemeral run = ephemeral checkpoint: state/offset/commit writes
       // are fsync'd, so place them on tmpfs when present instead of disk
       // (durable pipelines pass a real checkpointLocation of their own,
@@ -403,6 +426,9 @@ object StreamingOps {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
       }
+    } finally prevNoData match {
+      case Some(v) => spark.conf.set(noDataKey, v)
+      case None    => spark.conf.unset(noDataKey)
     }
     spark.table(name)
   }

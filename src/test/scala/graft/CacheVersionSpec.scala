@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingOps
+import scala.jdk.CollectionConverters._
 
 /** Regression coverage for the round-5 staleness defect: derived-cache
   * keys carried (source size+mtime) but NOT the staged-format version,
@@ -76,6 +77,37 @@ class CacheVersionSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
       .orderBy(col("bucket_start"), col("event_type"))
     assert(streamed.collect().sameElements(batch.collect()))
+  }
+
+  test("v3 sentinel staging: sentinel rides the last batch file, no extra file") {
+    // StageFormatVersion v3: the sentinel row is co-batched with the
+    // last data slice instead of staged as a 4th file — one fewer
+    // trigger per sentinel stream. Pin the layout (exactly nBatches
+    // files) and the semantics that make the merge sound: the sentinel
+    // is in the LAST-arriving file (so it cannot late-drop real rows —
+    // the watermark only advances at batch end) and every real row of
+    // the source is still staged exactly once.
+    val dir = StreamingOps.stageEventBatches(spark, sf, 3, sentinel = true,
+      sentinelType = "purchase")
+    val files = scala.util.Using.resource(java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir)))(_.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toVector)
+        .sortBy(_.getFileName.toString)
+    assert(files.size == 3, s"v3 layout must stage exactly nBatches files: $files")
+    val last = spark.read.schema(StreamingOps.eventsRawSchema)
+      .parquet(files.last.toString)
+    assert(last.filter(col("event_id") === -1L).count() == 1,
+      "sentinel row must ride in the last-arriving batch file")
+    (0 until 2).foreach { i =>
+      val f = spark.read.schema(StreamingOps.eventsRawSchema)
+        .parquet(files(i).toString)
+      assert(f.filter(col("event_id") === -1L).count() == 0,
+        s"no sentinel outside the last file: ${files(i)}")
+    }
+    val staged = spark.read.schema(StreamingOps.eventsRawSchema).parquet(dir)
+    val srcRows = StreamingOps.rawEventsNs(spark, s"$sf/events.parquet").count()
+    assert(staged.filter(col("event_id") >= 0).count() == srcRows,
+      "staged batches must cover every real source row exactly once")
   }
 
   test("PartitionedStore.cached re-builds when its format version bumps") {
