@@ -315,6 +315,31 @@ object Multimodal {
     * are exact integers, so the oracle recomputes them
     * arithmetically. Undecodable frames and dimension changes break
     * the pair chain silently (corrupt data degrades, never kills). */
+  /** Shared pair-delta kernel of both sceneCuts forms: decode the
+    * container's frames in sequence and yield (global cut idx, Σ|Δ|)
+    * for each above-threshold consecutive pair. `baseIdx` is the
+    * GLOBAL index of the container's first frame — a chunked caller
+    * passes the fragment's start so cut indices stay global. An
+    * undecodable frame or a dimension change breaks the pair chain
+    * silently (corrupt data degrades, never kills). */
+  private def pairDeltas(container: Array[Byte], baseIdx: Int,
+                         threshold: Long): Iterator[(Int, Long)] = {
+    val frames = sampleVideoFrames(container, 1)
+      .map { case (fi, fb) =>
+        (baseIdx + fi, sniffFormat(fb).flatMap(_ => decodeImage(fb))) }
+    frames.sliding(2).flatMap {
+      case Seq((_, Some((w1, h1, p1))), (fi, Some((w2, h2, p2))))
+          if w1 == w2 && h1 == h2 && p1.length == p2.length =>
+        var dsum = 0L
+        var i = 0
+        while (i < p1.length) {
+          dsum += math.abs((p1(i) & 0xff) - (p2(i) & 0xff)); i += 1
+        }
+        if (dsum > threshold) Some((fi, dsum)) else None
+      case _ => None
+    }
+  }
+
   def sceneCuts(df: DataFrame, blobCol: String, threshold: Long): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("cut_idx", IntegerType), StructField("delta", LongType)))
@@ -323,25 +348,89 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](blobIdx)
-        val frames = sampleVideoFrames(bytes, 1)
-          .map { case (fi, fb) =>
-            (fi, sniffFormat(fb).flatMap(_ => decodeImage(fb))) }
-        frames.sliding(2).flatMap {
-          case Seq((_, Some((w1, h1, p1))), (fi, Some((w2, h2, p2))))
-              if w1 == w2 && h1 == h2 && p1.length == p2.length =>
-            var dsum = 0L
-            var i = 0
-            while (i < p1.length) {
-              dsum += math.abs((p1(i) & 0xff) - (p2(i) & 0xff)); i += 1
-            }
-            // Seq[Any]: a bare Seq(fi, dsum) numeric-widens the Int to
-            // Long and breaks the encoder's INT field
-            if (dsum > threshold) Some(Row.fromSeq(r.toSeq ++ Seq[Any](fi, dsum)))
-            else None
-          case _ => None
+        pairDeltas(bytes, 0, threshold).map { case (fi, dsum) =>
+          // Seq[Any]: a bare Seq(fi, dsum) numeric-widens the Int to
+          // Long and breaks the encoder's INT field
+          Row.fromSeq(r.toSeq ++ Seq[Any](fi, dsum))
         }
       }
     }(enc)
+  }
+
+  /** FRAGMENT-PARALLEL scene cuts — the long-video scale form of
+    * [[sceneCuts]]. Plain sceneCuts decodes a whole video inside one
+    * task, so the unit of parallelism is the video: fine while videos
+    * ≪ partition size, a straggler when one video is hours long. Here
+    * the GVID index is chunked into fragments of `framesPerFragment`
+    * frames with a ONE-FRAME back-overlap (fragment f ≥ 1 also carries
+    * frame f·L−1), each fragment re-packed as a mini GVID container —
+    * index-only byte slicing, no decode — and the fragments are
+    * redistributed across tasks before the decode+delta kernel runs
+    * per fragment. Every consecutive frame pair (i−1, i) lives in
+    * exactly ONE fragment (the one whose pair range starts at ⌈i/L⌉·L
+    * covers it), so the union of fragment-local [[pairDeltas]] is the
+    * sequential result exactly — including the degraded cases: an
+    * undecodable frame at a fragment boundary kills the same two pairs
+    * it kills sequentially, one in each adjacent fragment
+    * (spec-pinned parity over randomized corrupt/dim-change fixtures).
+    *
+    * Output schema = `df` minus the blob column, plus (cut_idx,
+    * delta): the full container must not ride through the fragment
+    * shuffle (it would multiply the shuffle bytes by the fragment
+    * count). The shuffle moves each frame's bytes exactly once; at
+    * 100 TB decode cost ≫ byte-move cost, and the skew bound — no task
+    * decodes more than framesPerFragment frames per fragment — is what
+    * a straggler-free scan needs. */
+  def sceneCutsChunked(df: DataFrame, blobCol: String, threshold: Long,
+                       framesPerFragment: Int): DataFrame = {
+    require(framesPerFragment >= 1, "framesPerFragment must be >= 1")
+    val keptFields = df.schema.fields.filterNot(_.name == blobCol)
+    val fragSchema = StructType(keptFields ++ Seq(
+      StructField("_frag_base", IntegerType), StructField("_frag_blob", BinaryType)))
+    val fragEnc = org.apache.spark.sql.Encoders.row(fragSchema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val keptIdx = df.schema.fields.zipWithIndex
+      .collect { case (f, i) if f.name != blobCol => i }.toSeq
+    val fragments = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val kept = keptIdx.map(r.get)
+        videoIndex(bytes) match { // parsed ONCE per video, header-only
+          case None => Iterator.empty
+          case Some(ranges) =>
+            val n = ranges.length
+            val L = framesPerFragment
+            val nFrags = (n + L - 1) / L
+            (0 until nFrags).iterator.map { f =>
+              val start = math.max(0, f * L - 1) // one-frame back-overlap
+              val end = math.min((f + 1) * L, n) // exclusive
+              val frames = (start until end).map { fi =>
+                val (off, len) = ranges(fi)
+                java.util.Arrays.copyOfRange(bytes, off, off + len)
+              }
+              Row.fromSeq(kept ++ Seq[Any](start, encodeVideoContainer(frames)))
+            }
+        }
+      }
+    }(fragEnc)
+    // spread fragments across tasks — the whole point: a long video's
+    // fragments land on different cores/executors instead of one task
+    val spread = fragments.repartition(
+      (keptFields.map(f => col(f.name)) :+ col("_frag_base")).toIndexedSeq: _*)
+    val outSchema = StructType(keptFields ++ Seq(
+      StructField("cut_idx", IntegerType), StructField("delta", LongType)))
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val nKept = keptFields.length
+    spread.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val base = r.getInt(nKept)
+        val blob = r.getAs[Array[Byte]](nKept + 1)
+        val kept = (0 until nKept).map(r.get)
+        pairDeltas(blob, base, threshold).map { case (fi, dsum) =>
+          Row.fromSeq(kept ++ Seq[Any](fi, dsum))
+        }
+      }
+    }(outEnc)
   }
 
   // ---- audio: PCM16 payloads as opaque binary + typed frame features

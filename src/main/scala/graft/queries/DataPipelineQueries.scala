@@ -1312,7 +1312,16 @@ object DataPipelineQueries {
         }(enc)
         .write.parquet(p)
     }
-    Multimodal.sceneCuts(s.read.parquet(path), "video", threshold = 100L)
+    // the FRAGMENT-PARALLEL form (round-7): 12-frame fixtures chunk
+    // into 2 fragments of ≤6 frames with a one-frame overlap, so the
+    // oracle hash also proves the fragment boundary adds/loses no cuts
+    // (sceneCuts ≡ sceneCutsChunked parity over corrupt/dim-change
+    // fixtures and fragment sizes 1..100 is spec-pinned besides; the
+    // fragment shuffle costs ~10% at this toy scale and buys the
+    // straggler bound long videos need — no task decodes more than
+    // framesPerFragment frames per fragment)
+    Multimodal.sceneCutsChunked(s.read.parquet(path), "video",
+        threshold = 100L, framesPerFragment = 6)
       .select(col("doc_id"), col("cut_idx").cast("long").as("cut_idx"),
         col("delta"))
       .orderBy(col("doc_id"), col("cut_idx"))

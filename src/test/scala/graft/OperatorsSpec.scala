@@ -193,6 +193,44 @@ class OperatorsSpec extends AnyFunSuite {
         (7L, "keep", 5, 4, 2, 2)))
   }
 
+  test("sceneCutsChunked ≡ sceneCuts across fragment sizes, boundary corruption, dim changes") {
+    // adversarial corpus: frame counts straddling every fragment-size
+    // boundary, scene changes AT fragment boundaries, an undecodable
+    // frame ON a boundary (kills one pair in each adjacent fragment),
+    // a mid-video dimension change, and malformed containers — the
+    // one-frame-overlap arithmetic must add no spurious pair and lose
+    // none, in exactly the degraded cases too
+    val rnd = new scala.util.Random(42)
+    def frame(scene: Int, w: Int = 3, h: Int = 2): Array[Byte] =
+      Multimodal.encodeImage(
+        Array.tabulate[Byte](w * h * 3)(i => ((scene * 97 + i * 5) % 256).toByte),
+        w, h, "png")
+    val vids = Seq.tabulate(10) { v =>
+      val n = Seq(0, 1, 2, 3, 5, 12, 13, 17, 25, 40)(v)
+      val frames = Seq.tabulate(n) { f =>
+        // random-ish scene segmentation: change points land on multiples
+        // of 5 and 12 for some videos (= the fragment boundaries below)
+        val scene = if (v % 3 == 0) f / 5 else if (v % 3 == 1) f / 4 else rnd.nextInt(3)
+        if (v == 6 && f == 5) "not an image".getBytes("UTF-8")  // corrupt ON boundary
+        else if (v == 7 && f == 10) frame(f, w = 5, h = 4)      // dim change
+        else frame(scene)
+      }
+      (v.toLong, Multimodal.encodeVideoContainer(frames))
+    } :+ ((99L, "garbage".getBytes("UTF-8"))) // malformed container
+    val df = vids.toDF("doc_id", "video")
+    val seqRows = Multimodal.sceneCuts(df, "video", threshold = 50L)
+      .select($"doc_id", $"cut_idx", $"delta").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(seqRows.nonEmpty, "fixture must produce cuts for the parity to mean anything")
+    for (l <- Seq(1, 2, 3, 5, 12, 100)) {
+      val chunked = Multimodal.sceneCutsChunked(df, "video", threshold = 50L,
+          framesPerFragment = l)
+        .select($"doc_id", $"cut_idx", $"delta").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+      assert(chunked == seqRows, s"fragment size $l diverged from sequential")
+    }
+  }
+
   test("fakeAttributeVector kernel ≡ composed array(fakeScore...) form") {
     // negative, zero, and large ids; reference width (128) and the
     // 4-dim demo width — the kernel must be bit-identical to the
