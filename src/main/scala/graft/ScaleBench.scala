@@ -28,8 +28,10 @@ object ScaleBench {
     "dedup_neardup_pairs",  // LSH banding + bucket-local Jaccard
     "dedup_clusters",       // + iterative connected components
     "dedup_embed_neardup",  // banded embedding pairs + cosine
+    "dedup_embed_clusters", // + CC over mutual in-band top-1 neighbors
     "dedup_simhash_pairs",  // 32-bit simhash bands (quadratic OUTPUT, §4.5)
     "dedup_simhash64_pairs", // 64-bit simhash bands — the at-scale form
+    "dedup_span_ngrams",    // rolling k-gram duplicate-span islands
     "pipeline_curate",      // full curation chain (score→dedup→CC→split)
     "pipeline_decontam",    // broadcast shingle overlap
     "pipeline_pack",        // sized-shard sequence packing
@@ -37,6 +39,7 @@ object ScaleBench {
     "embed_centroids",      // map-side vector-sum buffers, one shuffle
     "ann_lsh_topk",         // derived-width hyperplane buckets
     "ann_ivf_topk",         // IVF assign + nProbe search
+    "ann_pq_topk",          // PQ codes + broadcast ADC LUT scan (books cached)
     "q20_asof_join",        // as-of join: union + running-last window
     "q21_range_join",       // bin-key broadcast equi-join over intervals
     "pipeline_hll_distinct", // HLL registers: scan + 256-group max
@@ -137,6 +140,7 @@ object ScaleBench {
         // in the JSON so every number is adjudicable from the artifact.
         var calPre = 0.0; var calPost = 0.0
         var sec = Double.MaxValue
+        var pass1 = 0.0; var pass2 = 0.0
         var df: org.apache.spark.sql.DataFrame = null
         var retried = 0
         var accepted = false
@@ -147,7 +151,7 @@ object ScaleBench {
           val (s2, d2) = timedPass()
           calPost = Bench.calibrationMs()
           bestCal = math.min(bestCal, calPost)
-          sec = math.min(s1, s2); df = d2
+          sec = math.min(s1, s2); pass1 = s1; pass2 = s2; df = d2
           if ((calPost > calPre * 1.5 || calPre > bestCal * 1.5) && retried < 2) {
             retried += 1
             System.err.println(f"[scale] contended measurement of $q at n=$n " +
@@ -204,7 +208,12 @@ object ScaleBench {
         }
         val extraJson =
           extras.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-        val calJson = s""""cal_ms":[${jnum(calPre)},${jnum(calPost)}]""" +
+        // both raw passes ship too: for cached-artifact queries
+        // (ann_pq_topk with a cold books/codes cache) pass 1 is
+        // train+search and pass 2 search-only — the gap IS the
+        // training cost, adjudicable from the artifact
+        val calJson = s""""passes":[${jnum(pass1)},${jnum(pass2)}],""" +
+          s""""cal_ms":[${jnum(calPre)},${jnum(calPost)}]""" +
           (if (retried > 0) s""","retried":$retried""" else "")
         val line = s"""{"n_docs":$n,"query":"$q","sec":${jnum(sec)},""" +
           s""""rows":$rows,$calJson""" +

@@ -148,10 +148,16 @@ object Dedup {
     // the carried set rides the band exchange, so halve its bytes:
     // hash32 values shift bijectively into signed-int range —
     // intersection/union CARDINALITIES are shift-invariant, and
-    // nothing downstream reads the values themselves
+    // nothing downstream reads the values themselves. Sorted HERE,
+    // once per banded row, so the per-PAIR set ops below are a single
+    // allocation-free merge (SortedInterSize) instead of a hash-set
+    // build per candidate — at the 2M rung (~capPop·n candidate
+    // Jaccards, every bucket at the refinement cap) the per-pair
+    // array_intersect/array_union allocations were the query.
     val keys = Seq("band", "band_sig", "sub")
     val shifted = refined.select(keys.map(col) :+ col("doc_id") :+
-      transform(col("hs"), h => (h - 2147483648L).cast("int")).as("hsi"): _*)
+      array_sort(transform(col("hs"),
+        h => (h - 2147483648L).cast("int"))).as("hsi"): _*)
     val a = shifted.select(keys.map(col) :+ col("doc_id").as("id_a")
       :+ col("hsi").as("set_a"): _*)
     val b = shifted.select(keys.map(col) :+ col("doc_id").as("id_b")
@@ -161,8 +167,11 @@ object Dedup {
     // partition is corpus_bytes/shuffle_partitions and the two sides
     // read one reused exchange
     a.join(b.hint("SHUFFLE_HASH"), keys).filter(col("id_a") < col("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("n_inter", org.apache.spark.sql.graft.HashExpressions
+        .sorted_inter_size(col("set_a"), col("set_b")))
+      // distinct sets: |a ∪ b| = |a| + |b| − |a ∩ b|, no second pass
+      .withColumn("n_union",
+        size(col("set_a")) + size(col("set_b")) - col("n_inter"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("n_inter")).as("n_inter"), max(col("n_union")).as("n_union"))
       .withColumn("jaccard_bp",

@@ -409,6 +409,50 @@ object Similarity {
       .groupBy("id_a", "id_b").agg(max(col("score")).as("score"))
   }
 
+  /** Per-node BEST in-band neighbor — (src, dst) where dst maximizes
+    * `score` over all of src's band-bucket co-residents (score desc,
+    * dst asc on ties; exactly [[topKPerKey]] k=1 over the
+    * [[bandedScoredPairs]] graph, parity spec-pinned). The window form
+    * materializes the deduplicated pair set (one groupBy over |pairs|),
+    * unions both directions (2·|pairs| rows) and sorts them per node —
+    * three full pair-sized exchanges before anything shrinks. Here each
+    * bucket-local pair is scored ONCE, leaves the join as two
+    * (node, candidate) rows via a codegen'd explode, and the hash
+    * aggregate's map-side combine collapses to one row per node BEFORE
+    * the only shuffle: pair-sized work stays inside the scan stage and
+    * only |nodes| rows ever cross the wire. Duplicate pair copies
+    * (a pair sharing several bands / refined sub-buckets) carry equal
+    * scores, so the min-struct is copy-count-invariant — the same
+    * argument that lets bandedScoredPairs collapse copies by max. */
+  def bandedTop1Neighbor(vecs: DataFrame, groupCols: Seq[String],
+                         idCol: String, bucketCol: String,
+                         payloadCol: String,
+                         score: (Column, Column) => Column,
+                         bitsPerBand: Int, nBands: Int,
+                         refineQvCol: Option[String] = None,
+                         dims: Int = 64, capPop: Int = 256,
+                         maxExtraBits: Int = 8): DataFrame = {
+    val (keyed, keys) = bandedKeyed(vecs, groupCols, idCol, bucketCol,
+      bitsPerBand, nBands, refineQvCol, dims, capPop, maxExtraBits,
+      carryCols = Seq(payloadCol))
+    val a = keyed.select(keys.map(col) :+ col("_pid").as("id_a")
+      :+ col(payloadCol).as("_pa"): _*)
+    val b = keyed.select(keys.map(col) :+ col("_pid").as("id_b")
+      :+ col(payloadCol).as("_pb"): _*)
+    // min(struct(-score, dst)) == (score desc, dst asc) lexicographic
+    a.join(b, keys).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), score(col("_pa"), col("_pb")).as("_s"))
+      .select(explode(array(
+        struct(col("id_a").as("src"),
+          struct((-col("_s")).as("ns"), col("id_b").as("dst")).as("best")),
+        struct(col("id_b").as("src"),
+          struct((-col("_s")).as("ns"), col("id_a").as("dst")).as("best"))))
+        .as("e"))
+      .groupBy(col("e.src").as("src"))
+      .agg(min(col("e.best")).as("_best"))
+      .select(col("src"), col("_best.dst").as("dst"))
+  }
+
   /** Shared core of the banded pair operators: explode bucketCol into
     * (band, band_val) keys, optionally refine hot keys
     * ([[refineHotKeys]]), and carry `carryCols` payloads through.

@@ -674,16 +674,13 @@ object DataPipelineQueries {
         Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
       .cache()
-    val scored = Similarity.bandedScoredPairs(
+    // per-node top-1 via map-side-combined aggregation: pair-sized
+    // work never leaves the scan stage (the window form shuffled the
+    // pair set three times and was 60% of this query's 1M-rung cost)
+    val top1 = Similarity.bandedTop1Neighbor(
       emb, Seq("label"), "vec_id", "bucket",
       payloadCol = "qv", score = Similarity.dotLong(_, _),
       bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
-    val directed = scored
-      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
-      .unionByName(scored
-        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
-    val top1 = Similarity.topKPerKey(directed, "src", "score", "dst", 1)
-      .select(col("src"), col("dst"))
     val mutual = top1.as("x")
       .join(top1.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
@@ -1049,6 +1046,76 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gram width for [[dedup_span_ngrams]]: spans shorter than 8 tokens
+    * are noise (stock phrases), longer windows miss short boilerplate.
+    * The published substring-dedup threshold is 50 BPE tokens over a
+    * suffix array (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022); the k-token rolling-gram form
+    * is its bounded, shuffle-friendly approximation — every duplicated
+    * substring of ≥ k tokens is found exactly (it contains a k-gram
+    * that repeats), shorter ones are ignored by design. */
+  private val DupSpanK = 8
+
+  /** dedup_span_ngrams: corpus-internal duplicate-SPAN detection —
+    * the cross-document cousin of text_repetition (intra-doc) and
+    * pipeline_decontam (cross-corpus): which token RANGES of each
+    * document also occur elsewhere in the corpus (boilerplate
+    * headers, license blocks, syndicated paragraphs), reported as
+    * maximal merged spans + a per-doc duplicated-token fraction (the
+    * signal substring-level dedup prunes on).
+    *
+    * Shape at scale: one posexplode into rolling k-grams (corpus
+    * token count × 1 rows — each token starts at most one gram), one
+    * wordcount-shaped groupBy on the gram (the only corpus-sized
+    * shuffle; at 100 TB the gram string would pre-hash to 128 bits —
+    * kept as the raw string here so the oracle is collision-free by
+    * construction), one |duplicated positions| window for the
+    * gaps-and-islands span merge (duplicated positions ≪ corpus), and
+    * a vertex-sized left join back to the doc list. Starts are sorted
+    * and gram width is fixed, so coverage-end is monotone in start
+    * and a lag(1) suffices for the merge — no running-max needed. */
+  private val dedup_span_ngrams: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+    val grams = base.filter(col("n_tok") >= DupSpanK)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), col("n_tok") - (DupSpanK - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(DupSpanK)))))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"), col("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("gram"))
+    val dupPos = grams.join(dup, "gram")
+      .select(col("doc_id"), col("start"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = dupPos
+      // break iff this start's coverage [start, start+k-1] neither
+      // overlaps nor abuts the previous one's; first row always breaks
+      .withColumn("brk", when(col("start") >
+        coalesce(lag(col("start"), 1).over(w), lit(-2 * DupSpanK))
+          + DupSpanK, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("n_pos"),
+        min(col("start")).as("s"), max(col("start")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_pos")).as("n_dup_grams"),
+        sum(col("e") - col("s") + DupSpanK).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+      .withColumn("dup_frac_bp", expr("dup_tokens * 10000 div n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** embed_centroids: per-label embedding centroid sums — the exact
     * integer form of the class-centroid/statistics pass an embedding
     * corpus runs (and the k-means M-step shape, reusing the same
@@ -1343,6 +1410,7 @@ object DataPipelineQueries {
     "pipeline_domain_mix" -> pipeline_domain_mix,
     "text_vocab" -> text_vocab,
     "text_ngram_lm" -> text_ngram_lm,
+    "dedup_span_ngrams" -> dedup_span_ngrams,
     "embed_centroids" -> embed_centroids,
     "multimodal_audio_frames" -> multimodal_audio_frames,
     "multimodal_video_sample" -> multimodal_video_sample,
@@ -2091,6 +2159,44 @@ object DataPipelineQueries {
         |  CAST(sum(c.n) // count(*) AS BIGINT) AS lm_score
         |FROM bg b JOIN counts c USING (bigram)
         |GROUP BY b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_span_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(t) - 6)) AS pos,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |  FROM tk),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos, CASE WHEN pos >
+        |      coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |               -16) + 8
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM p),
+        |sp AS (
+        |  SELECT doc_id, isl, count(*) AS n_pos,
+        |    min(pos) AS s, max(pos) AS e
+        |  FROM (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS UNBOUNDED PRECEDING) AS isl
+        |        FROM m)
+        |  GROUP BY doc_id, isl),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(n_pos) AS BIGINT) AS n_dup_grams,
+        |    CAST(sum(e - s + 8) AS BIGINT) AS dup_tokens
+        |  FROM sp GROUP BY doc_id)
+        |SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(dup_tokens, 0) AS dup_tokens,
+        |  CAST(coalesce(dup_tokens, 0) * 10000
+        |       // CAST(len(t) AS BIGINT) AS BIGINT) AS dup_frac_bp
+        |FROM tk LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "embed_centroids" ->
       """WITH e AS (

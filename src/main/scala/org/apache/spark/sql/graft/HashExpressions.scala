@@ -586,6 +586,64 @@ case class RepetitionStats(child: Expression)
   * Mismatched lengths yield NULL (the `aggregate(zip_with(...))` twin
   * null-pads the shorter side and propagates), so a truncated vector
   * surfaces as a visible null instead of a plausible partial distance. */
+/** |a ∩ b| of two SORTED arrays of distinct ints — the LSH Jaccard hot
+  * loop. `array_intersect` builds a per-invocation hash set and
+  * materializes the intersection ARRAY, and `array_union` repeats both
+  * just to take a size; at candidate counts of ~capPop·n/2 (every band
+  * bucket saturated at the refinement cap — the 2M-doc regime,
+  * SCALING.md §4.6) those per-pair allocations are the entire query.
+  * One linear merge computes the cardinality with zero allocation, and
+  * |a ∪ b| falls out as |a| + |b| − |a ∩ b| (sets are distinct by
+  * construction). Precondition: both arrays ascending-sorted with
+  * distinct elements — callers sort once per DOCUMENT before the band
+  * explode, not per pair. */
+case class SortedInterSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_inter_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val u = x.getInt(i); val v = y.getInt(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final int $u = $a.getInt($i);
+         |  final int $v = $b.getInt($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterSize =
+    copy(left = newLeft, right = newRight)
+}
+
 case class L2SqLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
@@ -677,6 +735,11 @@ object HashExpressions {
   def regex_redact(text: Column, pattern: String, replacement: String): Column =
     ExpressionUtils.column(
       RegexRedact(ExpressionUtils.expression(text), pattern, replacement))
+
+  /** Zero-allocation |a ∩ b| over sorted distinct int arrays. */
+  def sorted_inter_size(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedInterSize(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Exact squared L2 over quantized (long) vectors (codegen'd). */
   def l2sq_long(a: Column, b: Column): Column =

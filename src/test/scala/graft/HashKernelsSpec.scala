@@ -198,6 +198,27 @@ class HashKernelsSpec extends AnyFunSuite {
       s"regex_redact != twin for: ${diff.map(_.getString(0)).take(3).mkString(" | ")}")
   }
 
+  test("sorted_inter_size ≡ size(array_intersect) on sorted distinct arrays") {
+    // the Jaccard hot-loop kernel vs the builtin twin, over randomized
+    // set pairs in the kernel's precondition domain (ascending,
+    // distinct) — including empty, disjoint, identical, and
+    // negative-heavy (the shifted-int encoding) shapes
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 300).map { i =>
+      def gen(n: Int) =
+        Seq.fill(n)(rnd.nextInt(200) - 100).distinct.sorted
+      (gen(rnd.nextInt(60)), gen(rnd.nextInt(60)))
+    } ++ Seq((Seq.empty[Int], Seq.empty[Int]), (Seq(1, 2, 3), Seq.empty[Int]),
+      (Seq(-5, 0, 5), Seq(-5, 0, 5)), (Seq(Int.MinValue), Seq(Int.MinValue)))
+    val df = cases.toDF("a", "b")
+    val diff = df.select(
+        org.apache.spark.sql.graft.HashExpressions
+          .sorted_inter_size(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("t"))
+      .filter(not(col("k") <=> col("t"))).count()
+    assert(diff == 0, "sorted_inter_size disagrees with array_intersect")
+  }
+
   test("kernels survive whole-stage codegen and SQL registration") {
     graft.functions.VectorFunctions.register(spark)
     // exercise the codegen path explicitly (collect forces evaluation

@@ -441,6 +441,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inJoin == twoPhase)
   }
 
+  test("bandedTop1Neighbor ≡ window top-1 over the banded pair graph") {
+    // the aggregation form exists to keep pair-sized rows inside the
+    // scan stage; it must reproduce topKPerKey(k=1)'s (score desc,
+    // dst asc) choice exactly, including the tie-break
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    val agg = Similarity.bandedTop1Neighbor(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "qv", score = Similarity.dotLong(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = Similarity.bandedScoredPairs(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "qv", score = Similarity.dotLong(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionByName(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    val windowed = Similarity.topKPerKey(directed, "src", "score", "dst", 1)
+      .collect().map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst")).toMap
+    assert(agg.nonEmpty && agg == windowed)
+  }
+
   test("deriveNBits sizes the LSH bucket space from the corpus count") {
     import graft.operators.Similarity.deriveNBits
     // shipped SFs (50 / 500 / 5000 vectors) all sit on the 8-bit floor,
