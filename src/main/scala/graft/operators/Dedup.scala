@@ -119,6 +119,64 @@ object Dedup {
     * below the refinement cap (spec-pinned parity). */
   val OnePassMinDocs: Long = 1200000L
 
+  /** Temp dirs staged by [[probeKeyed]]; removed at JVM exit. */
+  private val stagedSigDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val stagedSigCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedSigDirs.forEach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        catch { case _: Exception => () }
+      }))
+
+  /** The full one-pass join-leg frame: banding + refinement + the
+    * hashed single-long shuffle key + the shifted-and-sorted int set.
+    * One row per (doc, band); both self-join legs are exactly this
+    * plan so the exchange canonicalizes identically and is computed
+    * once.
+    *
+    * The per-doc signature table (doc_id, sig, extra bits, salt,
+    * sorted int set) is STAGED to scratch parquet first — eagerly,
+    * once per operator invocation — because the hot-key refinement
+    * inherently evaluates its input several times (the cold-corpus
+    * probe, the two broadcast population aggregates, then the final
+    * pipeline): inlined, each evaluation re-ran the md5 shingle and
+    * MinHash kernels over the whole corpus, and the NearDupProbe
+    * decomposition at the 2M rung showed that prefix re-computation
+    * WAS the query (108 of 112 s). Post-stage, every pass reads back
+    * only the columns it needs (the population aggregates prune the
+    * set payload at the parquet scan). This is the per-pass analog of
+    * the PQ code-table staging: on a cluster, a dedup pass over a
+    * 100 TB corpus writes its signature table once and every
+    * downstream stage scans that, never the raw text twice. */
+  private[graft] def probeKeyed(hashed: DataFrame, rowsPerBand: Int,
+                                capPop: Int = 256,
+                                maxExtraBits: Int = 8): DataFrame = {
+    val nBands = MinHashCoeffs.length / rowsPerBand
+    val spark = hashed.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_sig_")
+    stagedSigCleanup
+    stagedSigDirs.add(dir)
+    hashed.select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sig"),
+        org.apache.spark.sql.graft.HashExpressions.minhash_extra_bits(col("hs")).as("_xb"),
+        xxhash64(col("hs")).as("_salt"),
+        array_sort(transform(col("hs"),
+          h => (h - 2147483648L).cast("int"))).as("hsi"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val staged = spark.read.parquet(dir.toString)
+    val banded = staged.select(col("doc_id"), col("hsi"), col("_xb"), col("_salt"),
+      posexplode(transform(
+        sequence(lit(0), lit(nBands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig")))
+    val refined = graft.operators.Similarity.refineHotKeysBy(
+      banded, Seq("band", "band_sig"), "doc_id", col("_xb"),
+      capPop, maxExtraBits, saltCol = Some(col("_salt")))
+    refined.select(
+      xxhash64(col("band"), col("band_sig"), col("sub")).as("k"),
+      col("band"), col("band_sig"), col("sub"), col("doc_id"), col("hsi"))
+  }
+
   def lshJaccardPairs(hashed: DataFrame, rowsPerBand: Int,
                       capPop: Int = 256,
                       maxExtraBits: Int = 8,
@@ -134,44 +192,39 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
           col("jaccard_bp"))
     }
-    val nBands = MinHashCoeffs.length / rowsPerBand
-    val sig = hashed.select(col("doc_id"), col("hs"),
-      org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sig"),
-      org.apache.spark.sql.graft.HashExpressions.minhash_extra_bits(col("hs")).as("_xb"))
-    val banded = sig.select(col("doc_id"), col("hs"), col("_xb"),
-      posexplode(transform(
-        sequence(lit(0), lit(nBands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig")))
-    val refined = graft.operators.Similarity.refineHotKeysBy(
-      banded, Seq("band", "band_sig"), "doc_id", col("_xb"),
-      capPop, maxExtraBits, saltCol = Some(xxhash64(col("hs"))))
-    // the carried set rides the band exchange, so halve its bytes:
-    // hash32 values shift bijectively into signed-int range —
-    // intersection/union CARDINALITIES are shift-invariant, and
-    // nothing downstream reads the values themselves. Sorted HERE,
-    // once per banded row, so the per-PAIR set ops below are a single
-    // allocation-free merge (SortedInterSize) instead of a hash-set
-    // build per candidate — at the 2M rung (~capPop·n candidate
-    // Jaccards, every bucket at the refinement cap) the per-pair
-    // array_intersect/array_union allocations were the query.
-    val keys = Seq("band", "band_sig", "sub")
-    val shifted = refined.select(keys.map(col) :+ col("doc_id") :+
-      array_sort(transform(col("hs"),
-        h => (h - 2147483648L).cast("int"))).as("hsi"): _*)
-    val a = shifted.select(keys.map(col) :+ col("doc_id").as("id_a")
-      :+ col("hsi").as("set_a"): _*)
-    val b = shifted.select(keys.map(col) :+ col("doc_id").as("id_b")
-      :+ col("hsi").as("set_b"): _*)
+    // NearDupProbe decomposition at the 2M rung: candidates are
+    // bucket-bounded (3.1M pairs, max refined pop 250) and the
+    // per-pair Jaccard is trivial — the cost was the signature prefix
+    // re-evaluated by every refinement action and join leg, fixed by
+    // the staged signature table inside probeKeyed. The self-join
+    // below keeps both legs the IDENTICAL plan (only the alias
+    // differs) so the canonicalized exchanges match and the banding
+    // is computed and shuffled ONCE; the shuffle/probe key is one
+    // xxhash64 long (array keys hash/compare per build+probe row),
+    // with exact residual key equality in the join condition so a
+    // hash collision cannot admit a false pair — the pair set is
+    // bit-identical to the composite-key join. The carried set rides
+    // the exchange with halved bytes: hash32 values shift bijectively
+    // into signed-int range (intersection/union CARDINALITIES are
+    // shift-invariant), sorted once per doc so the per-pair set ops
+    // are a single allocation-free merge (SortedInterSize) instead of
+    // a hash-set build + materialized union per candidate.
+    val keyed = probeKeyed(hashed, rowsPerBand, capPop, maxExtraBits)
     // hash join, not sort-merge: SMJ would externally sort both sides
     // WITH the set payload (~2× corpus set bytes); the hash build per
-    // partition is corpus_bytes/shuffle_partitions and the two sides
-    // read one reused exchange
-    a.join(b.hint("SHUFFLE_HASH"), keys).filter(col("id_a") < col("id_b"))
-      .withColumn("n_inter", org.apache.spark.sql.graft.HashExpressions
-        .sorted_inter_size(col("set_a"), col("set_b")))
-      // distinct sets: |a ∪ b| = |a| + |b| − |a ∩ b|, no second pass
-      .withColumn("n_union",
-        size(col("set_a")) + size(col("set_b")) - col("n_inter"))
+    // partition is corpus_bytes/shuffle_partitions
+    keyed.as("a").join(keyed.as("b").hint("SHUFFLE_HASH"),
+        col("a.k") === col("b.k") &&
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        org.apache.spark.sql.graft.HashExpressions
+          .sorted_inter_size(col("a.hsi"), col("b.hsi")).as("n_inter"),
+        // distinct sets: |a ∪ b| = |a| + |b| − |a ∩ b|, no second pass
+        (size(col("a.hsi")) + size(col("b.hsi"))).as("sz"))
+      .withColumn("n_union", col("sz") - col("n_inter")).drop("sz")
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("n_inter")).as("n_inter"), max(col("n_union")).as("n_union"))
       .withColumn("jaccard_bp",

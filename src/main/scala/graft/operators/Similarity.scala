@@ -450,7 +450,10 @@ object Similarity {
         .as("e"))
       .groupBy(col("e.src").as("src"))
       .agg(min(col("e.best")).as("_best"))
-      .select(col("src"), col("_best.dst").as("dst"))
+      // sign-flip recovery is exact for longs (scores never approach
+      // MinValue) and for doubles (negation flips only the sign bit)
+      .select(col("src"), col("_best.dst").as("dst"),
+        (-col("_best.ns")).as("score"))
   }
 
   /** Shared core of the banded pair operators: explode bucketCol into

@@ -343,19 +343,19 @@ object DataPipelineQueries {
     // static SQL twin) is unchanged. Scoring happens INSIDE the
     // band-local join (SCALING.md §4.4): re-joining the corpus per pair
     // id would reshuffle |pairs| embedding-wide rows.
-    val scored = Similarity.bandedScoredPairs(
+    // per-vector top-1 via the map-side-combined aggregation: the
+    // window form materialized + deduplicated the full pair set (a
+    // pair-sized groupBy shuffle) before collapsing to one row per
+    // vector — measured 2.3× the aggregation form's cost at the
+    // 2M-doc rung (132.9 s vs dedup_embed_clusters' 58.1 s over the
+    // IDENTICAL banding; the delta IS that shuffle)
+    Similarity.bandedTop1Neighbor(
       emb, Seq("label"), "vec_id", "bucket",
       payloadCol = "emb", score = Similarity.cosine(_, _),
       bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
-      .withColumnRenamed("score", "cos")
-    val directed = scored
-      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
-      .unionByName(scored
-        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
-    Similarity.topKPerKey(directed, "src", "cos", "dst", 1)
       .select(col("src"), col("dst").as("nearest_id"),
-        round(col("cos"), 3).as("cos_sim"),
-        (col("cos") > 0.9).as("is_near_dup"))
+        round(col("score"), 3).as("cos_sim"),
+        (col("score") > 0.9).as("is_near_dup"))
       .orderBy(col("src"))
   }
 

@@ -455,7 +455,7 @@ class OperatorsSpec extends AnyFunSuite {
       emb, Seq("label"), "vec_id", "bucket",
       payloadCol = "qv", score = Similarity.dotLong(_, _),
       bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val scored = Similarity.bandedScoredPairs(
       emb, Seq("label"), "vec_id", "bucket",
       payloadCol = "qv", score = Similarity.dotLong(_, _),
@@ -465,7 +465,37 @@ class OperatorsSpec extends AnyFunSuite {
       .unionByName(scored
         .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
     val windowed = Similarity.topKPerKey(directed, "src", "score", "dst", 1)
-      .collect().map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst")).toMap
+      .collect().map(r => r.getAs[Long]("src") ->
+        ((r.getAs[Long]("dst"), r.getAs[Long]("score")))).toMap
+    assert(agg.nonEmpty && agg == windowed)
+  }
+
+  test("bandedTop1Neighbor recovers DOUBLE scores exactly (cosine path)") {
+    // the sign-flip recovery (-min(-score)) must be bit-exact for the
+    // float path dedup_embed_neardup rounds and thresholds on
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+      .cache()
+    val agg = Similarity.bandedTop1Neighbor(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "emb", score = Similarity.cosine(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val scored = Similarity.bandedScoredPairs(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "emb", score = Similarity.cosine(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionByName(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    val windowed = Similarity.topKPerKey(directed, "src", "score", "dst", 1)
+      .collect().map(r => r.getAs[Long]("src") ->
+        ((r.getAs[Long]("dst"), r.getAs[Double]("score")))).toMap
     assert(agg.nonEmpty && agg == windowed)
   }
 
