@@ -422,4 +422,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_max"),
       s"register max must combine map-side — only (bucket, max rho) rows may shuffle:\n$p")
   }
+
+  test("one-pass LSH: staged signature scan, hashed-key shuffle join, one exchange reused") {
+    // the SCALING.md §4.6 plan shape, pinned: the md5/MinHash kernels
+    // are paid ONCE at staging time, so the returned plan must read
+    // the staged parquet and never re-hash text; the self-join legs
+    // are the identical plan so the banding exchange is computed once
+    // and the other leg reuses it; the shuffle key is one long
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val hashed = Dedup.shingleHashSets(
+      graft.Tables.documents(spark, sf), "doc_id", "text", 5)
+    val df = Dedup.lshJaccardPairs(hashed, 4, onePassMinDocs = 0)
+    val pre = df.queryExecution.explainString(FormattedMode)
+    assert(!pre.contains("shingle_hash32") && !pre.contains("minhash_sigs"),
+      s"one-pass plan must read the STAGED signature table, not re-run kernels:\n$pre")
+    assert(pre.contains("ShuffledHashJoin"),
+      s"band self-join must be a shuffled hash join, not SMJ:\n$pre")
+    assert(pre.contains("xxhash64(band"),
+      s"shuffle key must be the single hashed long:\n$pre")
+    // exchange reuse is finalized at runtime under AQE — execute THIS
+    // Dataset's own QueryExecution (a write command would plan a fresh
+    // one and leave this plan un-finalized), then read the final plan
+    df.collect()
+    val post = df.queryExecution.executedPlan.toString
+    assert(post.contains("isFinalPlan=true"), s"expected an executed AQE plan:\n${post.take(1000)}")
+    assert(post.contains("ReusedExchange") || post.contains("ReusedQueryStage"),
+      s"identical legs must share ONE banding exchange:\n${post.take(4000)}")
+  }
+
+  test("bandedTop1Neighbor: pair rows partial-aggregate BEFORE the node shuffle") {
+    // the §4.7 claim: pair-sized work stays inside the scan stage —
+    // the per-node min(struct) must show a partial aggregate (map-side
+    // combine) and the plan must contain no pair-keyed exchange
+    // (no hashpartitioning on both pair ids)
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("qv"), 64, 8))
+    val df = Similarity.bandedTop1Neighbor(
+      emb, Seq("label"), "vec_id", "bucket",
+      payloadCol = "qv", score = Similarity.dotLong(_, _),
+      bitsPerBand = 4, nBands = 2, refineQvCol = Some("qv"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_min"),
+      s"per-node best must combine map-side before the only shuffle:\n$p")
+    assert(!p.contains("hashpartitioning(id_a") && !p.contains("hashpartitioning(src, dst"),
+      s"no pair-keyed exchange may exist — only node-sized rows shuffle:\n$p")
+  }
+
+  test("dedup_span_ngrams: gram count combines map-side; no cartesian anywhere") {
+    val p = plan("dedup_span_ngrams")
+    assert(p.contains("partial_count"),
+      s"the corpus-sized gram groupBy must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must stay join-keyed:\n$p")
+  }
 }
