@@ -59,6 +59,21 @@ object NearDupProbe {
     //    int sets — the full one-pass prefix incl. its interior actions
     val keyed = Dedup.probeKeyed(hashed, rowsPerBand)
     timed("keyed") { noop(keyed) }
+    // 2b. refined-bucket population histogram: Σ pop·(pop−1)/2 is the
+    //     exact pair-enumeration bound of the band join, and the top
+    //     populations show whether one pile (e.g. an exact-duplicate
+    //     chain, content-salted together BY DESIGN) dominates it
+    val hist = timed("pophist") {
+      keyed.groupBy("k", "band", "band_sig", "sub").count()
+        .select(sum(col("count") * (col("count") - 1) / 2).as("pairs"),
+          count(lit(1)).as("nkeys"), max(col("count")).as("maxpop"))
+        .collect()(0)
+    }
+    val top = keyed.groupBy("k", "band", "band_sig", "sub").count()
+      .orderBy(col("count").desc).limit(5)
+      .collect().map(_.getAs[Long]("count")).toSeq
+    println(s"[neardup-probe] pair bound=${hist.get(0)} nkeys=${hist.getAs[Long]("nkeys")} " +
+      s"maxpop=${hist.getAs[Long]("maxpop")} top5=$top")
     // 3. the self-join, skinny: output needs only ids, so Catalyst
     //    prunes the set payload OUT of the exchange — isolates
     //    key-hashing + build/probe cost
