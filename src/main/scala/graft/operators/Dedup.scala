@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions._
 
+import scala.jdk.CollectionConverters._
+
 /** Document deduplication family — first-class training-data-pipeline
   * operators (exact, MinHash+LSH, SimHash, n-gram Jaccard). The
   * reference's own dedup is only idempotence checking (SURVEY P6,
@@ -151,7 +153,16 @@ object Dedup {
     * downstream stage scans that, never the raw text twice. */
   private[graft] def probeKeyed(hashed: DataFrame, rowsPerBand: Int,
                                 capPop: Int = 256,
-                                maxExtraBits: Int = 8): DataFrame = {
+                                maxExtraBits: Int = 8): DataFrame =
+    probeKeyedSized(hashed, rowsPerBand, capPop, maxExtraBits)._1
+
+  /** [[probeKeyed]] plus the staged signature table's on-disk bytes —
+    * the free, exact size signal the fat-join width policy needs
+    * (measuring the staged parquet costs one directory listing; no
+    * extra job, no sampling). */
+  private[graft] def probeKeyedSized(hashed: DataFrame, rowsPerBand: Int,
+                                     capPop: Int = 256,
+                                     maxExtraBits: Int = 8): (DataFrame, Long) = {
     val nBands = MinHashCoeffs.length / rowsPerBand
     val spark = hashed.sparkSession
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_sig_")
@@ -172,9 +183,14 @@ object Dedup {
     val refined = graft.operators.Similarity.refineHotKeysBy(
       banded, Seq("band", "band_sig"), "doc_id", col("_xb"),
       capPop, maxExtraBits, saltCol = Some(col("_salt")))
-    refined.select(
+    val keyed = refined.select(
       xxhash64(col("band"), col("band_sig"), col("sub")).as("k"),
       col("band"), col("band_sig"), col("sub"), col("doc_id"), col("hsi"))
+    val stagedBytes = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    (keyed, stagedBytes)
   }
 
   def lshJaccardPairs(hashed: DataFrame, rowsPerBand: Int,
@@ -209,11 +225,68 @@ object Dedup {
     // shift-invariant), sorted once per doc so the per-pair set ops
     // are a single allocation-free merge (SortedInterSize) instead of
     // a hash-set build + materialized union per candidate.
-    val keyed = probeKeyed(hashed, rowsPerBand, capPop, maxExtraBits)
-    // hash join, not sort-merge: SMJ would externally sort both sides
-    // WITH the set payload (~2× corpus set bytes); the hash build per
-    // partition is corpus_bytes/shuffle_partitions
-    keyed.as("a").join(keyed.as("b").hint("SHUFFLE_HASH"),
+    val (keyed, stagedBytes) =
+      probeKeyedSized(hashed, rowsPerBand, capPop, maxExtraBits)
+    fatJoinPairs(keyed, "SHUFFLE_HASH",
+      fatJoinWidth(hashed.sparkSession, stagedBytes,
+        MinHashCoeffs.length / rowsPerBand))
+  }
+
+  /** Parquet→build-relation expansion for the staged signature table:
+    * the staged bytes are snappy parquet of near-incompressible hash
+    * values (~×1.4 back to row bytes) and the SHUFFLE_HASH build adds
+    * the UnsafeHashedRelation key table + pointer overhead (~×2 on row
+    * bytes, measured at the 4M rung via FatJoinProbe peak-heap deltas).
+    * Deliberately rounded UP — an over-wide exchange costs a few extra
+    * task launches; an under-wide one is §4.9 (OOM or GC collapse). */
+  private val FatBuildExpansion = 3.0
+
+  /** Per-partition build-relation budget for the fat band self-join.
+    * 64 MB keeps W concurrent builds ≪ the executor's execution-memory
+    * share at any sane W (local[32]: 32 × 64 MB × safety ≈ 2 GB peak
+    * against a ≥ 14 GB execution pool; a 4-core/16 GB cluster executor:
+    * 4 × 64 MB). */
+  private val FatBuildTargetBytes = 64L << 20
+
+  /** Shuffle width for the fat band self-join — §4.9's fix. The build
+    * side of a SHUFFLE_HASH join cannot spill: with W concurrent tasks
+    * and P partitions, peak heap is W × exchange_bytes × expansion / P,
+    * so P must scale with the CORPUS, not stay pinned at the session's
+    * core-count default. Below the default width this is None — the
+    * plan (and PlanAuditSpec's pinned shape) is untouched at oracle
+    * SFs; above it, an explicit repartition on `k` widens the exchange
+    * (k ⊆ join keys still satisfies the join's required clustered
+    * distribution, both legs stay the identical canonicalized plan,
+    * and an explicit numPartitions is exempt from AQE coalescing). */
+  private[graft] def fatJoinWidth(spark: org.apache.spark.sql.SparkSession,
+                                  stagedBytes: Long, nBands: Int): Option[Int] = {
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val need = math.ceil(
+      stagedBytes.toDouble * nBands * FatBuildExpansion / FatBuildTargetBytes).toInt
+    if (need > defaultParts) Some(need) else None
+  }
+
+  /** The band self-join tail of the one-pass form, parameterized on the
+    * join strategy and an optional explicit shuffle width so the scale
+    * probe ([[graft.FatJoinProbe]]) can measure the alternatives on the
+    * SAME staged `keyed` frame. `joinHint` is "SHUFFLE_HASH" (build one
+    * leg's partition as an on-heap hash relation — fastest while the
+    * build side fits comfortably) or "MERGE" (external sort both legs —
+    * spills instead of building, stable when it doesn't). `repartitionTo`
+    * widens the exchange beyond spark.sql.shuffle.partitions: with W
+    * concurrent tasks, peak build heap is W × corpus_set_bytes / parts,
+    * so parts must scale with the corpus, not stay pinned at the core
+    * count. Partitioning on `k` alone still satisfies the join's
+    * clustered distribution (k is one of the equi-keys), both legs stay
+    * the identical plan, and an explicit numPartitions is exempt from
+    * AQE coalescing. */
+  private[graft] def fatJoinPairs(keyed0: DataFrame, joinHint: String,
+                                  repartitionTo: Option[Int]): DataFrame = {
+    val keyed = repartitionTo match {
+      case Some(n) => keyed0.repartition(n, col("k"))
+      case None    => keyed0
+    }
+    keyed.as("a").join(keyed.as("b").hint(joinHint),
         col("a.k") === col("b.k") &&
           col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -229,6 +302,31 @@ object Dedup {
       .agg(max(col("n_inter")).as("n_inter"), max(col("n_union")).as("n_union"))
       .withColumn("jaccard_bp",
         floor(col("n_inter").cast("long") * 10000 / col("n_union")).cast("long"))
+  }
+
+  /** INCREMENTAL LSH candidate pairs: documents of a NEW increment
+    * against an EXISTING corpus (both as (doc_id, hs) frames). The
+    * production dedup shape at 100 TB is not corpus × corpus every day
+    * — it is increment × corpus: the corpus side's signatures are a
+    * precomputed index (the staged signature table [[probeKeyed]]
+    * writes, persisted instead of scratch), and only the increment
+    * hashes fresh. Pairs form only inside identical (band, band_sig)
+    * buckets, so the join cost is |increment bands| probing the
+    * corpus-banded index — linear in the increment, never in the
+    * corpus. Returns distinct (id_new, id_old). */
+  def lshCandidatePairsAcross(newHashed: DataFrame, corpusHashed: DataFrame,
+                              rowsPerBand: Int): DataFrame = {
+    val nBands = MinHashCoeffs.length / rowsPerBand
+    def banded(hashed: DataFrame, idAs: String) = hashed.select(
+        col("doc_id"),
+        org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sig"))
+      .select(col("doc_id").as(idAs),
+        posexplode(transform(
+          sequence(lit(0), lit(nBands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig")))
+    banded(newHashed, "id_new")
+      .join(banded(corpusHashed, "id_old"), Seq("band", "band_sig"))
+      .select("id_new", "id_old").distinct()
   }
 
   /** Exact Jaccard over hashed shingle sets for given candidate pairs

@@ -78,6 +78,74 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_incremental: near-dup detection of a NEW batch against an
+    * EXISTING corpus — the shape production dedup actually runs at
+    * 100 TB. A trained corpus is deduplicated once; every ingest day
+    * after that, only the increment needs checking, and it must probe
+    * the corpus WITHOUT re-pairing the corpus against itself. The
+    * increment here is the deterministic 10% doc_id slice (bucket ≥
+    * 90, same md5 bucketing as pipeline_split so the slice is stable
+    * cross-engine); the other 90% plays the corpus. Scale shape:
+    * [[Dedup.lshCandidatePairsAcross]] bands both sides and joins on
+    * (band, band_sig) — pairs form only inside shared buckets, and
+    * with the corpus side's band table persisted as an index (the
+    * staged-signature-table pattern), per-ingest cost is linear in
+    * the INCREMENT, never the corpus. Candidates then get exact
+    * set-Jaccard scores co-located by the pair join. */
+  private val dedup_incremental: Q = (s, d) => {
+    val hashed = Dedup.shingleHashSets(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", SHINGLE_K)
+      .withColumn("bucket", splitBucket)
+      .cache()
+    val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
+    val corpus = hashed.filter(col("bucket") < 90).drop("bucket")
+    val pairs = Dedup.lshCandidatePairsAcross(inc, corpus, 4)
+    Dedup.jaccardForPairs(hashed.drop("bucket"),
+        pairs.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"),
+        col("jaccard_bp"))
+      .orderBy(col("id_new"), col("id_old"))
+  }
+
+  /** Relative target weight of a source in the balanced mix, in
+    * units per 10000 (a pure function of the source name, like
+    * [[mixRateBp]], so the policy needs no side input and the SQL
+    * twin is a CASE). */
+  private def mixWeightBp(source: Column): Column = {
+    val idx = substring(source, 4, 10).cast("int") % 4
+    when(idx === 0, 4000L).when(idx === 1, 3000L)
+      .when(idx === 2, 2000L).otherwise(1000L)
+  }
+
+  /** pipeline_mix_balance: MAXIMUM-VOLUME stratified mix — given
+    * relative per-source target weights, how large can the final
+    * training mix be before some source runs out of documents, and
+    * how many docs does each source contribute at that volume? The
+    * binding source is the one with min(n_total·10⁴ div w); every
+    * source then contributes t_max·w div 10⁴ (integer-exact fixed
+    * point, no floats → bit-identical cross-engine). This is the
+    * planning step that precedes pipeline_domain_mix's row-level
+    * sampling: mix_balance decides HOW MANY per source, domain_mix
+    * realizes a rate. Scale shape: one scan with map-side partial
+    * counts into a per-source frame (≤ |sources| rows — control-plane
+    * sized), then a broadcast scalar join; nothing row-level ever
+    * shuffles. */
+  private val pipeline_mix_balance: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w_bp", mixWeightBp(col("source")))
+      .cache()
+    val tmax = counts.agg(min(expr("n_total * 10000 div w_bp")).as("t_max"))
+    counts.crossJoin(broadcast(tmax))
+      .select(col("source"), col("w_bp"), col("n_total"), col("t_max"),
+        expr("t_max * w_bp div 10000").as("n_keep"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic md5-bucket (0..99) of the doc id and the 80/10/10
     * split label — ONE source for the thresholds, shared by
     * pipeline_split and pipeline_curate (with SQL twins below). */
@@ -1424,6 +1492,8 @@ object DataPipelineQueries {
     "dedup_exact" -> dedup_exact,
     "dedup_minhash_sig" -> dedup_minhash_sig,
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
+    "dedup_incremental" -> dedup_incremental,
+    "pipeline_mix_balance" -> pipeline_mix_balance,
     "dedup_simhash" -> dedup_simhash,
     "dedup_simhash_pairs" -> dedup_simhash_pairs,
     "dedup_simhash64_pairs" -> dedup_simhash64_pairs,
@@ -1722,6 +1792,43 @@ object DataPipelineQueries {
          |JOIN sets sa ON sa.doc_id = cand.id_a
          |JOIN sets sb ON sb.doc_id = cand.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH hashed AS (SELECT doc_id, $splitBucketSql AS bucket,
+         |    $shingleHashesSql AS hs FROM documents),
+         |sigs AS (SELECT doc_id, bucket, ${minhashSigExprs.mkString(", ")} FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, bucket, b.band,
+         |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
+         |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
+         |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig
+         |  WHERE a.bucket >= 90 AND b.bucket < 90),
+         |sets AS (SELECT doc_id, hs FROM hashed)
+         |SELECT cand.id_new, cand.id_old,
+         |  length(list_intersect(sa.hs, sb.hs)) AS n_inter,
+         |  length(list_distinct(list_concat(sa.hs, sb.hs))) AS n_union,
+         |  (length(list_intersect(sa.hs, sb.hs)) * 10000)
+         |    // length(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard_bp
+         |FROM cand
+         |JOIN sets sa ON sa.doc_id = cand.id_new
+         |JOIN sets sb ON sb.doc_id = cand.id_old
+         |ORDER BY id_new, id_old""".stripMargin,
+    "pipeline_mix_balance" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(CASE (CAST(substr(source, 4, 10) AS INT) % 4)
+        |      WHEN 0 THEN 4000 WHEN 1 THEN 3000
+        |      WHEN 2 THEN 2000 ELSE 1000 END AS BIGINT) AS w_bp,
+        |    count(*) AS n_total
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT min(n_total * 10000 // w_bp) AS t_max FROM c)
+        |SELECT c.source, c.w_bp, c.n_total, t.t_max,
+        |  (t.t_max * c.w_bp) // 10000 AS n_keep
+        |FROM c, t
+        |ORDER BY source""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH th_t AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${h32("t")}) AS th

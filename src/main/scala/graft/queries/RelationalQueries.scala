@@ -462,7 +462,37 @@ object RelationalQueries {
     both.unionByName(only94).orderBy($"set_name")
   }
 
+  /** q28_grouping_sets: explicit GROUPING SETS — the multi-grain
+    * aggregate shape reports use when the grains are NOT hierarchical
+    * (here {(flag,status), (status), ()}: a per-status subtotal that
+    * ROLLUP(flag,status) cannot produce and CUBE would over-produce).
+    * One scan, one expand+aggregate — Spark plans all grains in a
+    * single Expand node, so the fact table is read once regardless of
+    * how many grains the report asks for (the 100-TB property; a
+    * UNION ALL of three aggregates would scan three times).
+    * grouping_id() disambiguates genuine values from subtotal rows;
+    * the 'ALL' sentinel keeps the output NULL-free so cross-engine
+    * NULL ordering/hashing can't bite. */
+  private val q28_grouping_sets: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"gid", $"sum_qty", $"sum_price", $"n_lines")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q28_grouping_sets" -> q28_grouping_sets,
     "q25_pivot" -> q25_pivot,
     "q26_lag_delta" -> q26_lag_delta,
     "q27_setops" -> q27_setops,
@@ -492,6 +522,16 @@ object RelationalQueries {
     "q16_tumbling_window" -> q16_tumbling_window)
 
   val oracles: Map[String, String] = Map(
+    "q28_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
     "q25_pivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click,
