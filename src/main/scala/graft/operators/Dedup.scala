@@ -254,10 +254,10 @@ object Dedup {
     * so P must scale with the CORPUS, not stay pinned at the session's
     * core-count default. Below the default width this is None — the
     * plan (and PlanAuditSpec's pinned shape) is untouched at oracle
-    * SFs; above it, an explicit repartition on `k` widens the exchange
-    * (k ⊆ join keys still satisfies the join's required clustered
-    * distribution, both legs stay the identical canonicalized plan,
-    * and an explicit numPartitions is exempt from AQE coalescing). */
+    * SFs; above it, an explicit repartition on the full equi-key tuple
+    * widens the exchange (see [[fatJoinPairs]] for why it must be the
+    * full tuple), both legs stay the identical canonicalized plan, and
+    * an explicit numPartitions is exempt from AQE coalescing. */
   private[graft] def fatJoinWidth(spark: org.apache.spark.sql.SparkSession,
                                   stagedBytes: Long, nBands: Int): Option[Int] = {
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -276,14 +276,30 @@ object Dedup {
     * widens the exchange beyond spark.sql.shuffle.partitions: with W
     * concurrent tasks, peak build heap is W × corpus_set_bytes / parts,
     * so parts must scale with the corpus, not stay pinned at the core
-    * count. Partitioning on `k` alone still satisfies the join's
-    * clustered distribution (k is one of the equi-keys), both legs stay
-    * the identical plan, and an explicit numPartitions is exempt from
-    * AQE coalescing. */
+    * count. The repartition must name the FULL equi-key tuple, not just
+    * `k`: spark.sql.requireAllClusterKeysForCoPartition (default true)
+    * makes EnsureRequirements reject a key-subset partitioning for a
+    * co-partitioned join and REWRITE the user exchange back to all keys
+    * at the session-default width — measured in the 4M probe, a
+    * repartition(256, k) silently became hashpartitioning(k, band,
+    * band_sig, 32) and the build OOMed exactly as unwidened. On the
+    * full tuple the explicit numPartitions survives (and stays exempt
+    * from AQE coalescing: REPARTITION_BY_NUM origin). */
   private[graft] def fatJoinPairs(keyed0: DataFrame, joinHint: String,
                                   repartitionTo: Option[Int]): DataFrame = {
     val keyed = repartitionTo match {
-      case Some(n) => keyed0.repartition(n, col("k"))
+      case Some(n) =>
+        // on a hot-bucket-free corpus refineHotKeysBy short-circuits
+        // `sub` to a FOLDABLE lit(0): constant folding then removes
+        // a.sub=b.sub from the join keys, the literal in the partition
+        // exprs fails the all-cluster-keys check, and the rewrite above
+        // silently reverts the width. `sub | (xxhash64(doc_id) & 0)` is
+        // value-identical but non-foldable (Catalyst has no x&0 rule),
+        // so the key tuple survives in every corpus shape. Scoped to
+        // the widened path — small-SF pinned plans stay untouched.
+        val k1 = keyed0.withColumn("sub", col("sub")
+          .bitwiseOR(xxhash64(col("doc_id")).bitwiseAND(lit(0L))))
+        k1.repartition(n, col("k"), col("band"), col("band_sig"), col("sub"))
       case None    => keyed0
     }
     keyed.as("a").join(keyed.as("b").hint(joinHint),

@@ -1531,9 +1531,9 @@ object DataPipelineQueries {
   /** DuckDB twin of Dedup.shingleHashes (distinct k-shingle hashes). */
   private def shingleHashesSqlK(k: Int): String =
     s"list_transform(list_distinct(list_transform(range(1, greatest(length(text) - ${k - 1}, 1) + 1), i -> substr(text, i, $k))), g -> ${h32("g")})"
-  private val shingleHashesSql = shingleHashesSqlK(SHINGLE_K)
+  private[queries] val shingleHashesSql = shingleHashesSqlK(SHINGLE_K)
 
-  private val minhashSigExprs: Seq[String] =
+  private[queries] val minhashSigExprs: Seq[String] =
     HashFunctions.MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${HashFunctions.MinHashPrime})) AS sig$j"
     }
@@ -1570,7 +1570,7 @@ object DataPipelineQueries {
 
   /** DuckDB twins of splitBucket/splitLabel (single source of the
     * 80/10/10 thresholds on the SQL side too). */
-  private val splitBucketSql: String =
+  private[queries] val splitBucketSql: String =
     s"CAST(${h32("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)"
   private val splitCaseSql: String =
     s"CASE WHEN $splitBucketSql < 80 THEN 'train' " +

@@ -389,7 +389,65 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** stream_ingest_gate: the streaming INGEST DEDUP GATE of a corpus
+    * pipeline — new documents arrive in micro-batches and each must
+    * pass three checks against the already-curated STATIC corpus
+    * before admission: not an exact duplicate (md5 anti-join), and not
+    * a strong near-duplicate through either MinHash LSH band (two
+    * chained stream-static LEFT ANTI joins on the band signature, each
+    * with the exact set-Jaccard threshold as a residual join
+    * predicate: jaccard ≥ 1/2 ⇔ 3·|A∩B| ≥ |A|+|B|, integer-exact).
+    * This is the streaming twin of dedup_incremental, and it is
+    * deliberately STATELESS: every check is a pure set-membership
+    * probe against the static index, so the admitted set is invariant
+    * under any batch split (the oracle hashes that invariance across
+    * the 3-batch staging). At 100 TB the band table is the persisted
+    * signature index bucketed by band signature; here it broadcasts.
+    * The chained-anti trick is what makes per-doc "no band matches"
+    * decidable without any stateful per-doc aggregation: a doc
+    * survives the chain iff NO band hit, and anti-join multiplicity
+    * is set-semantics by construction. */
+  private val stream_ingest_gate: Q = (s, d) => {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graft.HashExpressions
+    val bucket = pmod(graft.functions.HashFunctions.hash32(
+      col("doc_id").cast("string")), lit(100))
+    // static corpus index (in production: persisted by the batch dedup
+    // pass); cached so the per-micro-batch probes don't rebuild it
+    val corpus = graft.Tables.documents(s, d).filter(bucket < 90)
+    val corpusHashed = Dedup.shingleHashSets(
+      corpus.repartition(col("doc_id")), "doc_id", "text", 5)
+    val corpusMd5 = corpus.select(md5(col("text")).as("c_md5"))
+      .distinct().cache()
+    val corpusBands = corpusHashed
+      .select(col("hs").as("c_hs"),
+        HashExpressions.minhash_sigs(col("hs")).as("sig"))
+      .select(col("c_hs"),
+        slice(col("sig"), 1, 4).as("c_b0"),
+        slice(col("sig"), 5, 4).as("c_b1"))
+      .cache()
+    val strong0 = lit(3) * size(array_intersect(col("hs"), col("c_hs"))) >=
+      size(col("hs")) + size(col("c_hs"))
+    val inc = StreamingOps.documentsStream(s, d)
+      .filter(bucket >= 90)
+      .withColumn("i_md5", md5(col("text")))
+      .withColumn("hs", Dedup.shingleHashes(col("text"), 5))
+      .withColumn("sig", HashExpressions.minhash_sigs(col("hs")))
+      .withColumn("i_b0", slice(col("sig"), 1, 4))
+      .withColumn("i_b1", slice(col("sig"), 5, 4))
+    val kept = inc
+      .join(broadcast(corpusMd5), col("i_md5") === col("c_md5"), "left_anti")
+      .join(broadcast(corpusBands.select(col("c_b0"), col("c_hs"))),
+        col("i_b0") === col("c_b0") && strong0, "left_anti")
+      .join(broadcast(corpusBands.select(col("c_b1"), col("c_hs"))),
+        col("i_b1") === col("c_b1") && strong0, "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+    StreamingOps.runToMemory(s, kept, "graft_stream_ingest_gate", "append")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_ingest_gate" -> stream_ingest_gate,
     "stream_asof_enrich" -> stream_asof_enrich,
     "stream_routed_sink" -> stream_routed_sink,
     "stream_windowed_append" -> stream_windowed_append,
@@ -406,6 +464,27 @@ object StreamingQueries {
     "stream_recover" -> stream_recover)
 
   val oracles: Map[String, String] = Map(
+    // batch twin of the streaming ingest gate: increment docs (bucket
+    // ≥ 90) with no exact-md5 corpus match and no strong-Jaccard LSH
+    // band match in the corpus (bucket < 90) — the stream result must
+    // equal this set regardless of how micro-batches cut the increment
+    "stream_ingest_gate" ->
+      s"""WITH hashed AS (SELECT doc_id, lang, source,
+         |    ${DataPipelineQueries.splitBucketSql} AS bucket, md5(text) AS m,
+         |    ${DataPipelineQueries.shingleHashesSql} AS hs FROM documents),
+         |sigs AS (SELECT doc_id, lang, source, bucket, m, hs,
+         |    ${DataPipelineQueries.minhashSigExprs.mkString(", ")} FROM hashed)
+         |SELECT i.doc_id, i.lang, i.source
+         |FROM sigs i
+         |WHERE i.bucket >= 90
+         |  AND NOT EXISTS (SELECT 1 FROM sigs c WHERE c.bucket < 90 AND c.m = i.m)
+         |  AND NOT EXISTS (SELECT 1 FROM sigs c WHERE c.bucket < 90
+         |    AND [c.sig0, c.sig1, c.sig2, c.sig3] = [i.sig0, i.sig1, i.sig2, i.sig3]
+         |    AND 3 * length(list_intersect(i.hs, c.hs)) >= length(i.hs) + length(c.hs))
+         |  AND NOT EXISTS (SELECT 1 FROM sigs c WHERE c.bucket < 90
+         |    AND [c.sig4, c.sig5, c.sig6, c.sig7] = [i.sig4, i.sig5, i.sig6, i.sig7]
+         |    AND 3 * length(list_intersect(i.hs, c.hs)) >= length(i.hs) + length(c.hs))
+         |ORDER BY doc_id""".stripMargin,
     // brute-force batch twin of the cross-batch AS-OF carry: DuckDB's
     // native ASOF LEFT JOIN; build ties at equal (user, ts) resolve to
     // the greatest event_id on both sides

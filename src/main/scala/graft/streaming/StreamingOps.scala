@@ -136,6 +136,77 @@ object StreamingOps {
       stageEventBatches(spark, sfDir, nBatches,
         sentinel = true, sentinelType = sentinelType))
 
+  /** documents.parquet schema for the forced file-stream schema (a
+    * file source cannot infer; must match the staged parts exactly). */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents table as a MULTI-batch stream —
+    * the ingest-side twin of [[eventsStream]] for corpus pipelines:
+    * the table is staged once per sfDir into `nBatches` doc_id-
+    * contiguous parquet files with ascending mtimes and the file
+    * source takes one per micro-batch. Documents have no event time,
+    * so there is no ordering/sentinel machinery: the consumers are
+    * stateless gates (stream-static joins) or content-keyed state
+    * (dedup seen-sets), both batch-split-invariant. */
+  def documentsStream(spark: SparkSession, sfDir: String,
+                      nBatches: Int = 3): DataFrame =
+    spark.readStream
+      .schema(documentsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(stageDocBatches(spark, sfDir, nBatches))
+
+  /** Stage documents.parquet into `nBatches` doc_id-contiguous files
+    * under a cache dir keyed like [[stageDir]] (format version, sfDir,
+    * source size+mtime) — same atomic-rename build, same stale-key
+    * invalidation. */
+  private[graft] def stageDocBatches(spark: SparkSession, sfDir: String,
+                                     nBatches: Int): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, "documents.parquet")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_v${StageFormatVersion}_" +
+        Integer.toHexString(sfDir.hashCode) + "_" + sourceFingerprint(src),
+      s"documents_$nBatches")
+    if (Files.isDirectory(dir)) return dir.toString
+    val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(build)
+    val raw = spark.read.parquet(src.toString)
+      .select(documentsRawSchema.fields.toIndexedSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val Row(idMin: Long, idMax: Long) =
+      raw.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val span = math.max(idMax - idMin, 1L)
+    val base = System.currentTimeMillis()
+    for (pos <- 0 until nBatches) {
+      val lo = idMin + span * pos / nBatches
+      val hi = idMin + span * (pos + 1) / nBatches
+      val slice = raw.filter(col("doc_id") >= lo &&
+        (if (pos == nBatches - 1) lit(true) else col("doc_id") < hi))
+      val tmp = build.resolve(s"tmp_$pos")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(Files.list(tmp))(
+        _.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+      val dst = build.resolve(f"documents_$pos%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(base + pos * 2000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+    }
+    dir.toString
+  }
+
   private def streamFromStagedDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
