@@ -110,6 +110,61 @@ object DataPipelineQueries {
       .orderBy(col("id_new"), col("id_old"))
   }
 
+  /** Gram-bucket population cap for [[dedup_containment]] candidates:
+    * a gram shared by more than this many documents is corpus
+    * boilerplate (license blocks, syndicated headers) — evidence for
+    * dedup_span_ngrams' span REMOVAL, not for whole-document
+    * containment — and its quadratic pair space is excluded by design
+    * (the same observed-population discipline as the LSH band cap). */
+  private val ContainGramCap = 64
+
+  /** dedup_containment: asymmetric near-CONTAINMENT detection — the
+    * duplicate class symmetric Jaccard misses: a short document quoted
+    * or reprinted inside a much longer one scores |A∩B|/|A∪B| ≈
+    * |A|/|B| (low), but |A∩B|/min(|A|,|B|) ≈ 1. MinHash-LSH candidates
+    * are blind to these too (MinHash estimates Jaccard), so candidates
+    * come from the SPAN channel instead: two documents sharing any
+    * duplicated 8-token gram (the dedup_span_ngrams generator) that
+    * is rare in the corpus (≤ [[ContainGramCap]] holders). Scored on
+    * the shingle-hash sets: containment of the smaller side ≥ 80%.
+    *
+    * Shape at scale: grams are per-row distinct BEFORE the explode
+    * (array_distinct — no dedup shuffle); the gram groupBy is
+    * wordcount-shaped; pair formation happens only inside rare-gram
+    * buckets (population-capped, so the pair space is bucket-bounded
+    * exactly like the LSH band join); scoring re-joins the two
+    * shingle sets by id. */
+  private val dedup_containment: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+    val grams = base.filter(col("n_tok") >= DupSpanK)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), col("n_tok") - (DupSpanK - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(DupSpanK)))))).as("gram"))
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, ContainGramCap))
+      .select(col("gram"))
+    val holders = grams.join(rare, "gram")
+    val cand = holders.as("a").join(holders.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = Dedup.shingleHashSets(Tables.documents(s, d),
+      "doc_id", "text", SHINGLE_K)
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"))
+      .withColumn("contain_bp", expr("n_inter * 10000 div least(n_a, n_b)"))
+      .withColumn("jaccard_bp", expr("n_inter * 10000 div (n_a + n_b - n_inter)"))
+      .filter(col("contain_bp") >= 8000)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Relative target weight of a source in the balanced mix, in
     * units per 10000 (a pure function of the source name, like
     * [[mixRateBp]], so the policy needs no side input and the SQL
@@ -1493,6 +1548,7 @@ object DataPipelineQueries {
     "dedup_minhash_sig" -> dedup_minhash_sig,
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_incremental" -> dedup_incremental,
+    "dedup_containment" -> dedup_containment,
     "pipeline_mix_balance" -> pipeline_mix_balance,
     "dedup_simhash" -> dedup_simhash,
     "dedup_simhash_pairs" -> dedup_simhash_pairs,
@@ -1816,6 +1872,33 @@ object DataPipelineQueries {
          |JOIN sets sa ON sa.doc_id = cand.id_new
          |JOIN sets sb ON sb.doc_id = cand.id_old
          |ORDER BY id_new, id_old""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))) AS gram
+         |  FROM tk),
+         |rare AS (SELECT gram FROM g GROUP BY gram
+         |         HAVING count(*) BETWEEN 2 AND 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN rare USING (gram) JOIN g b USING (gram)
+         |  WHERE a.doc_id < b.doc_id),
+         |hs AS (SELECT doc_id, $shingleHashesSql AS s FROM documents)
+         |SELECT c.id_a, c.id_b,
+         |  length(list_intersect(ha.s, hb.s)) AS n_inter,
+         |  length(ha.s) AS n_a, length(hb.s) AS n_b,
+         |  length(list_intersect(ha.s, hb.s)) * 10000
+         |    // least(length(ha.s), length(hb.s)) AS contain_bp,
+         |  length(list_intersect(ha.s, hb.s)) * 10000
+         |    // (length(ha.s) + length(hb.s)
+         |        - length(list_intersect(ha.s, hb.s))) AS jaccard_bp
+         |FROM cand c
+         |JOIN hs ha ON ha.doc_id = c.id_a
+         |JOIN hs hb ON hb.doc_id = c.id_b
+         |WHERE length(list_intersect(ha.s, hb.s)) * 10000
+         |    // least(length(ha.s), length(hb.s)) >= 8000
+         |ORDER BY id_a, id_b""".stripMargin,
     "pipeline_mix_balance" ->
       """WITH c AS (
         |  SELECT source,
