@@ -227,9 +227,21 @@ object Dedup {
     // a hash-set build + materialized union per candidate.
     val (keyed, stagedBytes) =
       probeKeyedSized(hashed, rowsPerBand, capPop, maxExtraBits)
-    fatJoinPairs(keyed, "SHUFFLE_HASH",
-      fatJoinWidth(hashed.sparkSession, stagedBytes,
-        MinHashCoeffs.length / rowsPerBand))
+    fatJoinWidth(hashed.sparkSession, stagedBytes,
+        MinHashCoeffs.length / rowsPerBand) match {
+      // above the width threshold the strategy switches to MERGE as
+      // well: at 4M docs the widened measurements overlap within host
+      // noise (min-of-runs: SMJ@256 38 s, SHJ@256 50 s, SMJ@128 53 s,
+      // SHJ@128 79 s — vs OOM/162–709 s unwidened, §4.9), and the two
+      // differ in failure mode, not speed: the SHJ build relation is
+      // the one object that cannot spill, so if the width estimate is
+      // ever short (expansion guess, skewed residual pile) SHJ dies
+      // where SMJ degrades to spilling. The scale path takes the
+      // graceful failure mode; the small-corpus path keeps the faster
+      // hash build (and its pinned plan shape).
+      case w @ Some(_) => fatJoinPairs(keyed, "MERGE", w)
+      case None        => fatJoinPairs(keyed, "SHUFFLE_HASH", None)
+    }
   }
 
   /** Parquet→build-relation expansion for the staged signature table:
@@ -241,11 +253,12 @@ object Dedup {
     * task launches; an under-wide one is §4.9 (OOM or GC collapse). */
   private val FatBuildExpansion = 3.0
 
-  /** Per-partition build-relation budget for the fat band self-join.
-    * 64 MB keeps W concurrent builds ≪ the executor's execution-memory
-    * share at any sane W (local[32]: 32 × 64 MB × safety ≈ 2 GB peak
-    * against a ≥ 14 GB execution pool; a 4-core/16 GB cluster executor:
-    * 4 × 64 MB). */
+  /** Per-partition working-set budget for the fat band self-join
+    * (SHJ: the build relation; SMJ: the in-memory sort runs before
+    * spill). 64 MB keeps W concurrent tasks ≪ the executor's
+    * execution-memory share at any sane W (local[32]: 32 × 64 MB ×
+    * safety ≈ 2 GB peak against a ≥ 14 GB execution pool; a
+    * 4-core/16 GB cluster executor: 4 × 64 MB). */
   private val FatBuildTargetBytes = 64L << 20
 
   /** Shuffle width for the fat band self-join — §4.9's fix. The build

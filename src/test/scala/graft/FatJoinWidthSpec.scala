@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** SCALING.md §4.9 regression guards: the fat band self-join's
+  * size-driven exchange width.
+  *
+  * The SHUFFLE_HASH build relation is the one memory object in the
+  * one-pass LSH plan that cannot spill, so the exchange width must
+  * scale with the staged-signature bytes, not stay pinned at the
+  * session core count — and the widening must actually SURVIVE
+  * planning: spark.sql.requireAllClusterKeysForCoPartition makes
+  * EnsureRequirements silently rewrite a key-subset repartition back
+  * to the default width (measured at the 4M rung: a repartition(256,
+  * k) became width 32 and OOMed), so these tests pin (a) the policy
+  * arithmetic, (b) the planned width on the full key tuple, (c) frame
+  * parity between the widened and default shapes.
+  */
+class FatJoinWidthSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val defaultParts =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  test("fatJoinWidth: None at or below the session width, ceil(bytes·bands·3/64MB) above") {
+    assert(Dedup.fatJoinWidth(spark, 0L, 2).isEmpty)
+    // exactly at the threshold (need == session width) is NOT widened —
+    // the boundary is relative to whatever width the session runs
+    assert(Dedup.fatJoinWidth(spark,
+      (64L << 20) * defaultParts / 6, 2).isEmpty)
+    // 2 GiB staged · 2 bands · 3.0 / 64 MB = 192 partitions
+    assert(Dedup.fatJoinWidth(spark, 2048L << 20, 2).contains(192))
+    // monotone in bands
+    assert(Dedup.fatJoinWidth(spark, 2048L << 20, 4).contains(384))
+  }
+
+  private lazy val keyed = {
+    val hashed = Dedup.shingleHashSets(
+      Tables.documents(spark, sf), "doc_id", "text", 5)
+    Dedup.probeKeyed(hashed, 4)
+  }
+
+  test("widened fat join: explicit width survives planning on the full key tuple") {
+    val widened = Dedup.fatJoinPairs(keyed, "SHUFFLE_HASH",
+      Some(defaultParts * 2))
+    val p = widened.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the user exchange must still be there at ITS width (not rewritten
+    // to ENSURE_REQUIREMENTS at the session default) ...
+    assert(p.contains(s", ${defaultParts * 2}), REPARTITION_BY_NUM"),
+      s"explicit width was rewritten:\n$p")
+    // ... and the join must still carry the full equi-key tuple,
+    // including the (non-foldable) sub key, on this cold corpus
+    assert(p.contains("ShuffledHashJoin"), p)
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin"))
+      .orElse(p.linesIterator.find(_.contains("Inner, BuildRight")))
+    assert(p.contains("sub#"), s"sub folded out of the widened join keys:\n$joinLine")
+  }
+
+  test("widened SHUFFLE_HASH and MERGE frames equal the default-width frame") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val base = canon(Dedup.fatJoinPairs(keyed, "SHUFFLE_HASH", None))
+    assert(base.nonEmpty, "fixture must produce candidate pairs")
+    assert(canon(Dedup.fatJoinPairs(keyed, "SHUFFLE_HASH",
+      Some(defaultParts * 2))) == base)
+    assert(canon(Dedup.fatJoinPairs(keyed, "MERGE",
+      Some(defaultParts * 2))) == base)
+    assert(canon(Dedup.fatJoinPairs(keyed, "MERGE", None)) == base)
+  }
+}
