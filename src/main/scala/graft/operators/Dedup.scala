@@ -227,21 +227,18 @@ object Dedup {
     // a hash-set build + materialized union per candidate.
     val (keyed, stagedBytes) =
       probeKeyedSized(hashed, rowsPerBand, capPop, maxExtraBits)
-    fatJoinWidth(hashed.sparkSession, stagedBytes,
-        MinHashCoeffs.length / rowsPerBand) match {
-      // above the width threshold the strategy switches to MERGE as
-      // well: at 4M docs the widened measurements overlap within host
-      // noise (min-of-runs: SMJ@256 38 s, SHJ@256 50 s, SMJ@128 53 s,
-      // SHJ@128 79 s — vs OOM/162–709 s unwidened, §4.9), and the two
-      // differ in failure mode, not speed: the SHJ build relation is
-      // the one object that cannot spill, so if the width estimate is
-      // ever short (expansion guess, skewed residual pile) SHJ dies
-      // where SMJ degrades to spilling. The scale path takes the
-      // graceful failure mode; the small-corpus path keeps the faster
-      // hash build (and its pinned plan shape).
-      case w @ Some(_) => fatJoinPairs(keyed, "MERGE", w)
-      case None        => fatJoinPairs(keyed, "SHUFFLE_HASH", None)
-    }
+    // the strategy stays SHUFFLE_HASH at every width — only the WIDTH
+    // is size-driven. MERGE was measured as the alternative and
+    // rejected: it external-sorts BOTH legs WITH the 46-int set
+    // payload, and at the 2M rung that costs 128–139 s where the hash
+    // build runs in ~50 s (§4.9 resolution). The no-spill risk of the
+    // hash build is handled by the width policy itself: 64 MB per
+    // build against a ≥ ~590 MB per-task execution share (local[32],
+    // 19 GB pool) is ~9× headroom, and the 3× parquet→build expansion
+    // is deliberately rounded up.
+    fatJoinPairs(keyed, "SHUFFLE_HASH",
+      fatJoinWidth(hashed.sparkSession, stagedBytes,
+        MinHashCoeffs.length / rowsPerBand))
   }
 
   /** Parquet→build-relation expansion for the staged signature table:
