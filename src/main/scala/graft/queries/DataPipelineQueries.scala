@@ -138,16 +138,22 @@ object DataPipelineQueries {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+    // same 96-bit hashed gram key as dedup_span_ngrams (§4.10): the
+    // gram string never rides a shuffle — count, rare-filter and the
+    // pair self-join all key on (xxhash64, murmur32)
     val grams = base.filter(col("n_tok") >= DupSpanK)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), col("n_tok") - (DupSpanK - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(DupSpanK)))))).as("gram"))
-    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("g1"), hash(col("gram")).as("g2"))
+    val rare = grams.groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt").between(2, ContainGramCap))
-      .select(col("gram"))
-    val holders = grams.join(rare, "gram")
+      .select(col("g1"), col("g2"))
+    val holders = grams.join(rare, Seq("g1", "g2"))
     val cand = holders.as("a").join(holders.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g1") === col("b.g1") && col("a.g2") === col("b.g2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val sets = Dedup.shingleHashSets(Tables.documents(s, d),
@@ -1202,16 +1208,31 @@ object DataPipelineQueries {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+    // the gram itself never leaves the scan stage: the corpus-sized
+    // shuffle (groupBy) and the dup-position join carry a 96-bit
+    // hashed key (xxhash64 + murmur32, independent families) instead
+    // of the ~50-byte gram string. Found at the 4M ladder rung: the
+    // string-keyed form's shuffle crossed this box's page-cache
+    // capacity and went 5.1× for 2× docs (810 s vs a ~320 s linear
+    // projection from 2M); 16-byte keys cut the shuffled bytes ~3×
+    // and restore the linear curve (SCALING.md §4.10) — and at 100 TB
+    // hashing the join key is simply less I/O everywhere, the form
+    // the original comment here promised. Collision math: a false
+    // dup-position needs BOTH hashes to collide across different
+    // grams — expected false positives at 10^9 grams ≈ n²/2^97 ≈
+    // 10^-11; the oracle compares at SFs where even the 64-bit half
+    // is collision-free.
     val grams = base.filter(col("n_tok") >= DupSpanK)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), col("n_tok") - (DupSpanK - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(DupSpanK)))))
         .as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).as("start"), col("gram"))
-    val dup = grams.groupBy(col("gram"))
+      .select(col("doc_id"), (col("p0") + 1).as("start"),
+        xxhash64(col("gram")).as("g1"), hash(col("gram")).as("g2"))
+    val dup = grams.groupBy(col("g1"), col("g2"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-      .select(col("gram"))
-    val dupPos = grams.join(dup, "gram")
+      .select(col("g1"), col("g2"))
+    val dupPos = grams.join(dup, Seq("g1", "g2"))
       .select(col("doc_id"), col("start"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
