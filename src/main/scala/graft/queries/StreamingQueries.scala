@@ -407,7 +407,14 @@ object StreamingQueries {
     * decidable without any stateful per-doc aggregation: a doc
     * survives the chain iff NO band hit, and anti-join multiplicity
     * is set-semantics by construction. */
-  private val stream_ingest_gate: Q = (s, d) => {
+  private val stream_ingest_gate: Q = (s, d) => ingestGate(s, d, 3)
+
+  /** The gate body, parameterized on the micro-batch count so the
+    * batch-split-INVARIANCE claim is spec-testable: the admitted set
+    * must be identical at 1, 3, or any other staging granularity
+    * (OracleSfSweepSpec). */
+  private[graft] def ingestGate(s: SparkSession, d: String,
+                                nBatches: Int): DataFrame = {
     import graft.operators.Dedup
     import org.apache.spark.sql.graft.HashExpressions
     val bucket = pmod(graft.functions.HashFunctions.hash32(
@@ -428,7 +435,7 @@ object StreamingQueries {
       .cache()
     val strong0 = lit(3) * size(array_intersect(col("hs"), col("c_hs"))) >=
       size(col("hs")) + size(col("c_hs"))
-    val inc = StreamingOps.documentsStream(s, d)
+    val inc = StreamingOps.documentsStream(s, d, nBatches)
       .filter(bucket >= 90)
       .withColumn("i_md5", md5(col("text")))
       .withColumn("hs", Dedup.shingleHashes(col("text"), 5))
@@ -442,7 +449,8 @@ object StreamingQueries {
       .join(broadcast(corpusBands.select(col("c_b1"), col("c_hs"))),
         col("i_b1") === col("c_b1") && strong0, "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
-    StreamingOps.runToMemory(s, kept, "graft_stream_ingest_gate", "append")
+    StreamingOps.runToMemory(s, kept,
+      s"graft_stream_ingest_gate_$nBatches", "append")
       .orderBy(col("doc_id"))
   }
 

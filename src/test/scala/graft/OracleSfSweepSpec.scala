@@ -53,5 +53,28 @@ class OracleSfSweepSpec extends AnyFunSuite {
       assert(out < all, s"no rows dropped at $sf — late filter inactive?")
       assert(out > all / 2, s"too many rows dropped at $sf ($out of $all)")
     }
+
+    test(s"ingest gate is batch-split invariant at ${sf.split('/').last}") {
+      // the gate's design claim: admission is a pure membership probe
+      // against the static corpus index, so the admitted set cannot
+      // depend on how the increment is cut into micro-batches. One
+      // batch (= the batch twin), three (the registered oracle shape),
+      // and five must all admit the identical set.
+      val admitted = Seq(1, 3, 5).map { n =>
+        queries.StreamingQueries.ingestGate(spark, sf, n)
+          .collect().map(_.mkString("|")).sorted.toSeq
+      }
+      assert(admitted(0).nonEmpty, s"gate admitted nothing at $sf")
+      assert(admitted(0) == admitted(1) && admitted(1) == admitted(2),
+        s"admitted set depends on the batch split at $sf")
+      // and the statelessness claim itself: the executed streaming
+      // plan must carry NO stateful operators (that is WHY the split
+      // can't matter) — the final progress of the last run shows them
+      val prog = graft.streaming.StreamingOps.lastProgressJson
+        .getOrElse(fail("no streaming progress recorded"))
+      assert(prog.contains("\"stateOperators\" : [ ]") ||
+        prog.contains("\"stateOperators\":[]"),
+        s"ingest gate plan acquired state operators:\n$prog")
+    }
   }
 }
