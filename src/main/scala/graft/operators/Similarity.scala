@@ -337,6 +337,25 @@ object Similarity {
     math.max(minBits, b)
   }
 
+  /** Exchange width for a bucket-local pair join that feeds a
+    * pair-sized sort (window top-k): the partial WindowGroupLimit
+    * sorts the JOIN OUTPUT per task, and a per-task sort that
+    * outgrows its execution-memory share falls off the in-memory
+    * cliff into external-sort spilling — measured at the 4M ladder
+    * rung (SCALING.md §4.11): the top-3 tail went 1.3 s at 1M vectors
+    * to 31 s at 2M (24× for 2× pairs) at the default 32-way width,
+    * and 15.6 s once the pair join ran 256-wide. Expected pair rows ≈
+    * nRows × capPop (the observed-population cap bounds every bucket),
+    * ~48 B per sort row; 64 MB per-task budget, same rationale as
+    * [[graft.operators.Dedup.fatJoinWidth]]. None at or below the
+    * session default — oracle-SF plans untouched. */
+  def pairJoinWidth(spark: org.apache.spark.sql.SparkSession,
+                    nRows: Long, capPop: Int): Option[Int] = {
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val need = math.ceil(nRows.toDouble * capPop * 48.0 / (64L << 20)).toInt
+    if (need > defaultParts) Some(need) else None
+  }
+
   /** Equal-width bit bands of an LSH bucket id: nBands values of
     * bitsPerBand bits each. Banding turns one exact nBits bucket into
     * nBands OR'd match keys (any shared band ⇒ candidate) — higher

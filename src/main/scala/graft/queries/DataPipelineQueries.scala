@@ -416,14 +416,27 @@ object DataPipelineQueries {
       col("vec_id"),
       Similarity.quantize(col("embedding")).as("qv"))
       .cache()
-    val nBits = Similarity.deriveNBits(emb0.count())
+    val nVecs = emb0.count()
+    val nBits = Similarity.deriveNBits(nVecs)
     // skew-safe keys: clustered corpora collapse dense regions into
     // single buckets regardless of nBits (measured: top-1% buckets =
     // 92% of pairs at 250k vectors); hot buckets get observed-
     // population-driven extra hyperplane bits. At the oracle SFs no
     // bucket exceeds the cap, so sub = 0 everywhere and the result is
     // bit-identical to the static SQL twin.
-    val emb = Similarity.skewSafeBucketKeys(emb0, "vec_id", 64, nBits)
+    val embK = Similarity.skewSafeBucketKeys(emb0, "vec_id", 64, nBits)
+    // size-driven pair-join width (§4.11): the partial top-k sorts the
+    // join output per task; past ~1M vectors the default-width sort
+    // falls off the in-memory cliff (measured 31 s vs 1.3 s for the
+    // top-k tail). Same full-tuple + non-foldable-sub discipline as
+    // Dedup.fatJoinPairs; a no-op at every oracle SF.
+    val emb = Similarity.pairJoinWidth(s, nVecs, 64) match {
+      case Some(w) => embK
+        .withColumn("sub", col("sub")
+          .bitwiseOR(xxhash64(col("vec_id")).bitwiseAND(lit(0L))))
+        .repartition(w, col("bucket"), col("sub"))
+      case None => embK
+    }
     val a = emb.select(col("bucket"), col("sub"),
       col("vec_id").as("src"), col("qv").as("qa"))
     val b = emb.select(col("bucket"), col("sub"),

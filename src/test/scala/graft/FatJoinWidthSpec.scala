@@ -60,6 +60,44 @@ class FatJoinWidthSpec extends AnyFunSuite {
     assert(p.contains("sub#"), s"sub folded out of the widened join keys:\n$joinLine")
   }
 
+  test("pairJoinWidth: policy arithmetic mirrors fatJoinWidth's") {
+    import graft.operators.Similarity
+    assert(Similarity.pairJoinWidth(spark, 0L, 64).isEmpty)
+    // at the threshold exactly (need == default) — not widened
+    assert(Similarity.pairJoinWidth(spark,
+      (64L << 20) * defaultParts / (64 * 48), 64).isEmpty)
+    // 2M rows · cap 64 · 48 B / 64 MB = 92 partitions
+    assert(Similarity.pairJoinWidth(spark, 2000000L, 64).contains(92))
+  }
+
+  test("widened bucket pair join + top-k equals the default-width frame") {
+    import graft.operators.Similarity
+    val emb0 = Tables.embeddings(spark, sf).select(
+      col("vec_id"), Similarity.quantize(col("embedding")).as("qv")).cache()
+    val keyedE = Similarity.skewSafeBucketKeys(emb0, "vec_id", 64,
+      Similarity.deriveNBits(emb0.count()))
+    def topk(e: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val a = e.select(col("bucket"), col("sub"),
+        col("vec_id").as("src"), col("qv").as("qa"))
+      val b = e.select(col("bucket"), col("sub"),
+        col("vec_id").as("dst"), col("qv").as("qb"))
+      val pairs = a.join(b, Seq("bucket", "sub"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          Similarity.dotLong(col("qa"), col("qb")).as("score"))
+      Similarity.topKPerKey(pairs, "src", "score", "dst", 3)
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val base = topk(keyedE)
+    assert(base.nonEmpty)
+    val widened = keyedE
+      .withColumn("sub", col("sub")
+        .bitwiseOR(xxhash64(col("vec_id")).bitwiseAND(lit(0L))))
+      .repartition(defaultParts * 2, col("bucket"), col("sub"))
+    assert(topk(widened) == base,
+      "widened pair join changed the top-k frame")
+  }
+
   test("widened SHUFFLE_HASH and MERGE frames equal the default-width frame") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).sorted.toSeq
