@@ -32,6 +32,8 @@ object ScaleBench {
     "dedup_simhash_pairs",  // 32-bit simhash bands (quadratic OUTPUT, §4.5)
     "dedup_simhash64_pairs", // 64-bit simhash bands — the at-scale form
     "dedup_span_ngrams",    // rolling k-gram duplicate-span islands
+    "dedup_incremental",    // increment×corpus banded probe (cost ∝ increment)
+    "dedup_containment",    // rare-gram candidates + asymmetric containment
     "pipeline_curate",      // full curation chain (score→dedup→CC→split)
     "pipeline_decontam",    // broadcast shingle overlap
     "pipeline_pack",        // sized-shard sequence packing

@@ -480,4 +480,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span detection must stay join-keyed:\n$p")
   }
+
+  test("gram channel never shuffles the gram STRING (§4.10: 96-bit hashed keys)") {
+    // the corpus-position-sized exchanges must carry (g1, g2), not the
+    // ~50-byte 8-token gram text — the 4M-rung defect was exactly a
+    // string-keyed hashpartitioning(gram) here
+    for (q <- Seq("dedup_span_ngrams", "dedup_containment")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(g1"),
+        s"$q must exchange on the hashed gram key:\n$p")
+      assert(!p.contains("hashpartitioning(gram"),
+        s"$q shuffles raw gram strings (§4.10 regression):\n$p")
+    }
+  }
+
+  test("q28_grouping_sets: all grains from ONE scan through ONE Expand") {
+    val p = plan("q28_grouping_sets")
+    assert(p.contains("Expand"))
+    // FormattedMode shows each node once in the tree and once in the
+    // numbered detail list — count the detail entries
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"multi-grain aggregate must not rescan the fact table per grain:\n$p")
+    assert(!p.contains("Union"),
+      s"grouping sets must plan as Expand, not a UNION of aggregates:\n$p")
+  }
+
+  test("dedup_incremental: banded candidates stay join-keyed, sets fetched by id") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"increment×corpus must pair only inside shared band buckets:\n$p")
+    // the cross-corpus band join carries band + band_sig as equi keys
+    assert(p.contains("band"), p)
+  }
 }
