@@ -162,30 +162,32 @@ object Dedup {
     * extra job, no sampling). */
   private[graft] def probeKeyedSized(hashed: DataFrame, rowsPerBand: Int,
                                      capPop: Int = 256,
-                                     maxExtraBits: Int = 8): (DataFrame, Long) = {
+                                     maxExtraBits: Int = 8,
+                                     carryCols: Seq[String] = Nil): (DataFrame, Long) = {
     val nBands = MinHashCoeffs.length / rowsPerBand
     val spark = hashed.sparkSession
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_sig_")
     stagedSigCleanup
     stagedSigDirs.add(dir)
-    hashed.select(col("doc_id"),
+    val carry = carryCols.map(col)
+    hashed.select(Seq(col("doc_id"),
         org.apache.spark.sql.graft.HashExpressions.minhash_sigs(col("hs")).as("sig"),
         org.apache.spark.sql.graft.HashExpressions.minhash_extra_bits(col("hs")).as("_xb"),
         xxhash64(col("hs")).as("_salt"),
         array_sort(transform(col("hs"),
-          h => (h - 2147483648L).cast("int"))).as("hsi"))
+          h => (h - 2147483648L).cast("int"))).as("hsi")) ++ carry: _*)
       .write.mode("overwrite").parquet(dir.toString)
     val staged = spark.read.parquet(dir.toString)
-    val banded = staged.select(col("doc_id"), col("hsi"), col("_xb"), col("_salt"),
+    val banded = staged.select(Seq(col("doc_id"), col("hsi"), col("_xb"), col("_salt"),
       posexplode(transform(
         sequence(lit(0), lit(nBands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig")))
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "band_sig"))) ++ carry: _*)
     val refined = graft.operators.Similarity.refineHotKeysBy(
       banded, Seq("band", "band_sig"), "doc_id", col("_xb"),
       capPop, maxExtraBits, saltCol = Some(col("_salt")))
-    val keyed = refined.select(
+    val keyed = refined.select(Seq(
       xxhash64(col("band"), col("band_sig"), col("sub")).as("k"),
-      col("band"), col("band_sig"), col("sub"), col("doc_id"), col("hsi"))
+      col("band"), col("band_sig"), col("sub"), col("doc_id"), col("hsi")) ++ carry: _*)
     val stagedBytes = java.nio.file.Files.walk(dir).iterator().asScala
       .filter(p => java.nio.file.Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
@@ -296,7 +298,17 @@ object Dedup {
     * full tuple the explicit numPartitions survives (and stays exempt
     * from AQE coalescing: REPARTITION_BY_NUM origin). */
   private[graft] def fatJoinPairs(keyed0: DataFrame, joinHint: String,
-                                  repartitionTo: Option[Int]): DataFrame = {
+                                  repartitionTo: Option[Int],
+                                  crossTagCol: Option[String] = None): DataFrame = {
+    // pair rule: self-dedup keeps each unordered pair once (id_a <
+    // id_b); the INCREMENTAL form (crossTagCol carrying a boolean
+    // "is-new" tag through the staged table) keeps exactly
+    // new × corpus pairs — same exchange, same scoring, different
+    // residual predicate
+    def pairRule: Column = crossTagCol match {
+      case Some(t) => col(s"a.$t") && !col(s"b.$t")
+      case None    => col("a.doc_id") < col("b.doc_id")
+    }
     val keyed = repartitionTo match {
       case Some(n) =>
         // on a hot-bucket-free corpus refineHotKeysBy short-circuits
@@ -317,7 +329,7 @@ object Dedup {
           col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
           col("a.sub") === col("b.sub") &&
-          col("a.doc_id") < col("b.doc_id"))
+          pairRule)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         org.apache.spark.sql.graft.HashExpressions
           .sorted_inter_size(col("a.hsi"), col("b.hsi")).as("n_inter"),
@@ -353,6 +365,49 @@ object Dedup {
     banded(newHashed, "id_new")
       .join(banded(corpusHashed, "id_old"), Seq("band", "band_sig"))
       .select("id_new", "id_old").distinct()
+  }
+
+  /** INCREMENTAL near-dup pairs WITH exact Jaccard — the scored form
+    * of [[lshCandidatePairsAcross]], size-switched exactly like
+    * [[lshJaccardPairs]]: below `onePassMinDocs` TOTAL docs, the
+    * two-phase banded-candidates + payload-fetch form (fine while the
+    * hash arrays cache cleanly, and the plan the oracle SFs pin);
+    * above it, the one-pass staged/refined/width-governed band join —
+    * the increment and corpus ride ONE tagged signature table
+    * (carryCols) and the fat join keeps exactly new × corpus pairs.
+    * Found at the 1M ladder rung: the unrefined two-phase across-form
+    * densified exactly like §4.6's self-join (42.5 s at 1M vs the
+    * one-pass 14-ish; no population cap, two pair-payload refetch
+    * joins); routing it through the shared one-pass machinery buys
+    * the cap, the content salt, the staging and the §4.9 width in one
+    * move. Output: (id_new, id_old, n_inter, n_union, jaccard_bp). */
+  def lshJaccardPairsAcross(newHashed: DataFrame, corpusHashed: DataFrame,
+                            rowsPerBand: Int,
+                            capPop: Int = 256,
+                            maxExtraBits: Int = 8,
+                            onePassMinDocs: Long = OnePassMinDocs): DataFrame = {
+    val total = newHashed.count() + corpusHashed.count()
+    if (total < onePassMinDocs) {
+      val all = newHashed.withColumn("_new", lit(true))
+        .unionByName(corpusHashed.withColumn("_new", lit(false))).cache()
+      val pairs = lshCandidatePairsAcross(newHashed, corpusHashed, rowsPerBand)
+      return jaccardForPairs(all.drop("_new"),
+          pairs.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+        .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+          col("n_inter").cast("long").as("n_inter"),
+          col("n_union").cast("long").as("n_union"), col("jaccard_bp"))
+    }
+    val tagged = newHashed.withColumn("_new", lit(true))
+      .unionByName(corpusHashed.withColumn("_new", lit(false)))
+    val (keyed, stagedBytes) = probeKeyedSized(tagged, rowsPerBand,
+      capPop, maxExtraBits, carryCols = Seq("_new"))
+    fatJoinPairs(keyed, "SHUFFLE_HASH",
+      fatJoinWidth(newHashed.sparkSession, stagedBytes,
+        MinHashCoeffs.length / rowsPerBand),
+      crossTagCol = Some("_new"))
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"), col("jaccard_bp"))
   }
 
   /** Exact Jaccard over hashed shingle sets for given candidate pairs

@@ -100,13 +100,7 @@ object DataPipelineQueries {
       .cache()
     val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
     val corpus = hashed.filter(col("bucket") < 90).drop("bucket")
-    val pairs = Dedup.lshCandidatePairsAcross(inc, corpus, 4)
-    Dedup.jaccardForPairs(hashed.drop("bucket"),
-        pairs.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
-      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
-        col("n_inter").cast("long").as("n_inter"),
-        col("n_union").cast("long").as("n_union"),
-        col("jaccard_bp"))
+    Dedup.lshJaccardPairsAcross(inc, corpus, 4)
       .orderBy(col("id_new"), col("id_old"))
   }
 

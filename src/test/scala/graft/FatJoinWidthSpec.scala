@@ -98,6 +98,28 @@ class FatJoinWidthSpec extends AnyFunSuite {
       "widened pair join changed the top-k frame")
   }
 
+  test("one-pass incremental (across) form equals the two-phase form, frame-exact") {
+    // the increment×corpus twin of the §4.6 parity pin: the tagged
+    // one-pass staged/refined band join must produce exactly the
+    // two-phase candidates+jaccard frame (refinement is a provable
+    // no-op below the cap at this SF)
+    val hashed = Dedup.shingleHashSets(
+        Tables.documents(spark, sf), "doc_id", "text", 5)
+      .withColumn("bucket",
+        pmod(graft.functions.HashFunctions.hash32(col("doc_id").cast("string")), lit(100)))
+    val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
+    val corpus = hashed.filter(col("bucket") < 90).drop("bucket")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val twoPhase = canon(Dedup.lshJaccardPairsAcross(inc, corpus, 4,
+      onePassMinDocs = Long.MaxValue))
+    val onePass = canon(Dedup.lshJaccardPairsAcross(inc, corpus, 4,
+      onePassMinDocs = 0))
+    assert(twoPhase.nonEmpty, "fixture must produce cross pairs")
+    assert(onePass == twoPhase,
+      "one-pass across form diverged from the two-phase frame")
+  }
+
   test("widened SHUFFLE_HASH and MERGE frames equal the default-width frame") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).sorted.toSeq
