@@ -104,9 +104,13 @@ object FatJoinProbe {
           failed = true
           val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
             .toSeq.last
+          // getMessage is null for bare NPE/OOM roots — the handler must
+          // not itself NPE and mask the failure it exists to record
+          val msg = Option(root.getMessage)
+            .flatMap(_.linesIterator.nextOption()).getOrElse("<no message>")
           println(f"[fatjoin-probe] variant=$v%-6s pass=$p FAILED after " +
             f"${(System.nanoTime() - t) / 1e9}%.1f s: ${root.getClass.getSimpleName}: " +
-            root.getMessage.linesIterator.next())
+            msg)
         }
       }
     }

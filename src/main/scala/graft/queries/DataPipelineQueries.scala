@@ -397,6 +397,16 @@ object DataPipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Observed-population cap for the ANN bucket pair join — ONE
+    * constant threading BOTH the skew refinement (skewSafeBucketKeys)
+    * and the exchange-width policy (pairJoinWidth): the width contract
+    * is "expected pair rows ≈ nRows × capPop", so the two calls must
+    * see the SAME cap or the exchange is sized for a different join
+    * than the one that runs (the round-8 ADVICE finding: 64 — the
+    * hyperplane dims — was passed where 256 — the refinement cap —
+    * governs, under-sizing the exchange 4×). */
+  private val AnnCapPop = 256
+
   /** ann_lsh_topk: top-3 neighbors by exact quantized dot product
     * within each LSH bucket — join keyed on the bucket, never all
     * pairs. Bucket width follows [[Similarity.deriveNBits]] (expected
@@ -418,13 +428,14 @@ object DataPipelineQueries {
     // population-driven extra hyperplane bits. At the oracle SFs no
     // bucket exceeds the cap, so sub = 0 everywhere and the result is
     // bit-identical to the static SQL twin.
-    val embK = Similarity.skewSafeBucketKeys(emb0, "vec_id", 64, nBits)
+    val embK = Similarity.skewSafeBucketKeys(emb0, "vec_id", 64, nBits,
+      capPop = AnnCapPop)
     // size-driven pair-join width (§4.11): the partial top-k sorts the
     // join output per task; past ~1M vectors the default-width sort
     // falls off the in-memory cliff (measured 31 s vs 1.3 s for the
     // top-k tail). Same full-tuple + non-foldable-sub discipline as
     // Dedup.fatJoinPairs; a no-op at every oracle SF.
-    val emb = Similarity.pairJoinWidth(s, nVecs, 64) match {
+    val emb = Similarity.pairJoinWidth(s, nVecs, AnnCapPop) match {
       case Some(w) => embK
         .withColumn("sub", col("sub")
           .bitwiseOR(xxhash64(col("vec_id")).bitwiseAND(lit(0L))))

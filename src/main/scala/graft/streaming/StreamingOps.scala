@@ -175,34 +175,46 @@ object StreamingOps {
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
     Files.createDirectories(build)
-    val raw = spark.read.parquet(src.toString)
-      .select(documentsRawSchema.fields.toIndexedSeq
-        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    val Row(idMin: Long, idMax: Long) =
-      raw.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    val span = math.max(idMax - idMin, 1L)
-    val base = System.currentTimeMillis()
-    for (pos <- 0 until nBatches) {
-      val lo = idMin + span * pos / nBatches
-      val hi = idMin + span * (pos + 1) / nBatches
-      val slice = raw.filter(col("doc_id") >= lo &&
-        (if (pos == nBatches - 1) lit(true) else col("doc_id") < hi))
-      val tmp = build.resolve(s"tmp_$pos")
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = scala.util.Using.resource(Files.list(tmp))(
-        _.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
-      val dst = build.resolve(f"documents_$pos%02d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(base + pos * 2000L)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    }
-    try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+    // any failure past this point must not leave a dangling .build_ dir
+    // (the round-8 ADVICE finding: an empty source threw a MatchError
+    // out of the Row unapply and orphaned the half-built directory)
+    try {
+      val raw = spark.read.parquet(src.toString)
+        .select(documentsRawSchema.fields.toIndexedSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val mm = raw.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      require(!mm.isNullAt(0),
+        s"cannot stage streaming doc batches: $src has no rows")
+      val (idMin, idMax) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(idMax - idMin, 1L)
+      val base = System.currentTimeMillis()
+      for (pos <- 0 until nBatches) {
+        val lo = idMin + span * pos / nBatches
+        val hi = idMin + span * (pos + 1) / nBatches
+        val slice = raw.filter(col("doc_id") >= lo &&
+          (if (pos == nBatches - 1) lit(true) else col("doc_id") < hi))
+        val tmp = build.resolve(s"tmp_$pos")
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(Files.list(tmp))(
+          _.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+        val dst = build.resolve(f"documents_$pos%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(base + pos * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+      }
+    } catch {
+      case e: Throwable =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+        catch { case _: Exception => () }
+        throw e
     }
     dir.toString
   }

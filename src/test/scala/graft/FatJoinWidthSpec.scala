@@ -68,6 +68,10 @@ class FatJoinWidthSpec extends AnyFunSuite {
       (64L << 20) * defaultParts / (64 * 48), 64).isEmpty)
     // 2M rows · cap 64 · 48 B / 64 MB = 92 partitions
     assert(Similarity.pairJoinWidth(spark, 2000000L, 64).contains(92))
+    // the cap ann_lsh_topk ACTUALLY runs with (AnnCapPop = 256, the
+    // skewSafeBucketKeys refinement cap — the round-8 ADVICE fix):
+    // 2M rows · cap 256 · 48 B / 64 MB = 367 partitions
+    assert(Similarity.pairJoinWidth(spark, 2000000L, 256).contains(367))
   }
 
   test("widened bucket pair join + top-k equals the default-width frame") {
