@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SignatureIndex}
+
+/** Ladder probe for the persisted signature index (SCALING.md §4.13):
+  * a FIXED 100k-doc increment probed against corpora of growing size.
+  * The round-8 weak item was that each incremental-dedup call paid a
+  * corpus-sized re-hash/re-stage; with the persisted index the
+  * per-increment cost must be ~flat across corpus doublings — the
+  * increment hashing dominates and the corpus contributes only a
+  * semi-pruned columnar scan of its signature table.
+  *
+  * Per corpus size: the index is built once (timed, then cached on
+  * disk across runs — rebuild only when absent, mirroring production
+  * where a build is a corpus event, not a probe cost) and the probe
+  * runs min-of-2 with the spark cache cleared, exactly the ScaleBench
+  * measurement discipline. The increment is ids [corpusN, corpusN +
+  * 100k) of the same deterministic ScaleGen universe — disjoint from
+  * every corpus, identical bytes at every rung.
+  */
+object IndexProbe {
+
+  private val IncrementDocs = 100000L
+
+  def main(args: Array[String]): Unit = {
+    val sizes = (if (args.nonEmpty) args(0) else "1000000,2000000,4000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // the one fixed increment, staged once as parquet so every rung
+    // reads identical bytes (and the probe's own increment staging is
+    // measured, not the docRow generation)
+    val incDir = s"$base/inc100k"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(incDir, "_SUCCESS"))) {
+      val maxN = sizes.max
+      spark.range(maxN, maxN + IncrementDocs, 1, 8)
+        .map(i => ScaleGen.docRow(i))
+        .write.mode("overwrite").parquet(incDir)
+    }
+
+    for (n <- sizes) {
+      val dir = s"$base/n$n"
+      ScaleGen.ensure(spark, dir, nDocs = n, nVecs = n / 2, nEvents = n * 2)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val hashed = Dedup.shingleHashSets(docs, "doc_id", "text", 5)
+      val idxDir = s"$base/sigidx_n$n"
+      val metaPath = java.nio.file.Paths.get(idxDir, "_INDEX_META")
+      val buildSec =
+        if (java.nio.file.Files.isRegularFile(metaPath)) Double.NaN
+        else {
+          val t0 = System.nanoTime()
+          SignatureIndex.buildSignatureIndex(hashed, idxDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+      val meta = SignatureIndex.readMeta(idxDir)
+
+      val incHashed = Dedup.shingleHashSets(
+        spark.read.parquet(incDir), "doc_id", "text", 5)
+      def probePass(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = SignatureIndex.probeSignatureIndex(incHashed, idxDir)
+        df.write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, df.count())
+      }
+      val (s1, _) = probePass()
+      val (s2, rows) = probePass()
+      def j(v: Double) = if (v.isNaN) "null" else f"$v%.2f"
+      println(s"""{"corpus_docs":$n,"increment_docs":$IncrementDocs,""" +
+        s""""build_sec":${j(buildSec)},"probe_sec":${j(math.min(s1, s2))},""" +
+        s""""probe_passes":[${j(s1)},${j(s2)}],"pairs":$rows,""" +
+        s""""index_sig_bytes":${meta.sigBytes}}""")
+    }
+    spark.stop()
+  }
+}

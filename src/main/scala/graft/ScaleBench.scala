@@ -53,7 +53,9 @@ object ScaleBench {
     "multimodal_codec",     // real ImageIO encode+decode per doc
     "multimodal_audio_frames", // PCM16 codec + overlapping framing
     "multimodal_video_sample", // GVID container + index-seek frame sampling
-    "stream_enrich_join")   // 3-batch stream-stream join, RocksDB state
+    "stream_enrich_join",   // 3-batch stream-stream join, RocksDB state
+    "stream_ingest_gate",   // stateless chained anti-join admission gate
+    "stream_asof_enrich")   // fMGWS one-row-per-key asof carry, RocksDB
 
   private def jnum(v: Double): String =
     if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
@@ -171,9 +173,13 @@ object ScaleBench {
           case "ann_lsh_topk" =>
             extras += "lsh_bits" ->
               graft.operators.Similarity.deriveNBits(n / 2).toString
-          case "stream_enrich_join" =>
+          case q if q.startsWith("stream_") =>
             // peak state across batches: the final batch understates it
-            // (watermark eviction has drained the buffers by then)
+            // (watermark eviction has drained the buffers by then).
+            // Recorded for EVERY stream rung: the join's state must
+            // scale with live rows, the asof carry with distinct keys,
+            // and the ingest gate must record ZERO state rows — its
+            // statelessness is a ladder observable, not just a spec
             val progresses = graft.streaming.StreamingOps.recentProgressJsons
             if (progresses.nonEmpty) {
               def sumOf(key: String, j: String): Long =

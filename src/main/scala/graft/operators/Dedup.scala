@@ -131,6 +131,14 @@ object Dedup {
         catch { case _: Exception => () }
       }))
 
+  /** Enroll an externally created scratch dir in the JVM-exit cleanup
+    * (the [[SignatureIndex]] probe stages increment signatures with
+    * the same lifecycle as [[probeKeyed]]'s corpus stage). */
+  private[graft] def registerScratchDir(p: java.nio.file.Path): Unit = {
+    stagedSigCleanup
+    stagedSigDirs.add(p)
+  }
+
   /** The full one-pass join-leg frame: banding + refinement + the
     * hashed single-long shuffle key + the shifted-and-sorted int set.
     * One row per (doc, band); both self-join legs are exactly this
@@ -252,31 +260,20 @@ object Dedup {
     * task launches; an under-wide one is §4.9 (OOM or GC collapse). */
   private val FatBuildExpansion = 3.0
 
-  /** Per-partition working-set budget for the fat band self-join
-    * (SHJ: the build relation; SMJ: the in-memory sort runs before
-    * spill). 64 MB keeps W concurrent tasks ≪ the executor's
-    * execution-memory share at any sane W (local[32]: 32 × 64 MB ×
-    * safety ≈ 2 GB peak against a ≥ 14 GB execution pool; a
-    * 4-core/16 GB cluster executor: 4 × 64 MB). */
-  private val FatBuildTargetBytes = 64L << 20
-
-  /** Shuffle width for the fat band self-join — §4.9's fix. The build
-    * side of a SHUFFLE_HASH join cannot spill: with W concurrent tasks
-    * and P partitions, peak heap is W × exchange_bytes × expansion / P,
-    * so P must scale with the CORPUS, not stay pinned at the session's
-    * core-count default. Below the default width this is None — the
-    * plan (and PlanAuditSpec's pinned shape) is untouched at oracle
-    * SFs; above it, an explicit repartition on the full equi-key tuple
-    * widens the exchange (see [[fatJoinPairs]] for why it must be the
-    * full tuple), both legs stay the identical canonicalized plan, and
-    * an explicit numPartitions is exempt from AQE coalescing. */
+  /** Shuffle width for the fat band self-join — §4.9's fix, served by
+    * the shared sizing module: the build side of a SHUFFLE_HASH join
+    * cannot spill, so the width must scale with the staged-signature
+    * bytes × band fan-out × build expansion ([[Sizing.exchangeWidth]]'s
+    * rule 1), never stay pinned at the session's core-count default.
+    * Below the default width this is None — the plan (and
+    * PlanAuditSpec's pinned shape) is untouched at oracle SFs; above
+    * it, an explicit repartition on the full equi-key tuple widens the
+    * exchange (see [[fatJoinPairs]] for why it must be the full
+    * tuple), both legs stay the identical canonicalized plan, and an
+    * explicit numPartitions is exempt from AQE coalescing. */
   private[graft] def fatJoinWidth(spark: org.apache.spark.sql.SparkSession,
-                                  stagedBytes: Long, nBands: Int): Option[Int] = {
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val need = math.ceil(
-      stagedBytes.toDouble * nBands * FatBuildExpansion / FatBuildTargetBytes).toInt
-    if (need > defaultParts) Some(need) else None
-  }
+                                  stagedBytes: Long, nBands: Int): Option[Int] =
+    Sizing.exchangeWidth(spark, stagedBytes, nBands * FatBuildExpansion)
 
   /** The band self-join tail of the one-pass form, parameterized on the
     * join strategy and an optional explicit shuffle width so the scale

@@ -326,16 +326,8 @@ object Similarity {
     * keeps the in-bucket exact re-rank cheap (64² = 4k dot products)
     * while leaving buckets dense enough for recall. */
   def deriveNBits(corpusSize: Long, targetBucketPop: Int = 64,
-                  minBits: Int = 8, maxBits: Int = 30): Int = {
-    require(corpusSize >= 0 && targetBucketPop > 0 && minBits >= 1 &&
-      maxBits >= minBits, "invalid LSH sizing parameters")
-    // smallest b with target · 2^b ≥ corpus — integer arithmetic, not
-    // ceil(log2(...)): floating log can mis-round at exact powers of
-    // two, and the SQL twin must agree bit-for-bit
-    var b = 0
-    while (b < maxBits && (targetBucketPop.toLong << b) < corpusSize) b += 1
-    math.max(minBits, b)
-  }
+                  minBits: Int = 8, maxBits: Int = 30): Int =
+    Sizing.bucketBits(corpusSize, targetBucketPop, minBits, maxBits)
 
   /** Exchange width for a bucket-local pair join that feeds a
     * pair-sized sort (window top-k): the partial WindowGroupLimit
@@ -349,12 +341,13 @@ object Similarity {
     * ~48 B per sort row; 64 MB per-task budget, same rationale as
     * [[graft.operators.Dedup.fatJoinWidth]]. None at or below the
     * session default — oracle-SF plans untouched. */
+  /** ~48 B per pair-sort row: two longs + a long score + the unsafe-row
+    * and sorter-pointer overhead, measured at the §4.12 rung. */
+  private val PairSortRowBytes = 48.0
+
   def pairJoinWidth(spark: org.apache.spark.sql.SparkSession,
-                    nRows: Long, capPop: Int): Option[Int] = {
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val need = math.ceil(nRows.toDouble * capPop * 48.0 / (64L << 20)).toInt
-    if (need > defaultParts) Some(need) else None
-  }
+                    nRows: Long, capPop: Int): Option[Int] =
+    Sizing.exchangeWidth(spark, nRows, capPop * PairSortRowBytes)
 
   /** Equal-width bit bands of an LSH bucket id: nBands values of
     * bitsPerBand bits each. Banding turns one exact nBits bucket into

@@ -88,20 +88,42 @@ object DataPipelineQueries {
     * cross-engine); the other 90% plays the corpus. Scale shape:
     * [[Dedup.lshCandidatePairsAcross]] bands both sides and joins on
     * (band, band_sig) — pairs form only inside shared buckets, and
-    * with the corpus side's band table persisted as an index (the
-    * staged-signature-table pattern), per-ingest cost is linear in
-    * the INCREMENT, never the corpus. Candidates then get exact
+    * the corpus side's signatures are a PERSISTED index
+    * ([[SignatureIndex]], built once per corpus and cached by source
+    * fingerprint), so per-ingest cost is increment-sized hashing plus
+    * one pruned scan of the index — the corpus is never re-hashed and
+    * nothing corpus-sized is rewritten. Candidates get exact
     * set-Jaccard scores co-located by the pair join. */
   private val dedup_incremental: Q = (s, d) => {
     val hashed = Dedup.shingleHashSets(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", SHINGLE_K)
       .withColumn("bucket", splitBucket)
-      .cache()
     val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
-    val corpus = hashed.filter(col("bucket") < 90).drop("bucket")
-    Dedup.lshJaccardPairsAcross(inc, corpus, 4)
+    val idx = SignatureIndex.ensureIndex(
+      hashed.filter(col("bucket") < 90).drop("bucket"),
+      "docs90_" + graft.streaming.StreamingOps.sourceFingerprint(
+        java.nio.file.Paths.get(d, "documents.parquet")))
+    SignatureIndex.probeSignatureIndex(inc, idx)
       .orderBy(col("id_new"), col("id_old"))
+  }
+
+  /** dedup_index_selfpairs: the corpus SELF near-dup pairs served
+    * straight off the persisted [[SignatureIndex]] — proves the index
+    * replaces the live staged table for the self form too (same frame
+    * as dedup_neardup_pairs, zero re-hashing on every pass after the
+    * build). */
+  private val dedup_index_selfpairs: Q = (s, d) => {
+    val idx = SignatureIndex.ensureIndex(
+      Dedup.shingleHashSets(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", SHINGLE_K),
+      "docsall_" + graft.streaming.StreamingOps.sourceFingerprint(
+        java.nio.file.Paths.get(d, "documents.parquet")))
+    SignatureIndex.selfPairsFromIndex(s, idx)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        col("jaccard_bp"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Gram-bucket population cap for [[dedup_containment]] candidates:
@@ -126,8 +148,13 @@ object DataPipelineQueries {
     * (array_distinct — no dedup shuffle); the gram groupBy is
     * wordcount-shaped; pair formation happens only inside rare-gram
     * buckets (population-capped, so the pair space is bucket-bounded
-    * exactly like the LSH band join); scoring re-joins the two
-    * shingle sets by id. */
+    * exactly like the LSH band join); the shingle sets ride INTO the
+    * rare-gram self-join on one doc-keyed join (holders are the
+    * population-capped survivors, so the payload fan-out is bounded),
+    * and scoring happens where both sorted int sets are already
+    * co-located — the §4.4 discipline; the round-8 shape re-joined the
+    * corpus TWICE per pair id to fetch payloads, the exact pattern
+    * §4.4 measured as dominant and eliminated for LSH. */
   private val dedup_containment: Q = (s, d) => {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -144,21 +171,31 @@ object DataPipelineQueries {
     val rare = grams.groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt").between(2, ContainGramCap))
       .select(col("g1"), col("g2"))
-    val holders = grams.join(rare, Seq("g1", "g2"))
-    val cand = holders.as("a").join(holders.as("b"),
+    // sorted shifted int sets (the fatJoinPairs payload form): the
+    // per-pair set op is one allocation-free merge, half the bytes of
+    // the long arrays, and cardinalities are shift-invariant
+    val sets = Dedup.shingleHashSets(Tables.documents(s, d),
+        "doc_id", "text", SHINGLE_K)
+      .select(col("doc_id"),
+        array_sort(transform(col("hs"),
+          h => (h - 2147483648L).cast("int"))).as("hsi"),
+        size(col("hs")).cast("long").as("n_set"))
+    // ONE doc-keyed join carries each holder's set into the pair join;
+    // the pair self-join then scores with both payloads co-located —
+    // no pair-id → corpus re-join (plan-audited)
+    val holders = grams.join(rare, Seq("g1", "g2")).join(sets, Seq("doc_id"))
+    holders.as("a").join(holders.as("b"),
         col("a.g1") === col("b.g1") && col("a.g2") === col("b.g2") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val sets = Dedup.shingleHashSets(Tables.documents(s, d),
-      "doc_id", "text", SHINGLE_K)
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
-        size(col("sa")).cast("long").as("n_a"),
-        size(col("sb")).cast("long").as("n_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        org.apache.spark.sql.graft.HashExpressions
+          .sorted_inter_size(col("a.hsi"), col("b.hsi")).cast("long").as("n_inter"),
+        col("a.n_set").as("n_a"), col("b.n_set").as("n_b"))
+      // a pair sharing several rare grams scores once per gram; every
+      // copy is equal (pure function of the pair) and collapses here
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("n_inter")).as("n_inter"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .withColumn("contain_bp", expr("n_inter * 10000 div least(n_a, n_b)"))
       .withColumn("jaccard_bp", expr("n_inter * 10000 div (n_a + n_b - n_inter)"))
       .filter(col("contain_bp") >= 8000)
@@ -1587,6 +1624,7 @@ object DataPipelineQueries {
     "dedup_minhash_sig" -> dedup_minhash_sig,
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_incremental" -> dedup_incremental,
+    "dedup_index_selfpairs" -> dedup_index_selfpairs,
     "dedup_containment" -> dedup_containment,
     "pipeline_mix_balance" -> pipeline_mix_balance,
     "dedup_simhash" -> dedup_simhash,
@@ -1735,6 +1773,33 @@ object DataPipelineQueries {
        |    SELECT cell AS cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS qc
        |    FROM s_$outCte GROUP BY cell) u ON u.cid = p.cid)""".stripMargin
 
+  /** DuckDB twin of the LSH near-dup pair frame — shared verbatim by
+    * dedup_neardup_pairs (live staged signature table) and
+    * dedup_index_selfpairs (persisted [[SignatureIndex]]): both plans
+    * contract to the identical result set. */
+  private lazy val neardupPairsSql: String =
+    s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
+       |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, b.band,
+       |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
+       |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
+       |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, hs AS jset FROM hashed)
+       |SELECT cand.id_a, cand.id_b,
+       |  length(list_intersect(sa.jset, sb.jset)) AS n_inter,
+       |  length(list_distinct(list_concat(sa.jset, sb.jset))) AS n_union,
+       |  (length(list_intersect(sa.jset, sb.jset)) * 10000)
+       |    // length(list_distinct(list_concat(sa.jset, sb.jset))) AS jaccard_bp
+       |FROM cand
+       |JOIN sets sa ON sa.doc_id = cand.id_a
+       |JOIN sets sb ON sb.doc_id = cand.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" ->
       s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
@@ -1865,28 +1930,10 @@ object DataPipelineQueries {
          |SELECT doc_id, ${minhashSigExprs.mkString(", ")}
          |FROM hashed
          |ORDER BY doc_id""".stripMargin,
-    "dedup_neardup_pairs" ->
-      s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
-         |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
-         |banded AS (
-         |  SELECT doc_id, b.band,
-         |    CASE b.band WHEN 0 THEN [sig0, sig1, sig2, sig3]
-         |                ELSE [sig4, sig5, sig6, sig7] END AS band_sig
-         |  FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, hs AS jset FROM hashed)
-         |SELECT cand.id_a, cand.id_b,
-         |  length(list_intersect(sa.jset, sb.jset)) AS n_inter,
-         |  length(list_distinct(list_concat(sa.jset, sb.jset))) AS n_union,
-         |  (length(list_intersect(sa.jset, sb.jset)) * 10000)
-         |    // length(list_distinct(list_concat(sa.jset, sb.jset))) AS jaccard_bp
-         |FROM cand
-         |JOIN sets sa ON sa.doc_id = cand.id_a
-         |JOIN sets sb ON sb.doc_id = cand.id_b
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_neardup_pairs" -> neardupPairsSql,
+    // the index-served self form is the SAME pair frame by contract —
+    // one twin, two plans (live staged table vs persisted index)
+    "dedup_index_selfpairs" -> neardupPairsSql,
     "dedup_incremental" ->
       s"""WITH hashed AS (SELECT doc_id, $splitBucketSql AS bucket,
          |    $shingleHashesSql AS hs FROM documents),

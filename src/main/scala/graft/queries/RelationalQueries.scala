@@ -288,14 +288,27 @@ object RelationalQueries {
     * ASOF join shares — and the DuckDB twin is a NATIVE `ASOF LEFT
     * JOIN`, so the oracle pins the operator to the industry semantics
     * (inclusive backward match, left-outer nulls) rather than to a
-    * re-implementation of our own formulation. */
+    * re-implementation of our own formulation.
+    *
+    * The click payload carries two NULLABLE fields with coprime null
+    * patterns (value nulled when click_id ≡ 0 mod 3, tag when ≡ 0 mod
+    * 4): an implementation that carried payload fields INDEPENDENTLY
+    * (per-field last(ignoreNulls)) would fill a matched row's NULL
+    * from an OLDER click and hash-mismatch — the oracle now proves the
+    * atomic whole-row carry (`TemporalJoins.asOfJoin`'s struct), not
+    * just non-null column equality (the round-8 ADVICE gap). */
   private val q20_asof_join: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d)
     val clicks = ev.filter($"event_type" === "click")
       .groupBy($"user_id", $"ts")
       .agg(max($"event_id").as("click_id"),
-        max_by($"value", $"event_id").as("click_value"))
+        max_by($"value", $"event_id").as("click_value0"))
+      .select($"user_id", $"ts", $"click_id",
+        when($"click_id" % 3 === 0, lit(null))
+          .otherwise($"click_value0").as("click_value"),
+        when($"click_id" % 4 === 0, lit(null))
+          .otherwise(($"click_id" % 97).cast("long")).as("click_tag"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id", $"value")
     graft.operators.TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts")
@@ -305,6 +318,7 @@ object RelationalQueries {
         $"asof_click_id".as("click_id"),
         unix_micros($"asof_ts").as("c_ts_us"),
         round($"asof_click_value", 2).as("click_value"),
+        $"asof_click_tag".as("click_tag"),
         (unix_micros($"ts") - unix_micros($"asof_ts")).as("wait_us"))
       .orderBy($"purchase_id")
   }
@@ -615,18 +629,25 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q20_asof_join" ->
-      """WITH clicks AS (
+      """WITH clicks0 AS (
         |  SELECT user_id, ts, max(event_id) AS click_id,
-        |    arg_max(value, event_id) AS click_value
+        |    arg_max(value, event_id) AS click_value0
         |  FROM events WHERE event_type = 'click'
         |  GROUP BY user_id, ts),
+        |clicks AS (
+        |  SELECT user_id, ts, click_id,
+        |    CASE WHEN click_id % 3 = 0 THEN NULL ELSE click_value0 END
+        |      AS click_value,
+        |    CASE WHEN click_id % 4 = 0 THEN NULL
+        |         ELSE CAST(click_id % 97 AS BIGINT) END AS click_tag
+        |  FROM clicks0),
         |purchases AS (
         |  SELECT user_id, ts, event_id, value
         |  FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id AS purchase_id, p.user_id,
         |  epoch_us(p.ts) AS p_ts_us, round(p.value, 2) AS p_value,
         |  c.click_id, epoch_us(c.ts) AS c_ts_us,
-        |  round(c.click_value, 2) AS click_value,
+        |  round(c.click_value, 2) AS click_value, c.click_tag,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -342,18 +342,30 @@ object StreamingQueries {
     * purchase arrived in batch 0 enriches correctly only if the carry
     * survived two batch cuts — a fresh-state-per-batch implementation
     * would emit NULL there and break the hash. Oracle: DuckDB's
-    * native ASOF LEFT JOIN (brute-force batch twin). */
+    * native ASOF LEFT JOIN (brute-force batch twin).
+    *
+    * The purchase payload carries two NULLABLE fields with coprime
+    * null patterns (value nulled at event_id ≡ 0 mod 3, tag at ≡ 0
+    * mod 4) — same discipline as q20_asof_join: the hash now proves
+    * the state row is replaced ATOMICALLY (a NULL in the newest
+    * purchase stays NULL downstream) rather than merged per field
+    * from older state. */
   private val stream_asof_enrich: Q = (s, d) => {
     import s.implicits._
     val ev = StreamingOps.eventsStream(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
         (col("event_type") === "purchase").as("is_build"),
-        col("event_id"), col("value"))
+        col("event_id"),
+        when(col("event_type") === "purchase" && col("event_id") % 3 === 0,
+          lit(null)).otherwise(col("value")).as("value"),
+        when(col("event_id") % 4 === 0, lit(null))
+          .otherwise(pmod(col("event_id"), lit(97L))).as("tag"))
       .as[graft.streaming.StreamAsof.AsofEvent]
     val out = graft.streaming.StreamAsof.enrich(ev).toDF()
       .select(col("event_id"), col("user_id"), col("asof_event_id"),
-        round(col("asof_value"), 2).as("asof_value"))
+        round(col("asof_value"), 2).as("asof_value"),
+        col("asof_tag"))
     StreamingOps.runToMemory(s, out, "graft_stream_asof", "append")
       .orderBy(col("event_id"))
   }
@@ -497,14 +509,20 @@ object StreamingQueries {
     // native ASOF LEFT JOIN; build ties at equal (user, ts) resolve to
     // the greatest event_id on both sides
     "stream_asof_enrich" ->
-      """WITH p AS (
+      """WITH p0 AS (
         |  SELECT user_id, ts, max(event_id) AS asof_event_id,
-        |    max_by(value, event_id) AS pv
+        |    max_by(value, event_id) AS pv0
         |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT user_id, ts, asof_event_id,
+        |    CASE WHEN asof_event_id % 3 = 0 THEN NULL ELSE pv0 END AS pv,
+        |    CASE WHEN asof_event_id % 4 = 0 THEN NULL
+        |         ELSE asof_event_id % 97 END AS asof_tag
+        |  FROM p0),
         |c AS (SELECT * FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, p.asof_event_id,
-        |  round(p.pv, 2) AS asof_value
+        |  round(p.pv, 2) AS asof_value, p.asof_tag
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,

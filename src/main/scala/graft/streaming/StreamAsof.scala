@@ -32,17 +32,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamAsof {
 
-  /** One input record: a build row (is_build) or a probe row. */
+  /** One input record: a build row (is_build) or a probe row. The
+    * payload fields are NULLABLE on purpose: the state carry must move
+    * the build row ATOMICALLY (a NULL field in the newest build row
+    * stays NULL in the enrichment — it may never "see through" to an
+    * older row's value), and the oracle's null patterns prove it. */
   case class AsofEvent(user_id: Long, ts_us: Long, is_build: Boolean,
-                       event_id: Long, value: Double)
+                       event_id: Long, value: Option[Double],
+                       tag: Option[Long])
 
-  /** Newest build row seen for a key. */
-  case class BuildState(ts_us: Long, event_id: Long, value: Double)
+  /** Newest build row seen for a key — replaced whole, never
+    * field-merged. */
+  case class BuildState(ts_us: Long, event_id: Long,
+                        value: Option[Double], tag: Option[Long])
 
   /** Probe row enriched with the newest-earlier build row (None when
     * no build row precedes it). */
   case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
-                     asof_event_id: Option[Long], asof_value: Option[Double])
+                     asof_event_id: Option[Long], asof_value: Option[Double],
+                     asof_tag: Option[Long])
 
   /** Enrich the probe rows of `events` with the newest earlier build
     * row per user_id, carrying one BuildState per key across
@@ -68,10 +76,10 @@ object StreamAsof {
       if (r.is_build) {
         if (last.forall(s =>
             s.ts_us < r.ts_us || (s.ts_us == r.ts_us && s.event_id <= r.event_id)))
-          last = Some(BuildState(r.ts_us, r.event_id, r.value))
+          last = Some(BuildState(r.ts_us, r.event_id, r.value, r.tag))
       } else {
         out += AsofOut(r.event_id, key, r.ts_us,
-          last.map(_.event_id), last.map(_.value))
+          last.map(_.event_id), last.flatMap(_.value), last.flatMap(_.tag))
       }
     }
     last.foreach(state.update)

@@ -60,6 +60,29 @@ class FatJoinWidthSpec extends AnyFunSuite {
     assert(p.contains("sub#"), s"sub folded out of the widened join keys:\n$joinLine")
   }
 
+  test("Sizing.exchangeWidth: ONE shared (units, bytes/unit, budget) policy table") {
+    import graft.operators.{Similarity, Sizing}
+    val B = Sizing.PerTaskBudgetBytes
+    // the generalized table all width call sites derive from
+    val table: Seq[(Long, Double, Option[Int])] = Seq(
+      (0L, 1.0, None),
+      ((64L << 20) * defaultParts, 1.0, None),            // exactly at default: untouched
+      ((64L << 20) * defaultParts + 1, 1.0, Some(defaultParts + 1)),
+      (2048L << 20, 6.0, Some(192)),        // fat join: 2 GiB staged × 2 bands × 3.0 expansion
+      (2000000L, 64 * 48.0, Some(92)),      // pair sort: 2M rows × cap 64 × 48 B
+      (2000000L, 256 * 48.0, Some(367)))    // pair sort at AnnCapPop = 256
+    table.foreach { case (u, bpu, want) =>
+      assert(Sizing.exchangeWidth(spark, u, bpu, B) == want, s"($u, $bpu)")
+    }
+    // delegation: the per-operator policies ARE the shared rule
+    assert(Dedup.fatJoinWidth(spark, 2048L << 20, 2) ==
+      Sizing.exchangeWidth(spark, 2048L << 20, 2 * 3.0))
+    assert(Similarity.pairJoinWidth(spark, 2000000L, 64) ==
+      Sizing.exchangeWidth(spark, 2000000L, 64 * 48.0))
+    assert(Similarity.deriveNBits(1L << 20) == Sizing.bucketBits(1L << 20))
+    assert(Similarity.deriveNBits(1L << 20, 64) == 14) // 64·2^14 = 2^20 exactly
+  }
+
   test("pairJoinWidth: policy arithmetic mirrors fatJoinWidth's") {
     import graft.operators.Similarity
     assert(Similarity.pairJoinWidth(spark, 0L, 64).isEmpty)

@@ -505,11 +505,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grouping sets must plan as Expand, not a UNION of aggregates:\n$p")
   }
 
-  test("dedup_incremental: banded candidates stay join-keyed, sets fetched by id") {
+  test("dedup_incremental: index probe — semi-pruned corpus scan, band-keyed pairs") {
     val p = plan("dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"increment×corpus must pair only inside shared band buckets:\n$p")
     // the cross-corpus band join carries band + band_sig as equi keys
     assert(p.contains("band"), p)
+    // the round-9 index shape: the corpus side is the PERSISTED
+    // signature index, pruned by the increment's broadcast band keys
+    // BEFORE any exchange — never re-hashed (no shingle kernels on the
+    // corpus leg) and never corpus-shuffled
+    assert(p.contains("LeftSemi"),
+      s"corpus index scan must be semi-pruned by increment band keys:\n$p")
+  }
+
+  test("dedup_containment: pairs score co-located — no pair-id corpus re-join") {
+    val p = plan("dedup_containment")
+    // the round-8 shape fetched both shingle payloads through two
+    // pair-id JOINS back to the corpus — exactly the §4.4 re-shuffle
+    // the co-located scoring discipline exists to avoid. A pair-id
+    // join is the smell (payload-width rows re-shuffled per pair); the
+    // skinny (id_a, id_b, counts) aggregate exchange is fine and
+    // expected
+    assert(!"""Join \S*\[id_a""".r.findFirstIn(p).isDefined &&
+           !"""Join \S*\[id_b""".r.findFirstIn(p).isDefined,
+      s"a join keys on a pair id — corpus payload re-fetch (§4.4 regression):\n$p")
+    // gram-duplicated pair copies collapse in a map-side-combined agg
+    assert(p.contains("partial_max"),
+      s"pair-copy collapse must combine map-side:\n$p")
   }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, SignatureIndex}
+
+import scala.jdk.CollectionConverters._
+
+/** The persisted incremental-dedup signature index (round-9 item):
+  * build-once / probe-per-increment must (a) reproduce the in-memory
+  * across and self frames exactly on a cold corpus, (b) never rewrite
+  * or re-hash the corpus at probe time, (c) keep true duplicates
+  * findable under frozen hot-key refinement, and (d) plan the corpus
+  * side as a broadcast-semi-pruned scan, not a corpus-sized shuffle.
+  */
+class SignatureIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def newIndexDir(): String = {
+    val d = Files.createTempDirectory("graft_test_sigidx_")
+    Dedup.registerScratchDir(d)
+    d.toString
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  private lazy val hashed = Dedup.shingleHashSets(
+      Tables.documents(spark, sf), "doc_id", "text", 5)
+    .withColumn("bucket",
+      pmod(graft.functions.HashFunctions.hash32(col("doc_id").cast("string")),
+        lit(100)))
+  private lazy val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
+  private lazy val corpus = hashed.filter(col("bucket") < 90).drop("bucket")
+
+  test("indexed probe equals the in-memory across frame on a cold corpus") {
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(corpus, idx)
+    val expected = canon(Dedup.lshJaccardPairsAcross(inc, corpus, 4))
+    assert(expected.nonEmpty, "fixture must produce cross pairs")
+    assert(canon(SignatureIndex.probeSignatureIndex(inc, idx)) == expected)
+  }
+
+  test("index-served self pairs equal the live one-pass frame") {
+    val idx = newIndexDir()
+    val all = hashed.drop("bucket")
+    SignatureIndex.buildSignatureIndex(all, idx)
+    val expected = canon(Dedup.lshJaccardPairs(all, 4, onePassMinDocs = 0))
+    assert(expected.nonEmpty)
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) == expected)
+  }
+
+  test("probing never rewrites the persisted corpus signatures") {
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(corpus, idx)
+    def sigState(): Seq[(String, Long, Long)] =
+      Files.walk(Paths.get(idx, "sig")).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq
+        .map(p => (p.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).sortBy(_._1)
+    val before = sigState()
+    val r1 = canon(SignatureIndex.probeSignatureIndex(inc, idx))
+    val r2 = canon(SignatureIndex.probeSignatureIndex(inc, idx))
+    assert(r1 == r2, "probe must be deterministic")
+    assert(sigState() == before,
+      "a probe rewrote the persisted signature table")
+  }
+
+  test("frozen hot-key refinement never loses true duplicate pairs") {
+    import spark.implicits._
+    // 40 corpus copies + 5 increment copies of one text: the shared
+    // band buckets blow far past capPop = 4, forcing pass-1 refinement
+    // AND the pass-2 content-salt path — and because every copy shares
+    // _xb and _salt (pure functions of the shingle set), the frozen
+    // split must keep all 200 cross pairs at jaccard 10000
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpusDocs = ((0L until 40L).map(i => (i, dupText)) ++
+      (100L until 120L).map(i => (i, s"unique corpus document number $i with enough text to shingle"))).toDF("doc_id", "text")
+    val incDocs = ((1000L until 1005L).map(i => (i, dupText)) ++
+      (1100L until 1103L).map(i => (i, s"fresh increment document $i nothing like the corpus"))).toDF("doc_id", "text")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(
+      Dedup.shingleHashSets(corpusDocs, "doc_id", "text", 5), idx,
+      capPop = 4, maxExtraBits = 4)
+    val got = SignatureIndex.probeSignatureIndex(
+        Dedup.shingleHashSets(incDocs, "doc_id", "text", 5), idx)
+      .filter(col("jaccard_bp") === 10000)
+      .select(col("id_new"), col("id_old"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (n <- 1000L until 1005L; o <- 0L until 40L)
+      yield (n, o)).toSet
+    assert(expected.subsetOf(got),
+      s"frozen refinement lost ${(expected -- got).size} duplicate pairs")
+  }
+
+  test("probe plan: corpus leg is semi-pruned by broadcast, increment builds the hash join") {
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(corpus, idx)
+    val p = SignatureIndex.probeSignatureIndex(inc, idx)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftSemi"),
+      s"corpus prune missing from the probe plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"increment band keys are not broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"pair join is not SHUFFLE_HASH:\n$p")
+  }
+
+  test("ensureIndex caches by key and stamp") {
+    val key = "spec_" + System.nanoTime()
+    val p1 = SignatureIndex.ensureIndex(corpus, key)
+    val meta1 = SignatureIndex.readMeta(p1)
+    val p2 = SignatureIndex.ensureIndex(
+      sys.error("second ensureIndex call must not re-evaluate the corpus"),
+      key)
+    assert(p1 == p2 && meta1.nDocs > 0)
+    Dedup.registerScratchDir(Paths.get(p1))
+  }
+}

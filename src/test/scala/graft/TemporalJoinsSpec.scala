@@ -64,6 +64,65 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(row.isNullAt(1), s"expected null tag from the newest build row, got ${row.get(1)}")
   }
 
+  test("q20 oracle fixture DISCRIMINATES: a per-field carry yields a different frame") {
+    // the round-8 gap: the struct-carry fix was spec-verified but the
+    // oracle corpus had no NULL payloads, so a per-field-carry
+    // implementation would still have hash-matched. With the nullable
+    // click payload now in the fixture, rebuild q20's exact inputs and
+    // run a DELIBERATELY per-field carry — its frame must differ from
+    // the atomic operator's, proving the oracle would catch the bug
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"),
+        max_by($"value", $"event_id").as("click_value0"))
+      .select($"user_id", $"ts", $"click_id",
+        when($"click_id" % 3 === 0, lit(null))
+          .otherwise($"click_value0").as("click_value"),
+        when($"click_id" % 4 === 0, lit(null))
+          .otherwise(($"click_id" % 97).cast("long")).as("click_tag"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+
+    val atomic = TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts")
+      .select($"event_id", $"asof_click_id", $"asof_click_value", $"asof_click_tag")
+
+    // the broken shape: same union + window, but each payload field
+    // carries through its OWN last(ignoreNulls) — NULLs see through
+    import org.apache.spark.sql.expressions.Window
+    val b = clicks.select($"user_id", $"ts".as("__ts"), lit(0).as("__side"),
+      $"click_id", $"click_value", $"click_tag",
+      lit(null).cast("long").as("event_id"))
+    val p = purchases.select($"user_id", $"ts".as("__ts"), lit(1).as("__side"),
+      lit(null).cast("long").as("click_id"),
+      lit(null).cast("double").as("click_value"),
+      lit(null).cast("long").as("click_tag"),
+      $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"__ts", $"__side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val broken = b.unionByName(p)
+      .select($"user_id", $"__side", $"event_id",
+        last($"click_id", ignoreNulls = true).over(w).as("asof_click_id"),
+        last($"click_value", ignoreNulls = true).over(w).as("asof_click_value"),
+        last($"click_tag", ignoreNulls = true).over(w).as("asof_click_tag"))
+      .filter($"__side" === 1)
+      .select($"event_id", $"asof_click_id", $"asof_click_value", $"asof_click_tag")
+
+    val a = canon(atomic)
+    assert(a.nonEmpty)
+    assert(canon(broken) != a,
+      "fixture does not discriminate: per-field carry produced the atomic frame")
+    // and the discriminating rows exist in the shipped result shape:
+    // matched rows whose payload field is NULL
+    assert(atomic.filter($"asof_click_id".isNotNull &&
+      $"asof_click_value".isNull).count() > 0)
+    assert(atomic.filter($"asof_click_id".isNotNull &&
+      $"asof_click_tag".isNull).count() > 0)
+  }
+
   // --- range join -----------------------------------------------------
 
   test("rangeJoinBinned equals the brute-force interval filter for hostile widths") {
