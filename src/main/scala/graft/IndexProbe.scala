@@ -84,6 +84,7 @@ object IndexProbe {
         s""""build_sec":${j(buildSec)},"probe_sec":${j(math.min(s1, s2))},""" +
         s""""probe_passes":[${j(s1)},${j(s2)}],"pairs":$rows,""" +
         s""""index_sig_bytes":${meta.sigBytes}}""")
+      Dedup.purgeScratchDirs() // increment stagings are dead past here
     }
     spark.stop()
   }

@@ -230,6 +230,10 @@ object ScaleBench {
         if (!first) out.append(",\n")
         out.append("  ").append(line)
         first = false
+        // this query's staged signature scratch (one table per pass,
+        // ~19 GB each at the 8M rung) is dead now — reclaim before the
+        // next query instead of at JVM exit
+        graft.operators.Dedup.purgeScratchDirs()
         }
       }
     }

@@ -139,6 +139,24 @@ object Dedup {
     stagedSigDirs.add(p)
   }
 
+  /** Delete every scratch dir staged so far. The ladder harnesses call
+    * this BETWEEN measurements: each pass constructs a fresh DataFrame
+    * and with it a fresh staged signature table, the old frames are
+    * dead once their pass finishes, and at the 8M rung one staging is
+    * ~19 GB — accumulating them across a multi-query ladder JVM
+    * overflows the disk (measured: CcProbe's three 4M stagings +
+    * shuffle spill filled the host). Any still-live DataFrame that
+    * references a purged stage becomes invalid — callers own that
+    * lifecycle, which is why this is explicit, not an auto-eviction. */
+  private[graft] def purgeScratchDirs(): Unit = {
+    var p = stagedSigDirs.poll()
+    while (p != null) {
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Exception => () }
+      p = stagedSigDirs.poll()
+    }
+  }
+
   /** The full one-pass join-leg frame: banding + refinement + the
     * hashed single-long shuffle key + the shifted-and-sorted int set.
     * One row per (doc, band); both self-join legs are exactly this

@@ -304,6 +304,54 @@ object SignatureIndex {
         MinHashCoeffs.length / meta.rowsPerBand))
   }
 
+  /** STAGED STRONG-PAIR GRAPH, materialized once beside the index
+    * (`pairs/`): the round-9 CcProbe decomposition showed connected
+    * components is FLAT across the ladder (21.0 s at 2M → 22.1 s at
+    * 4M, 5 rounds both) while strong-edge production carries the
+    * entire dedup_clusters growth (~130-210 s of the 308 s 4M rung) —
+    * so the edge list is exactly the artifact to compute once per
+    * corpus and reread, same lifecycle as the signatures themselves.
+    * Stored with jaccard_bp at a build-time floor so one
+    * materialization serves every downstream threshold ≥ the floor. */
+  def ensureSelfPairs(spark: SparkSession, indexPath: String,
+                      floorBp: Long = 5000): DataFrame = {
+    val dir = Paths.get(indexPath, "pairs")
+    val marker = dir.resolve("_PAIRS_OK") // leading _ → invisible to the scan
+    val stamp = s"floorBp=$floorBp"
+    if (!(Files.isRegularFile(marker) &&
+        new String(Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8) == stamp)) {
+      selfPairsFromIndex(spark, indexPath)
+        .filter(col("jaccard_bp") >= floorBp)
+        .write.mode("overwrite").parquet(dir.toString)
+      Files.write(marker,
+        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // NOTE: the band join staged a corpus-sized scratch table; the
+      // ladder harnesses reclaim it via Dedup.purgeScratchDirs()
+      // between measurements (not here — the caller owns scratch
+      // lifecycle, and purging inside would kill sibling stages)
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Near-dup CLUSTERS off the persisted index: connected components
+    * over the staged strong-pair graph. After the one-time pairs
+    * materialization this costs a pairs scan + the (flat, ~22 s at 4M)
+    * CC rounds — vs recomputing the whole band join per clustering
+    * run. `minJaccardBp` must be ≥ the floor the pairs were staged
+    * with. Output: (doc_id, cluster_id) like
+    * [[Dedup.connectedComponents]]. */
+  def clustersFromIndex(spark: SparkSession, indexPath: String,
+                        minJaccardBp: Long = 5000,
+                        floorBp: Long = 5000): DataFrame = {
+    require(minJaccardBp >= floorBp,
+      s"pairs were staged at floor $floorBp; cannot filter below it")
+    val pairs = ensureSelfPairs(spark, indexPath, floorBp)
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select(col("id_a"), col("id_b"))
+    val verts = spark.read.parquet(s"$indexPath/sig").select(col("doc_id"))
+    Dedup.connectedComponents(verts, "doc_id", pairs)
+  }
+
   /** Build-once cache for fixture-derived indexes (the oracle/bench
     * path, mirroring [[graft.streaming.StreamingOps.stageDocBatches]]'s
     * discipline): the index for `cacheKey` is built under the JVM tmp

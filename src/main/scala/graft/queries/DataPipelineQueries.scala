@@ -108,6 +108,26 @@ object DataPipelineQueries {
       .orderBy(col("id_new"), col("id_old"))
   }
 
+  /** dedup_index_clusters: near-dup clusters served off the persisted
+    * index's STAGED strong-pair graph (SCALING.md §4.14): the CcProbe
+    * decomposition showed CC is flat across the ladder while edge
+    * production carries all of dedup_clusters' growth, so the pairs
+    * are materialized ONCE beside the index and every clustering run
+    * pays a pairs scan + the flat CC rounds. Identical frame to
+    * dedup_clusters (one oracle twin serves both). */
+  private val dedup_index_clusters: Q = (s, d) => {
+    val idx = SignatureIndex.ensureIndex(
+      Dedup.shingleHashSets(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", SHINGLE_K),
+      "docsall_" + graft.streaming.StreamingOps.sourceFingerprint(
+        java.nio.file.Paths.get(d, "documents.parquet")))
+    SignatureIndex.clustersFromIndex(s, idx)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_index_selfpairs: the corpus SELF near-dup pairs served
     * straight off the persisted [[SignatureIndex]] — proves the index
     * replaces the live staged table for the self form too (same frame
@@ -1625,6 +1645,7 @@ object DataPipelineQueries {
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_incremental" -> dedup_incremental,
     "dedup_index_selfpairs" -> dedup_index_selfpairs,
+    "dedup_index_clusters" -> dedup_index_clusters,
     "dedup_containment" -> dedup_containment,
     "pipeline_mix_balance" -> pipeline_mix_balance,
     "dedup_simhash" -> dedup_simhash,
@@ -1773,6 +1794,20 @@ object DataPipelineQueries {
        |    SELECT cell AS cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS qc
        |    FROM s_$outCte GROUP BY cell) u ON u.cid = p.cid)""".stripMargin
 
+  /** DuckDB twin of the near-dup cluster frame — shared verbatim by
+    * dedup_clusters (live band join + CC) and dedup_index_clusters
+    * (staged pair graph off the persisted index + CC). */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE ${strongEdgeCtes("documents")},
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id AS doc_id, min(r) AS cluster_id,
+       |  min(r) = id AS is_canonical
+       |FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of the LSH near-dup pair frame — shared verbatim by
     * dedup_neardup_pairs (live staged signature table) and
     * dedup_index_selfpairs (persisted [[SignatureIndex]]): both plans
@@ -1832,16 +1867,10 @@ object DataPipelineQueries {
          |SELECT probe_id, rank, candidate_id, score
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE ${strongEdgeCtes("documents")},
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
-         |SELECT id AS doc_id, min(r) AS cluster_id,
-         |  min(r) = id AS is_canonical
-         |FROM reach GROUP BY id
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersSql,
+    // the index-served clustering contracts to the identical frame —
+    // one twin, two plans (live band join vs staged pair graph)
+    "dedup_index_clusters" -> clustersSql,
     "pipeline_curate" ->
       s"""WITH RECURSIVE filtered AS (
          |  SELECT doc_id, text FROM documents

@@ -110,6 +110,35 @@ class SignatureIndexSpec extends AnyFunSuite {
       s"pair join is not SHUFFLE_HASH:\n$p")
   }
 
+  test("staged pair graph: clusters off the index equal the live CC frame; pairs build once") {
+    val idx = newIndexDir()
+    val all = hashed.drop("bucket")
+    SignatureIndex.buildSignatureIndex(all, idx)
+    val expected = canon {
+      val strong = Dedup.lshJaccardPairs(all, 4)
+        .filter(col("jaccard_bp") >= 5000).select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(
+        Tables.documents(spark, sf).select(col("doc_id")), "doc_id", strong)
+    }
+    assert(expected.nonEmpty)
+    assert(canon(SignatureIndex.clustersFromIndex(spark, idx)) == expected)
+    // the pairs parquet is a build-once artifact: a second clustering
+    // run must reread it, not rewrite it
+    def pairsState(): Seq[(String, Long)] =
+      Files.walk(Paths.get(idx, "pairs")).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+        .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
+        .sortBy(_._1)
+    val before = pairsState()
+    assert(canon(SignatureIndex.clustersFromIndex(spark, idx)) == expected)
+    assert(pairsState() == before, "second clustering rewrote the staged pairs")
+    // below-floor thresholds are a contract violation, not a silent wrong answer
+    intercept[IllegalArgumentException] {
+      SignatureIndex.clustersFromIndex(spark, idx, minJaccardBp = 1000)
+    }
+  }
+
   test("ensureIndex caches by key and stamp") {
     val key = "spec_" + System.nanoTime()
     val p1 = SignatureIndex.ensureIndex(corpus, key)
