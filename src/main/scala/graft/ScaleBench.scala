@@ -152,6 +152,13 @@ object ScaleBench {
           calPre = Bench.calibrationMs()
           bestCal = math.min(bestCal, calPre)
           val (s1, _) = timedPass()
+          // pass 1's staged scratch (corpus-sized — ~19 GB at the 8M
+          // rung) is dead now; without this purge two live stagings +
+          // both passes' shuffle files overflow the disk mid-query
+          // (measured twice at 8M). The gc nudges the ContextCleaner
+          // to drop pass 1's shuffle files too.
+          graft.operators.Dedup.purgeScratchDirs()
+          System.gc()
           val (s2, d2) = timedPass()
           calPost = Bench.calibrationMs()
           bestCal = math.min(bestCal, calPost)

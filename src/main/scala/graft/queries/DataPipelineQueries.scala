@@ -168,13 +168,23 @@ object DataPipelineQueries {
     * (array_distinct — no dedup shuffle); the gram groupBy is
     * wordcount-shaped; pair formation happens only inside rare-gram
     * buckets (population-capped, so the pair space is bucket-bounded
-    * exactly like the LSH band join); the shingle sets ride INTO the
-    * rare-gram self-join on one doc-keyed join (holders are the
-    * population-capped survivors, so the payload fan-out is bounded),
-    * and scoring happens where both sorted int sets are already
-    * co-located — the §4.4 discipline; the round-8 shape re-joined the
-    * corpus TWICE per pair id to fetch payloads, the exact pattern
-    * §4.4 measured as dominant and eliminated for LSH. */
+    * exactly like the LSH band join); candidate pairs stay SLIM
+    * (ids only) through the gram self-join and collapse to DISTINCT
+    * pairs BEFORE the two payload-fetch joins score them.
+    *
+    * Why this deliberately does NOT co-locate payloads in the gram
+    * join (§4.4's discipline for LSH — tried in round 9, measured,
+    * REVERTED; SCALING.md §4.15): §4.4's precondition is bounded
+    * per-doc fan-out. An LSH doc appears in exactly nBands band rows,
+    * so carrying its set costs nBands copies. A doc's rare-GRAM
+    * memberships are unbounded — duplicated documents share ~all
+    * their ~90 grams, every one a rare-gram holder row — so carrying
+    * the set into the holders frame multiplies the payload by ~90×
+    * while the DISTINCT pair count collapses those same memberships
+    * ~90:1 (the pair is the same pair through every shared gram).
+    * Measured at 1M docs: the co-located self-join's sort spill
+    * overflowed a 70 GB disk; the slim-pair + fetch shape moves
+    * |pairs| × payload ≈ 100× less through its exchanges. */
   private val dedup_containment: Q = (s, d) => {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -200,22 +210,24 @@ object DataPipelineQueries {
         array_sort(transform(col("hs"),
           h => (h - 2147483648L).cast("int"))).as("hsi"),
         size(col("hs")).cast("long").as("n_set"))
-    // ONE doc-keyed join carries each holder's set into the pair join;
-    // the pair self-join then scores with both payloads co-located —
-    // no pair-id → corpus re-join (plan-audited)
-    val holders = grams.join(rare, Seq("g1", "g2")).join(sets, Seq("doc_id"))
-    holders.as("a").join(holders.as("b"),
+    // slim (ids-only) pair generation; memberships collapse ~90:1 to
+    // distinct pairs BEFORE any payload moves (see the scaladoc above
+    // for why co-locating payloads here is the wrong trade)
+    val holders = grams.join(rare, Seq("g1", "g2"))
+    val cand = holders.as("a").join(holders.as("b"),
         col("a.g1") === col("b.g1") && col("a.g2") === col("b.g2") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hsi").as("sa"),
+        col("n_set").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hsi").as("sb"),
+        col("n_set").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
         org.apache.spark.sql.graft.HashExpressions
-          .sorted_inter_size(col("a.hsi"), col("b.hsi")).cast("long").as("n_inter"),
-        col("a.n_set").as("n_a"), col("b.n_set").as("n_b"))
-      // a pair sharing several rare grams scores once per gram; every
-      // copy is equal (pure function of the pair) and collapses here
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("n_inter")).as("n_inter"),
-        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+          .sorted_inter_size(col("sa"), col("sb")).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
       .withColumn("contain_bp", expr("n_inter * 10000 div least(n_a, n_b)"))
       .withColumn("jaccard_bp", expr("n_inter * 10000 div (n_a + n_b - n_inter)"))
       .filter(col("contain_bp") >= 8000)

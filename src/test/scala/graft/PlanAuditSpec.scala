@@ -519,19 +519,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus index scan must be semi-pruned by increment band keys:\n$p")
   }
 
-  test("dedup_containment: pairs score co-located — no pair-id corpus re-join") {
+  test("dedup_containment: slim pair channel — payload never rides the gram join") {
+    // the MEASURED shape (SCALING.md §4.15): co-locating the shingle
+    // sets in the gram self-join multiplies payload by per-doc gram
+    // MEMBERSHIP (~90× on duplicated docs — unbounded, unlike LSH's
+    // nBands) and overflowed the disk at 1M docs; the slim channel
+    // collapses memberships to DISTINCT pairs first and fetches
+    // payloads by pair id (|pairs| ≈ memberships/90). This pins the
+    // choice: the gram self-join must NOT carry the set payload...
     val p = plan("dedup_containment")
-    // the round-8 shape fetched both shingle payloads through two
-    // pair-id JOINS back to the corpus — exactly the §4.4 re-shuffle
-    // the co-located scoring discipline exists to avoid. A pair-id
-    // join is the smell (payload-width rows re-shuffled per pair); the
-    // skinny (id_a, id_b, counts) aggregate exchange is fine and
-    // expected
-    assert(!"""Join \S*\[id_a""".r.findFirstIn(p).isDefined &&
-           !"""Join \S*\[id_b""".r.findFirstIn(p).isDefined,
-      s"a join keys on a pair id — corpus payload re-fetch (§4.4 regression):\n$p")
-    // gram-duplicated pair copies collapse in a map-side-combined agg
-    assert(p.contains("partial_max"),
-      s"pair-copy collapse must combine map-side:\n$p")
+    // gram-keyed self-join present (detail section lists join keys)
+    assert("""keys \[2\]: \[g1#""".r.findFirstIn(p).isDefined,
+      s"gram self-join missing:\n$p")
+    // the payload-fetch joins BY PAIR ID are the chosen shape — the
+    // co-located form has no id_a-keyed join, so their presence is the
+    // regression guard against re-introducing the §4.15 blow-up
+    assert("""keys \[1\]: \[id_a#""".r.findFirstIn(p).isDefined &&
+           """keys \[1\]: \[id_b#""".r.findFirstIn(p).isDefined,
+      s"pair-id payload fetch missing (payload riding the gram join?):\n$p")
+    // memberships collapse to distinct pairs before any payload moves
+    assert("""Keys \[2\]: \[id_a#""".r.findFirstIn(p).isDefined,
+      s"distinct pair collapse missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
