@@ -414,11 +414,22 @@ object StreamingQueries {
     * probe against the static index, so the admitted set is invariant
     * under any batch split (the oracle hashes that invariance across
     * the 3-batch staging). At 100 TB the band table is the persisted
-    * signature index bucketed by band signature; here it broadcasts.
-    * The chained-anti trick is what makes per-doc "no band matches"
-    * decidable without any stateful per-doc aggregation: a doc
-    * survives the chain iff NO band hit, and anti-join multiplicity
-    * is set-semantics by construction. */
+    * signature index bucketed by band signature. The chained-anti
+    * trick is what makes per-doc "no band matches" decidable without
+    * any stateful per-doc aggregation: a doc survives the chain iff
+    * NO band hit, and anti-join multiplicity is set-semantics by
+    * construction.
+    *
+    * The static-side join strategy is SIZE-DRIVEN, deliberately not a
+    * forced broadcast: the band table carries the full shingle sets
+    * (the residual Jaccard predicate needs them), so it is
+    * corpus-sized — measured at the 1M rung, a forced broadcast
+    * collected 3 GiB of band rows to the driver and died on
+    * maxResultSize (SCALING.md §4.15). Below the auto-broadcast
+    * threshold (every oracle SF) Spark broadcasts it anyway — the
+    * small-SF plan is unchanged; above it, the cached static side
+    * shuffles per micro-batch, the stream-static shape that actually
+    * survives a corpus-sized index. */
   private val stream_ingest_gate: Q = (s, d) => ingestGate(s, d, 3)
 
   /** The gate body, parameterized on the micro-batch count so the
@@ -455,10 +466,10 @@ object StreamingQueries {
       .withColumn("i_b0", slice(col("sig"), 1, 4))
       .withColumn("i_b1", slice(col("sig"), 5, 4))
     val kept = inc
-      .join(broadcast(corpusMd5), col("i_md5") === col("c_md5"), "left_anti")
-      .join(broadcast(corpusBands.select(col("c_b0"), col("c_hs"))),
+      .join(corpusMd5, col("i_md5") === col("c_md5"), "left_anti")
+      .join(corpusBands.select(col("c_b0"), col("c_hs")),
         col("i_b0") === col("c_b0") && strong0, "left_anti")
-      .join(broadcast(corpusBands.select(col("c_b1"), col("c_hs"))),
+      .join(corpusBands.select(col("c_b1"), col("c_hs")),
         col("i_b1") === col("c_b1") && strong0, "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
     StreamingOps.runToMemory(s, kept,
