@@ -43,10 +43,15 @@ object IndexProbe {
 
     // the one fixed increment, staged once as parquet so every rung
     // reads identical bytes (and the probe's own increment staging is
-    // measured, not the docRow generation)
-    val incDir = s"$base/inc100k"
+    // measured, not the docRow generation). The staged dir is KEYED ON
+    // THE BASE ID (sizes.max): a later run with a larger corpus must
+    // not reuse an increment whose ids fall INSIDE its corpus —
+    // ScaleGen.docRow is deterministic by id, so such a reuse would
+    // plant 100k byte-identical corpus duplicates and contaminate the
+    // probe (round-9 ADVICE).
+    val maxN = sizes.max
+    val incDir = s"$base/inc100k_from$maxN"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(incDir, "_SUCCESS"))) {
-      val maxN = sizes.max
       spark.range(maxN, maxN + IncrementDocs, 1, 8)
         .map(i => ScaleGen.docRow(i))
         .write.mode("overwrite").parquet(incDir)

@@ -79,10 +79,11 @@ object SignatureIndex {
       h => (h - 2147483648L).cast("int"))).as("hsi"))
 
   private def parquetBytes(dir: Path): Long =
-    Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    scala.util.Using.resource(Files.walk(dir))(
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum)
 
   /** Band-explode a signature frame into one row per (doc, band),
     * carrying the refinement inputs. `narrow` drops hsi — the
@@ -359,6 +360,17 @@ object SignatureIndex {
     * race benignly (last overwrite wins on a content-identical build —
     * everything is a pure function of the fixture). Returns the index
     * path. */
+  /** Cache key for a fixture-derived index: prefix + source-DIR hash +
+    * source size+mtime fingerprint — the same discipline as
+    * [[graft.streaming.StreamingOps.stageDocBatches]]'s key. The dir
+    * hash matters: two different datasets colliding on total size and
+    * max mtime must not silently share one index (round-9 ADVICE). */
+  def sourceCacheKey(prefix: String, sfDir: String,
+                     table: String = "documents.parquet"): String =
+    prefix + "_" + Integer.toHexString(sfDir.hashCode) + "_" +
+      graft.streaming.StreamingOps.sourceFingerprint(
+        Paths.get(sfDir, table))
+
   def ensureIndex(hashed: => DataFrame, cacheKey: String,
                   rowsPerBand: Int = 4, capPop: Int = 256,
                   maxExtraBits: Int = 8): String = synchronized {

@@ -102,8 +102,7 @@ object DataPipelineQueries {
     val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
     val idx = SignatureIndex.ensureIndex(
       hashed.filter(col("bucket") < 90).drop("bucket"),
-      "docs90_" + graft.streaming.StreamingOps.sourceFingerprint(
-        java.nio.file.Paths.get(d, "documents.parquet")))
+      SignatureIndex.sourceCacheKey("docs90", d))
     SignatureIndex.probeSignatureIndex(inc, idx)
       .orderBy(col("id_new"), col("id_old"))
   }
@@ -120,8 +119,7 @@ object DataPipelineQueries {
       Dedup.shingleHashSets(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", SHINGLE_K),
-      "docsall_" + graft.streaming.StreamingOps.sourceFingerprint(
-        java.nio.file.Paths.get(d, "documents.parquet")))
+      SignatureIndex.sourceCacheKey("docsall", d))
     SignatureIndex.clustersFromIndex(s, idx)
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
@@ -138,8 +136,7 @@ object DataPipelineQueries {
       Dedup.shingleHashSets(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", SHINGLE_K),
-      "docsall_" + graft.streaming.StreamingOps.sourceFingerprint(
-        java.nio.file.Paths.get(d, "documents.parquet")))
+      SignatureIndex.sourceCacheKey("docsall", d))
     SignatureIndex.selfPairsFromIndex(s, idx)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
         col("jaccard_bp"))

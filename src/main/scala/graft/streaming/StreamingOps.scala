@@ -286,9 +286,16 @@ object StreamingOps {
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
     Files.createDirectories(build)
+    // any failure past this point must not leave a dangling .build_ dir
+    // (same discipline as stageDocBatches; an empty source used to
+    // throw a MatchError out of the Row unapply and orphan the
+    // half-built directory)
+    try {
     val raw = rawEventsNs(spark, src.toString)
-    val Row(tsMin: Long, tsMax: Long) =
-      raw.agg(min(col("ts")), max(col("ts"))).head()
+    val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+    require(!mm.isNullAt(0),
+      s"cannot stage streaming event batches: $src has no rows")
+    val (tsMin, tsMax) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(tsMax - tsMin, 1L)
     val base = System.currentTimeMillis()
     // arrival position pos receives event-time slice order(pos); the
@@ -334,6 +341,12 @@ object StreamingOps {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException =>
         org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+    }
+    } catch {
+      case e: Throwable =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+        catch { case _: Exception => () }
+        throw e
     }
     dir.toString
   }

@@ -57,10 +57,11 @@ class SignatureIndexSpec extends AnyFunSuite {
     val idx = newIndexDir()
     SignatureIndex.buildSignatureIndex(corpus, idx)
     def sigState(): Seq[(String, Long, Long)] =
-      Files.walk(Paths.get(idx, "sig")).iterator().asScala
-        .filter(Files.isRegularFile(_)).toSeq
-        .map(p => (p.toString, Files.size(p),
-          Files.getLastModifiedTime(p).toMillis)).sortBy(_._1)
+      scala.util.Using.resource(Files.walk(Paths.get(idx, "sig")))(
+        _.iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq
+          .map(p => (p.toString, Files.size(p),
+            Files.getLastModifiedTime(p).toMillis)).sortBy(_._1))
     val before = sigState()
     val r1 = canon(SignatureIndex.probeSignatureIndex(inc, idx))
     val r2 = canon(SignatureIndex.probeSignatureIndex(inc, idx))
@@ -125,11 +126,12 @@ class SignatureIndexSpec extends AnyFunSuite {
     // the pairs parquet is a build-once artifact: a second clustering
     // run must reread it, not rewrite it
     def pairsState(): Seq[(String, Long)] =
-      Files.walk(Paths.get(idx, "pairs")).iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet")).toSeq
-        .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
-        .sortBy(_._1)
+      scala.util.Using.resource(Files.walk(Paths.get(idx, "pairs")))(
+        _.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).toSeq
+          .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
+          .sortBy(_._1))
     val before = pairsState()
     assert(canon(SignatureIndex.clustersFromIndex(spark, idx)) == expected)
     assert(pairsState() == before, "second clustering rewrote the staged pairs")
