@@ -360,6 +360,149 @@ object SignatureIndex {
     * race benignly (last overwrite wins on a content-identical build —
     * everything is a pure function of the fixture). Returns the index
     * path. */
+  /** Build-once SIDECAR table beside an index (marker-stamped, same
+    * single-writer contract): gate artifacts that are keyed to the
+    * same corpus as the index but not part of the signature format —
+    * e.g. the exact-dedup md5 set. `build` writes parquet at the given
+    * path; the marker commits it. */
+  def ensureSidecar(indexPath: String, name: String)
+                   (build: String => Unit): String = synchronized {
+    val dir = Paths.get(indexPath, name)
+    val marker = Paths.get(indexPath, s"_SIDECAR_${name.toUpperCase}_OK")
+    if (!Files.isRegularFile(marker)) {
+      build(dir.toString)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
+  /** Streaming-ingest ADMISSION GATE, one micro-batch at a time — the
+    * batch-mode body a foreachBatch sink runs per trigger (see
+    * `graft.queries.StreamingQueries.ingestGate`). Returns the rows of
+    * `batch` (projected to `keep`) that pass every check against the
+    * persisted corpus index:
+    *  - not an exact duplicate: md5 anti-join against the `gate_md5`
+    *    sidecar (NOT subsumable by the band checks — a document with
+    *    fewer than `shingleK` tokens has an EMPTY shingle set, a null
+    *    MinHash signature and therefore no band rows at all, yet its
+    *    exact copies must still be rejected);
+    *  - no strong near-duplicate (set-Jaccard ≥ 1/2, integer-exact:
+    *    3·|A∩B| ≥ |A|+|B|) through any of the first `nGateBands` LSH
+    *    bands of the index.
+    *
+    * Scale shape — the round-9 defect this replaces re-SORTED the
+    * corpus-sized band table on every micro-batch (4.8×/doubling at
+    * the 2M rung, SCALING.md §4.15). Here every corpus-sized input is
+    * a persisted columnar scan SEMI-PRUNED BY A BATCH-SIZED BROADCAST
+    * before any exchange, exactly [[probeSignatureIndex]]'s plan:
+    *  1. the batch's distinct md5 keys broadcast-prune the md5 sidecar
+    *     scan; survivors (≤ batch size) anti-join the batch;
+    *  2. the batch's distinct band keys broadcast-prune the banded
+    *     sig/ scan; survivors are LEFT SEMI-probed from the batch's
+    *     band rows with the exact-Jaccard residual (both sorted int
+    *     sets co-located in the join — the §4.4 discipline; SEMI, so
+    *     a hot bucket can't explode the output);
+    *  3. batch LEFT ANTI the hit ids.
+    * The corpus is never shuffled, never sorted, never re-hashed.
+    *
+    * The gate deliberately IGNORES the index's hot/hot2 refinement
+    * tables: refinement shards a hot bucket to bound PAIR-JOIN output,
+    * but a gate needs EXISTENCE, and a strong-but-not-identical pair
+    * split across shards would be silently admitted — a semantics
+    * change. The LEFT SEMI probe gives the same output-boundedness
+    * refinement buys the pair join.
+    *
+    * `nGateBands` = 2 matches the reference gate's two-band form (and
+    * its DuckDB oracle twin); a production corpus gate would raise it
+    * toward the index's full band count for higher recall. */
+  def gateBatchThroughIndex(batch: DataFrame, indexPath: String,
+                            keep: Seq[String], shingleK: Int = 5,
+                            nGateBands: Int = 2): DataFrame = {
+    val (b, admitted) = gateBatchPlan(batch, indexPath, keep, shingleK, nGateBands)
+    // eager local checkpoint: runs the whole gate NOW (while the hashed
+    // batch is cached — one batch-hashing pass instead of one per plan
+    // branch) and hands the runner a materialized batch-sized result,
+    // so the cache can be dropped before this call returns. Checkpoint
+    // blocks are batch-output-sized and freed by the driver GC, the
+    // same bounded lingering as Dedup.ccRounds' documented use.
+    val out = admitted.localCheckpoint(true)
+    b.unpersist()
+    out
+  }
+
+  /** The LAZY gate plan — (cached hashed batch, admitted frame) —
+    * split out so the plan-shape spec can audit the physical plan the
+    * gate actually runs (no corpus-side sort, broadcast-semi prune)
+    * before the checkpoint hides it. */
+  private[graft] def gateBatchPlan(batch: DataFrame, indexPath: String,
+                                   keep: Seq[String], shingleK: Int = 5,
+                                   nGateBands: Int = 2): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.HashExpressions
+    val spark = batch.sparkSession
+    val meta = readMeta(indexPath)
+    require(nGateBands * meta.rowsPerBand <= MinHashCoeffs.length,
+      s"gate wants $nGateBands bands of ${meta.rowsPerBand} rows; " +
+        s"only ${MinHashCoeffs.length} signature values exist")
+
+    def gateBands(df: DataFrame, carry: Seq[Column]): DataFrame =
+      df.select(carry :+
+        posexplode(transform(
+          sequence(lit(0), lit(nGateBands - 1)),
+          b => slice(col("sig"), b * meta.rowsPerBand + 1,
+            lit(meta.rowsPerBand))))
+          .as(Seq("band", "band_sig")): _*)
+
+    // batch-sized and read three times (md5 keys, band keys, band
+    // probe): materialize once, reclaimed by the caller's unpersist
+    val b = batch
+      .withColumn("i_md5", md5(col("text")))
+      .withColumn("hs", Dedup.shingleHashes(col("text"), shingleK))
+      .withColumn("sig",
+        HashExpressions.minhash_sigs(col("hs")).as("sig"))
+      .withColumn("hsi", array_sort(transform(col("hs"),
+        h => (h - 2147483648L).cast("int"))))
+      .drop("hs")
+      .persist()
+
+    // exact-dup check: sidecar scan pruned by the batch's broadcast
+    // md5 keys — survivors are batch-bounded, then a plain anti
+    val incMd5 = b.select(col("i_md5")).distinct()
+    val md5Hits = spark.read.parquet(s"$indexPath/gate_md5")
+      .join(broadcast(incMd5), col("c_md5") === col("i_md5"), "left_semi")
+    val afterMd5 = b.join(md5Hits, col("i_md5") === col("c_md5"), "left_anti")
+
+    // near-dup check: banded sig/ scan pruned by the batch's broadcast
+    // band keys, then an existence (SEMI) probe with the exact-Jaccard
+    // residual. Rows with a null signature (empty shingle set) explode
+    // to null band_sig and match nothing — same semantics as the
+    // oracle's null-signature comparison.
+    val incBands = gateBands(afterMd5,
+      Seq(col("doc_id"), col("sig"), col("hsi")))
+    val incKeys = incBands
+      .select(xxhash64(col("band"), col("band_sig")).as("k")).distinct()
+    val corpusBands = gateBands(
+      spark.read.parquet(s"$indexPath/sig").select(col("sig"), col("hsi")),
+      Seq(col("hsi")))
+      .withColumnRenamed("hsi", "c_hsi")
+      .withColumnRenamed("band", "c_band")
+      .withColumnRenamed("band_sig", "c_band_sig")
+    val pruned = corpusBands
+      .join(broadcast(incKeys),
+        xxhash64(col("c_band"), col("c_band_sig")) === col("k"), "left_semi")
+    val strong = lit(3) * HashExpressions
+      .sorted_inter_size(col("hsi"), col("c_hsi")) >=
+      size(col("hsi")) + size(col("c_hsi"))
+    val hitIds = incBands
+      .join(pruned.hint("SHUFFLE_HASH"),
+        col("band") === col("c_band") &&
+          col("band_sig") === col("c_band_sig") && strong, "left_semi")
+      .select(col("doc_id")).distinct()
+
+    val admitted = afterMd5.join(hitIds, Seq("doc_id"), "left_anti")
+      .select(keep.map(col): _*)
+    (b, admitted)
+  }
+
   /** Cache key for a fixture-derived index: prefix + source-DIR hash +
     * source size+mtime fingerprint — the same discipline as
     * [[graft.streaming.StreamingOps.stageDocBatches]]'s key. The dir

@@ -95,16 +95,28 @@ object DataPipelineQueries {
     * nothing corpus-sized is rewritten. Candidates get exact
     * set-Jaccard scores co-located by the pair join. */
   private val dedup_incremental: Q = (s, d) => {
-    val hashed = Dedup.shingleHashSets(
+    val inc = Dedup.shingleHashSets(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", SHINGLE_K)
       .withColumn("bucket", splitBucket)
-    val inc = hashed.filter(col("bucket") >= 90).drop("bucket")
-    val idx = SignatureIndex.ensureIndex(
-      hashed.filter(col("bucket") < 90).drop("bucket"),
-      SignatureIndex.sourceCacheKey("docs90", d))
-    SignatureIndex.probeSignatureIndex(inc, idx)
+      .filter(col("bucket") >= 90).drop("bucket")
+    SignatureIndex.probeSignatureIndex(inc, docs90Index(s, d))
       .orderBy(col("id_new"), col("id_old"))
+  }
+
+  /** The persisted signature index of the 90% corpus slice (splitBucket
+    * < 90) — ONE on-disk artifact shared by [[dedup_incremental]] and
+    * the streaming ingest gate (StreamingQueries.ingestGate): both
+    * probe the same curated corpus, so they must amortize the same
+    * build. Keyed by source dir + fingerprint (stale on regeneration). */
+  private[queries] def docs90Index(s: SparkSession, d: String): String = {
+    val corpusHashed = Dedup.shingleHashSets(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", SHINGLE_K)
+      .withColumn("bucket", splitBucket)
+      .filter(col("bucket") < 90).drop("bucket")
+    SignatureIndex.ensureIndex(corpusHashed,
+      SignatureIndex.sourceCacheKey("docs90", d))
   }
 
   /** dedup_index_clusters: near-dup clusters served off the persisted

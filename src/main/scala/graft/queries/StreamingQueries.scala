@@ -405,31 +405,31 @@ object StreamingQueries {
     * pipeline — new documents arrive in micro-batches and each must
     * pass three checks against the already-curated STATIC corpus
     * before admission: not an exact duplicate (md5 anti-join), and not
-    * a strong near-duplicate through either MinHash LSH band (two
-    * chained stream-static LEFT ANTI joins on the band signature, each
-    * with the exact set-Jaccard threshold as a residual join
-    * predicate: jaccard ≥ 1/2 ⇔ 3·|A∩B| ≥ |A|+|B|, integer-exact).
+    * a strong near-duplicate through either of the first two MinHash
+    * LSH bands, with the exact set-Jaccard threshold as a residual
+    * predicate (jaccard ≥ 1/2 ⇔ 3·|A∩B| ≥ |A|+|B|, integer-exact).
     * This is the streaming twin of dedup_incremental, and it is
     * deliberately STATELESS: every check is a pure set-membership
-    * probe against the static index, so the admitted set is invariant
-    * under any batch split (the oracle hashes that invariance across
-    * the 3-batch staging). At 100 TB the band table is the persisted
-    * signature index bucketed by band signature. The chained-anti
-    * trick is what makes per-doc "no band matches" decidable without
-    * any stateful per-doc aggregation: a doc survives the chain iff
-    * NO band hit, and anti-join multiplicity is set-semantics by
-    * construction.
+    * probe against the persisted corpus index, so the admitted set is
+    * invariant under any batch split (the oracle hashes that
+    * invariance across the 3-batch staging; state_rows_peak = 0 is a
+    * ladder observable).
     *
-    * The static-side join strategy is SIZE-DRIVEN, deliberately not a
-    * forced broadcast: the band table carries the full shingle sets
-    * (the residual Jaccard predicate needs them), so it is
-    * corpus-sized — measured at the 1M rung, a forced broadcast
-    * collected 3 GiB of band rows to the driver and died on
-    * maxResultSize (SCALING.md §4.15). Below the auto-broadcast
-    * threshold (every oracle SF) Spark broadcasts it anyway — the
-    * small-SF plan is unchanged; above it, the cached static side
-    * shuffles per micro-batch, the stream-static shape that actually
-    * survives a corpus-sized index. */
+    * Scale shape (the round-9 weak item, now closed): the corpus side
+    * is the PERSISTED SIGNATURE INDEX ([[graft.operators
+    * .SignatureIndex]], shared artifact with dedup_incremental) plus
+    * its md5 sidecar, probed per micro-batch inside foreachBatch with
+    * batch-sized broadcasts semi-pruning the index scans BEFORE any
+    * exchange — the corpus is never shuffled, never sorted, never
+    * re-hashed per batch. The previous declarative form chained
+    * stream-static LEFT ANTI joins against a live band table, which
+    * re-SORTED the corpus-sized static side on every micro-batch once
+    * it outgrew broadcast (measured 4.8×/doubling at the 2M rung,
+    * SCALING.md §4.15; the forced-broadcast variant died collecting
+    * ~3 GiB to the driver at 1M). A declarative stream-static join
+    * cannot express a stream-derived broadcast — the per-batch batch-
+    * mode probe is the only plan with this shape, and foreachBatch is
+    * its Structured Streaming home. */
   private val stream_ingest_gate: Q = (s, d) => ingestGate(s, d, 3)
 
   /** The gate body, parameterized on the micro-batch count so the
@@ -438,42 +438,25 @@ object StreamingQueries {
     * (OracleSfSweepSpec). */
   private[graft] def ingestGate(s: SparkSession, d: String,
                                 nBatches: Int): DataFrame = {
-    import graft.operators.Dedup
-    import org.apache.spark.sql.graft.HashExpressions
+    import graft.operators.SignatureIndex
     val bucket = pmod(graft.functions.HashFunctions.hash32(
       col("doc_id").cast("string")), lit(100))
-    // static corpus index (in production: persisted by the batch dedup
-    // pass); cached so the per-micro-batch probes don't rebuild it
-    val corpus = graft.Tables.documents(s, d).filter(bucket < 90)
-    val corpusHashed = Dedup.shingleHashSets(
-      corpus.repartition(col("doc_id")), "doc_id", "text", 5)
-    val corpusMd5 = corpus.select(md5(col("text")).as("c_md5"))
-      .distinct().cache()
-    val corpusBands = corpusHashed
-      .select(col("hs").as("c_hs"),
-        HashExpressions.minhash_sigs(col("hs")).as("sig"))
-      .select(col("c_hs"),
-        slice(col("sig"), 1, 4).as("c_b0"),
-        slice(col("sig"), 5, 4).as("c_b1"))
-      .cache()
-    val strong0 = lit(3) * size(array_intersect(col("hs"), col("c_hs"))) >=
-      size(col("hs")) + size(col("c_hs"))
+    // corpus index: built once per corpus (a corpus event, not a gate
+    // cost), shared with dedup_incremental; the md5 sidecar rides in
+    // the same artifact so exact-dedup needs no second corpus pass at
+    // gate time
+    val idx = DataPipelineQueries.docs90Index(s, d)
+    SignatureIndex.ensureSidecar(idx, "gate_md5") { p =>
+      graft.Tables.documents(s, d).filter(bucket < 90)
+        .select(md5(col("text")).as("c_md5")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
     val inc = StreamingOps.documentsStream(s, d, nBatches)
       .filter(bucket >= 90)
-      .withColumn("i_md5", md5(col("text")))
-      .withColumn("hs", Dedup.shingleHashes(col("text"), 5))
-      .withColumn("sig", HashExpressions.minhash_sigs(col("hs")))
-      .withColumn("i_b0", slice(col("sig"), 1, 4))
-      .withColumn("i_b1", slice(col("sig"), 5, 4))
-    val kept = inc
-      .join(corpusMd5, col("i_md5") === col("c_md5"), "left_anti")
-      .join(corpusBands.select(col("c_b0"), col("c_hs")),
-        col("i_b0") === col("c_b0") && strong0, "left_anti")
-      .join(corpusBands.select(col("c_b1"), col("c_hs")),
-        col("i_b1") === col("c_b1") && strong0, "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"))
-    StreamingOps.runToMemory(s, kept,
-      s"graft_stream_ingest_gate_$nBatches", "append")
+    StreamingOps.runForeachBatch(s, inc,
+      s"graft_stream_ingest_gate_$nBatches",
+      (batch, _) => SignatureIndex.gateBatchThroughIndex(
+        batch, idx, keep = Seq("doc_id", "lang", "source")))
       .orderBy(col("doc_id"))
   }
 

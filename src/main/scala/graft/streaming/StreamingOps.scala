@@ -529,6 +529,65 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Run a streaming frame through a PER-MICRO-BATCH BATCH transform
+    * into a parquet sink and return the committed rows as a batch
+    * frame — the foreachBatch production shape for stream probes of
+    * persisted indexes. A declarative stream-static join can't derive
+    * a broadcast from the stream side (the plan is fixed before any
+    * batch exists), so per-batch batch-mode logic is the only way to
+    * get [[graft.operators.SignatureIndex.probeSignatureIndex]]'s
+    * broadcast-semi-prune shape under a stream.
+    *
+    * Exactly-once under replay: each micro-batch writes its OWN
+    * `batch=<id>` partition with dynamic partition overwrite — a
+    * re-delivered batch (same batchId, deterministic transform)
+    * overwrites its own partition with identical content instead of
+    * appending a second copy (the [[graft.storage.RoutedStore]]
+    * contract). The sink dir lives on local tmp and is reclaimed at
+    * JVM exit (the returned frame reads it lazily). */
+  def runForeachBatch(spark: SparkSession, stream: DataFrame, name: String,
+                      fn: (DataFrame, Long) => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val shm = new java.io.File("/dev/shm")
+    val ckpt = Files.createTempDirectory(
+      (if (shm.isDirectory && shm.canWrite) shm.toPath
+       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))),
+      s"graft_fb_ckpt_${name}_")
+    val out = Files.createTempDirectory(s"graft_fb_out_${name}_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+      catch { case _: java.io.IOException => () }))
+    @volatile var resultSchema: Option[org.apache.spark.sql.types.StructType] = None
+    try withStateConfig(spark, streamSourceBytes(stream)) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val result = fn(batch, batchId)
+          resultSchema = Some(result.schema)
+          result.withColumn("batch", lit(batchId))
+            .write
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        lastProgressJson = Option(q.lastProgress).map(_.json)
+        recentProgressJsons = q.recentProgress.toSeq.map(_.json)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    val hasFiles = scala.util.Using.resource(Files.walk(out))(
+      _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet")))
+    if (hasFiles) spark.read.parquet(out.toString).drop("batch")
+    else { // every batch produced zero rows: nothing was written
+      val schema = resultSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Kill/resume recovery harness (SURVEY W4/W5 — the reference's core
     * durability story is recover-from-checkpoint,
     * `SparkStreamingApp.java:228-284`): run `mkStream()` to a PARQUET

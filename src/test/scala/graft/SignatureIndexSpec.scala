@@ -141,6 +141,87 @@ class SignatureIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("gate through the index: md5 + band semantics vs the brute-force twin") {
+    import spark.implicits._
+    // corpus: a SHORT doc (< 5 tokens -> EMPTY shingle set, null
+    // signature, NO band rows) plus normal docs; increment: an exact
+    // copy of the short doc (must be rejected by the md5 sidecar —
+    // the band checks cannot see it), a strong near-dup of a corpus
+    // doc (rejected by a band), a weak overlap (admitted: jaccard <
+    // 1/2), and a fresh doc (admitted)
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longANear = (1 to 28).map(i => s"alpha$i").mkString(" ") // jacc 28/30
+    val weak = ((1 to 10).map(i => s"alpha$i") ++
+      (1 to 40).map(i => s"beta$i")).mkString(" ")               // jacc < 1/2
+    val corpusDf = Seq(
+      (1L, "tiny doc", "en", "web"),
+      (2L, longA, "en", "web"),
+      (3L, (1 to 30).map(i => s"gamma$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val incDf = Seq(
+      (10L, "tiny doc", "en", "web"),      // exact md5 dup of 1 -> reject
+      (11L, longANear, "en", "web"),       // strong near-dup of 2 -> reject
+      (12L, weak, "en", "web"),            // weak overlap -> admit
+      (13L, (1 to 30).map(i => s"delta$i").mkString(" "), "en", "web"),
+      (14L, "other tiny", "en", "web"))    // short but NOT a dup -> admit
+      .toDF("doc_id", "text", "lang", "source")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(
+      Dedup.shingleHashSets(corpusDf, "doc_id", "text", 5), idx)
+    SignatureIndex.ensureSidecar(idx, "gate_md5") { p =>
+      corpusDf.select(md5(col("text")).as("c_md5")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    val admitted = SignatureIndex.gateBatchThroughIndex(
+      incDf, idx, keep = Seq("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(12L, 13L, 14L), s"admitted: $admitted")
+  }
+
+  test("gate plan: no sort-merge join anywhere, corpus scans broadcast-semi-pruned") {
+    // the round-9 defect was a corpus-sized SORT per micro-batch; the
+    // index-probe gate must execute with zero SortMergeJoins (every
+    // join broadcast or shuffled-hash) and with the two corpus-side
+    // scans (md5 sidecar, banded signatures) pruned by broadcast LEFT
+    // SEMI joins before any exchange
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(corpus, idx)
+    val corpusTexts = Tables.documents(spark, sf)
+      .withColumn("bucket",
+        pmod(graft.functions.HashFunctions.hash32(col("doc_id").cast("string")),
+          lit(100)))
+      .filter(col("bucket") < 90)
+    SignatureIndex.ensureSidecar(idx, "gate_md5") { p =>
+      corpusTexts.select(md5(col("text")).as("c_md5")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    val incTexts = Tables.documents(spark, sf)
+      .withColumn("bucket",
+        pmod(graft.functions.HashFunctions.hash32(col("doc_id").cast("string")),
+          lit(100)))
+      .filter(col("bucket") >= 90)
+      .select("doc_id", "text", "lang", "source")
+    val (b, admitted) = SignatureIndex.gateBatchPlan(
+      incTexts, idx, keep = Seq("doc_id", "lang", "source"))
+    try {
+      assert(admitted.count() > 0, "gate fixture admitted nothing")
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(allNodes)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case _ => Nil
+        })
+      val nodes = allNodes(admitted.queryExecution.executedPlan)
+      val names = nodes.map(_.nodeName)
+      assert(!names.exists(_.contains("SortMergeJoin")),
+        s"gate executed a sort-merge join:\n${names.mkString("\n")}")
+      val semis = nodes.count(n => n.nodeName.contains("BroadcastHashJoin") &&
+        n.toString.contains("LeftSemi"))
+      assert(semis >= 2,
+        s"expected >=2 broadcast semi prunes, saw $semis:\n${names.mkString("\n")}")
+    } finally b.unpersist()
+  }
+
   test("ensureIndex caches by key and stamp") {
     val key = "spec_" + System.nanoTime()
     val p1 = SignatureIndex.ensureIndex(corpus, key)
