@@ -23,6 +23,11 @@ object CcProbe {
   def main(args: Array[String]): Unit = {
     val sizes = (if (args.nonEmpty) args(0) else "2000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
+    // "indexonly": skip the live edge/CC decomposition and measure only
+    // the staged-pairs path (the §4.14 recurring-cost claim) — the big
+    // rungs re-measure the production shape without re-paying the live
+    // band join twice
+    val indexOnly = args.length > 1 && args(1) == "indexonly"
     val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -45,6 +50,7 @@ object CcProbe {
         .filter(col("jaccard_bp") >= 5000)
         .select(col("id_a"), col("id_b"))
 
+      if (!indexOnly) {
       def timed(f: => Unit): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -74,6 +80,7 @@ object CcProbe {
         f""""cc_rounds":${Dedup.lastCcRounds},""" +
         f""""cal_ms":[$calPre%.0f,$calPost%.0f]}""")
       Dedup.purgeScratchDirs() // each pass staged ~bytes(corpus) of scratch
+      }
 
       // the §4.14 fix measured: one-time pair-graph staging beside the
       // persisted index, then clustering as a pairs scan + flat CC —

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, SignatureIndex}
 
+import scala.jdk.CollectionConverters._
+
 /** Ladder probe for the persisted signature index (SCALING.md §4.13):
   * a FIXED 100k-doc increment probed against corpora of growing size.
   * The round-8 weak item was that each incremental-dedup call paid a
@@ -84,10 +86,30 @@ object IndexProbe {
       }
       val (s1, _) = probePass()
       val (s2, rows) = probePass()
+
+      // append-lifecycle cost (the increment-sized claim): time
+      // appendToIndex of the same increment, then ROLL THE INDEX BACK
+      // (delete the appended part files, restore the meta bytes) so
+      // the on-disk index cache stays pristine for future rungs/runs —
+      // a measurement harness trick, not an engine operation
+      val sigDir = java.nio.file.Paths.get(idxDir, "sig")
+      def listSig(): Set[String] =
+        scala.util.Using.resource(java.nio.file.Files.list(sigDir))(
+          _.iterator().asScala.map(_.getFileName.toString).toSet)
+      val sigBefore = listSig()
+      val metaBytes = java.nio.file.Files.readAllBytes(metaPath)
+      val ta = System.nanoTime()
+      SignatureIndex.appendToIndex(incHashed, idxDir)
+      val appendSec = (System.nanoTime() - ta) / 1e9
+      (listSig() -- sigBefore).foreach(f =>
+        java.nio.file.Files.delete(sigDir.resolve(f)))
+      java.nio.file.Files.write(metaPath, metaBytes)
+
       def j(v: Double) = if (v.isNaN) "null" else f"$v%.2f"
       println(s"""{"corpus_docs":$n,"increment_docs":$IncrementDocs,""" +
         s""""build_sec":${j(buildSec)},"probe_sec":${j(math.min(s1, s2))},""" +
         s""""probe_passes":[${j(s1)},${j(s2)}],"pairs":$rows,""" +
+        s""""append_sec":${j(appendSec)},""" +
         s""""index_sig_bytes":${meta.sigBytes}}""")
       Dedup.purgeScratchDirs() // increment stagings are dead past here
     }

@@ -65,7 +65,7 @@ object SignatureIndex {
   private val FormatVersion = 1
 
   case class Meta(rowsPerBand: Int, capPop: Int, maxExtraBits: Int,
-                  nDocs: Long, sigBytes: Long)
+                  nDocs: Long, sigBytes: Long, appendedDocs: Long = 0L)
 
   /** The five persisted signature columns, from a (doc_id, hs) frame —
     * MUST stay byte-compatible with [[Dedup.probeKeyedSized]]'s staged
@@ -147,6 +147,11 @@ object SignatureIndex {
     hot2.write.mode("overwrite").parquet(s"$path/hot2")
     val meta = Meta(rowsPerBand, capPop, maxExtraBits,
       nDocs = sig.count(), sigBytes = parquetBytes(Paths.get(path, "sig")))
+    writeMeta(root, meta)
+    meta
+  }
+
+  private def writeMeta(root: Path, meta: Meta): Unit = {
     val props = new java.util.Properties()
     props.setProperty("version", FormatVersion.toString)
     props.setProperty("rowsPerBand", meta.rowsPerBand.toString)
@@ -154,8 +159,65 @@ object SignatureIndex {
     props.setProperty("maxExtraBits", meta.maxExtraBits.toString)
     props.setProperty("nDocs", meta.nDocs.toString)
     props.setProperty("sigBytes", meta.sigBytes.toString)
+    props.setProperty("appendedDocs", meta.appendedDocs.toString)
     val out = Files.newOutputStream(root.resolve("_INDEX_META"))
     try props.store(out, "graft signature index") finally out.close()
+  }
+
+  /** Fraction of the index's BUILD-TIME corpus that may arrive by
+    * [[appendToIndex]] before [[Meta.needsRebuild]] flags the frozen
+    * hot/hot2 populations as stale. Appends are always recall-safe
+    * (see appendToIndex); what drifts is PERFORMANCE — buckets that
+    * became hot since the build are not split, so their pair-join
+    * populations grow unbounded. A quarter of the corpus is far below
+    * any density shift that moves a bucket past capPop in practice;
+    * the IndexProbe ladder records the append + post-append probe
+    * costs that make this policy adjudicable. */
+  val RebuildFraction: Double = 0.25
+
+  /** True when appended drift exceeds [[RebuildFraction]] of the
+    * build-time corpus — the scheduled-rebuild signal. */
+  def needsRebuild(meta: Meta): Boolean =
+    meta.appendedDocs > RebuildFraction * (meta.nDocs - meta.appendedDocs)
+
+  /** APPEND an increment's signatures to an existing index — the
+    * between-rebuilds lifecycle: a daily ingest probes the index
+    * ([[probeSignatureIndex]]), admits what passes its gates, and
+    * appends the admitted signatures so TOMORROW's increment dedups
+    * against today's admissions too. Cost is increment-sized: one
+    * hashing pass over `newHashed`, new part files appended to `sig/`
+    * (existing files untouched), a meta rewrite. Nothing corpus-sized
+    * is read or written.
+    *
+    * Correctness under the FROZEN hot/hot2 contract: `sig/` stores raw
+    * signatures — refinement keys are derived at READ time by
+    * [[keyedFromSig]] from the frozen population tables, so appended
+    * rows get exactly the arithmetic probe rows always got, and the
+    * content salt keeps any true duplicate co-sharded with its copies.
+    * An append therefore never loses a duplicate pair that a fresh
+    * rebuild would find; the reverse asymmetry is the usual refinement
+    * trade (a fresh rebuild might split a NEWLY-hot bucket and drop a
+    * strong-but-not-identical pair the appended index still finds).
+    * What drifts is performance — [[needsRebuild]] names the bound.
+    *
+    * The staged strong-pair graph (`pairs/`) is INVALIDATED: it was
+    * materialized over the pre-append corpus, and serving it after an
+    * append would silently drop every cluster edge involving appended
+    * docs. The next [[clustersFromIndex]] restages it. */
+  def appendToIndex(newHashed: DataFrame, path: String): Meta = {
+    val root = Paths.get(path)
+    val before = readMeta(path)
+    val appended = newHashed.select(sigColumns: _*).cache()
+    val nNew = appended.count()
+    appended.write.mode("append").parquet(s"$path/sig")
+    appended.unpersist()
+    val pairsMarker = root.resolve("pairs").resolve("_PAIRS_OK")
+    if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
+    val meta = before.copy(
+      nDocs = before.nDocs + nNew,
+      sigBytes = parquetBytes(Paths.get(path, "sig")),
+      appendedDocs = before.appendedDocs + nNew)
+    writeMeta(root, meta)
     meta
   }
 
@@ -172,7 +234,9 @@ object SignatureIndex {
       props.getProperty("capPop").toInt,
       props.getProperty("maxExtraBits").toInt,
       props.getProperty("nDocs").toLong,
-      props.getProperty("sigBytes").toLong)
+      props.getProperty("sigBytes").toLong,
+      // absent in pre-append indexes: they have no appended drift
+      Option(props.getProperty("appendedDocs")).map(_.toLong).getOrElse(0L))
   }
 
   /** The joinable keyed frame (k, band, band_sig, sub, doc_id, hsi)

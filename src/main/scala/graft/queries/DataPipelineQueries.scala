@@ -194,7 +194,19 @@ object DataPipelineQueries {
     * Measured at 1M docs: the co-located self-join's sort spill
     * overflowed a 70 GB disk; the slim-pair + fetch shape moves
     * |pairs| × payload ≈ 100× less through its exchanges. */
-  private val dedup_containment: Q = (s, d) => {
+  private val dedup_containment: Q = (s, d) =>
+    containmentPairs(s, d, ContainGramCap)
+
+  /** The containment body, parameterized on the rare-gram holder cap
+    * so the cap-sensitivity probe (ContainProbe) and the planted-
+    * recall spec can sweep it: the candidate pair space must stay
+    * bucket-bounded (≤ cap²/2 per gram bucket) as the cap grows, and
+    * a planted short-in-long containment pair must be recalled at
+    * EVERY cap — the cap excludes corpus boilerplate, never the
+    * containment class itself (a contained doc shares grams with its
+    * container only, so its gram populations sit far below any cap). */
+  private[graft] def containmentPairs(s: SparkSession, d: String,
+                                      gramCap: Int): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
@@ -208,7 +220,7 @@ object DataPipelineQueries {
       .select(col("doc_id"),
         xxhash64(col("gram")).as("g1"), hash(col("gram")).as("g2"))
     val rare = grams.groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt").between(2, ContainGramCap))
+      .filter(col("cnt").between(2, gramCap))
       .select(col("g1"), col("g2"))
     // sorted shifted int sets (the fatJoinPairs payload form): the
     // per-pair set op is one allocation-free merge, half the bytes of

@@ -950,4 +950,45 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(min("b"), max("b")).head()
     assert(b.getLong(0) >= 0L && b.getLong(1) <= 255L)
   }
+  test("containment recall is cap-stable on a planted fixture; boilerplate never scores") {
+    // planted class: five short docs, each a contiguous 30-token slice
+    // of its own 120-token host -> containment ~1 (>= the 80% gate).
+    // boilerplate class: 70 docs sharing one 12-token license block
+    // atop unique tails -> their shared grams are held by 70 docs
+    // (over the default 64 cap, under 128/256) and their pairwise
+    // containment is ~12/112 -- far below the gate. The recall FLOOR:
+    // every planted pair is found at EVERY cap (the cap excludes
+    // boilerplate pair-space, never the containment class, whose gram
+    // populations are 2); and raising the cap admits boilerplate
+    // CANDIDATES but never boilerplate OUTPUT.
+    import java.nio.file.Files
+    val tmpSf = Files.createTempDirectory("graft_contain_sf_")
+    graft.operators.Dedup.registerScratchDir(tmpSf)
+    def tok(d: Long, i: Int) = s"u${d}x$i"
+    val hosts = (0L until 5L).map { d =>
+      (d, (0 until 120).map(tok(d, _)).mkString(" "))
+    }
+    val contained = (0L until 5L).map { d =>
+      (100L + d, (10 until 40).map(tok(d, _)).mkString(" "))
+    }
+    val block = (0 until 12).map(i => s"license$i").mkString(" ")
+    val boiler = (0L until 70L).map { d =>
+      (1000L + d, block + " " + (0 until 100).map(tok(9000 + d, _)).mkString(" "))
+    }
+    val docs = (hosts ++ contained ++ boiler)
+      .map { case (id, text) => (id, text, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+    docs.write.mode("overwrite").parquet(tmpSf.resolve("documents.parquet").toString)
+    val planted = (0L until 5L).map(d => (d, 100L + d)).toSet
+    for (cap <- Seq(64, 128, 256)) {
+      val got = graft.queries.DataPipelineQueries
+        .containmentPairs(spark, tmpSf.toString, cap)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(planted.subsetOf(got),
+        s"cap=$cap lost planted pairs: ${planted -- got}")
+      assert(got.forall { case (a, b) => a < 100 && b >= 100 && b < 1000 },
+        s"cap=$cap emitted non-planted pairs: ${got -- planted}")
+    }
+  }
 }

@@ -543,4 +543,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+  test("no registry plan ships an unbounded single-partition Window") {
+    // WindowExec with an empty partitionSpec funnels its whole input
+    // through ONE partition's sort — fine over a provably bounded
+    // frame (below a limit or an aggregation), a scale-killer over a
+    // corpus-sized one. The two shipped sites (Sketches' cumulative
+    // bin sum over a 256-group aggregate, the tf-idf top-k tail over
+    // a vocabulary aggregate) are bounded; this audit machine-checks
+    // that NO registry query ever introduces an unbounded one.
+    // stream_* queries are skipped: building their frame runs the
+    // stream, and the returned sink-read plan carries no Window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("stream_")) {
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst {
+            case _: GlobalLimit => true
+            case _: LocalLimit  => true
+            case _: Aggregate   => true
+          }.isDefined
+          if (!bounded) offenders += s"$name: ${w.simpleString(80)}"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded global-Window plans (add a partitionBy or bound the frame):\n${offenders.mkString("\n")}")
+  }
 }

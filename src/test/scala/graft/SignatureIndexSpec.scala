@@ -141,6 +141,41 @@ class SignatureIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIndex: post-append probe equals a fresh build; meta and pairs lifecycle") {
+    // corpus A built, increment B appended: probing C against the
+    // appended index must find exactly the pairs a FRESH build of
+    // A ∪ B finds (cold corpus: no hot buckets at this scale, so the
+    // frozen-population asymmetry is nil); bookkeeping must reflect
+    // the drift and the staged pair graph must restage
+    val a = hashed.filter(col("bucket") < 80).drop("bucket")
+    val b = hashed.filter(col("bucket") >= 80 && col("bucket") < 90).drop("bucket")
+    val c = inc
+    val idxAppend = newIndexDir()
+    val metaBuild = SignatureIndex.buildSignatureIndex(a, idxAppend)
+    // staged pairs BEFORE the append — must be invalidated by it
+    val pairsBefore = canon(SignatureIndex.ensureSelfPairs(spark, idxAppend))
+    val metaAfter = SignatureIndex.appendToIndex(b, idxAppend)
+    assert(metaAfter.nDocs == metaBuild.nDocs + b.count())
+    assert(metaAfter.appendedDocs == b.count())
+    assert(!SignatureIndex.needsRebuild(metaAfter),
+      "a ~11% append must not demand a rebuild")
+    assert(SignatureIndex.needsRebuild(
+      metaAfter.copy(appendedDocs = metaBuild.nDocs / 2)),
+      "drift past RebuildFraction must demand a rebuild")
+    val idxFresh = newIndexDir()
+    SignatureIndex.buildSignatureIndex(a.unionByName(b), idxFresh)
+    assert(canon(SignatureIndex.probeSignatureIndex(c, idxAppend)) ==
+      canon(SignatureIndex.probeSignatureIndex(c, idxFresh)),
+      "post-append probe diverged from the fresh-build probe")
+    // the pre-append pair graph was dropped; the restaged one equals
+    // the fresh index's graph (and differs from the stale one unless
+    // the appended slice contributed no strong pairs)
+    val pairsAfter = canon(SignatureIndex.ensureSelfPairs(spark, idxAppend))
+    assert(pairsAfter == canon(SignatureIndex.ensureSelfPairs(spark, idxFresh)),
+      "restaged pair graph diverged from the fresh build")
+    assert(pairsBefore.size <= pairsAfter.size)
+  }
+
   test("gate through the index: md5 + band semantics vs the brute-force twin") {
     import spark.implicits._
     // corpus: a SHORT doc (< 5 tokens -> EMPTY shingle set, null
