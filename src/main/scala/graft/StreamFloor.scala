@@ -56,10 +56,30 @@ object StreamFloor {
         .select(col("event_id"), col("user_id"), col("value"))
     }
 
+    // fMGWS: one flatMapGroupsWithState counter per key — the minimal
+    // state-init/cross-batch-carry shape stream_completion[_ttl] and
+    // stream_asof_enrich pay (groupByKey shuffle + per-partition state
+    // store load/commit + per-key state rows)
+    def fmgws() = {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      StreamingOps.eventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_id")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (k: Long, it: Iterator[(Long, Long)], st: GroupState[Long]) =>
+            val n = st.getOption.getOrElse(0L) + it.size
+            st.update(n)
+            Iterator.single((k, n))
+        }.toDF("user_id", "n")
+    }
+
     val shapes = Seq(
       ("passthrough", () => passthrough()),
       ("dedup", () => dedup()),
-      ("join", () => join()))
+      ("join", () => join()),
+      ("fmgws", () => fmgws()))
     val out = new StringBuilder("{\n")
     shapes.zipWithIndex.foreach { case ((name, mk), si) =>
       var cold = 0.0
@@ -82,6 +102,30 @@ object StreamFloor {
       val wMin = if (w.nonEmpty) w.min else cold
       out.append(s"""  "$name": {"cold_s": ${f"$cold%.3f"}, "warm_s": [${w.map(x => f"$x%.3f").mkString(",")}], "warm_min_s": ${f"$wMin%.3f"}, "triggers": ${batches.length}, "per_trigger_ms": [${batches.map(_._2).mkString(",")}]}""")
       out.append(if (si < shapes.length - 1) ",\n" else "\n")
+    }
+    // recover: the checkpoint-restart shape stream_recover pays — the
+    // SAME minimal stateful stream run through runWithRestart (durable
+    // parquet sink + commit log, RocksDB + changelog pinned, one query
+    // started, killed after its first committed batch, a second query
+    // recovered from the checkpoint and drained). Priced as wall time
+    // per full kill/recover cycle: TWO query startups, offset/commit
+    // recovery, state reload, sink-log read-back.
+    locally {
+      var cold = 0.0
+      val warm = Seq.newBuilder[Double]
+      for (i <- 1 to passes) {
+        val t0 = System.nanoTime()
+        StreamingOps.runWithRestart(spark, () => dedup(), "floor_recover")
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (i == 1) cold = dt else warm += dt
+        System.err.println(f"[floor] recover pass $i: $dt%.2f s")
+      }
+      val w = warm.result()
+      val wMin = if (w.nonEmpty) w.min else cold
+      out.append(",\n")
+      out.append(s"""  "recover": {"cold_s": ${f"$cold%.3f"}, "warm_s": [${w.map(x => f"$x%.3f").mkString(",")}], "warm_min_s": ${f"$wMin%.3f"}}""")
+      out.append("\n")
     }
     out.append("}")
     println(out.toString)
