@@ -90,9 +90,10 @@ object SignatureIndex {
     * population aggregates of [[buildSignatureIndex]] must not drag
     * the set payload through their scans. */
   private def banded(sig: DataFrame, rowsPerBand: Int,
-                     narrow: Boolean): DataFrame = {
+                     narrow: Boolean, carryHsi: Boolean = true): DataFrame = {
     val nBands = MinHashCoeffs.length / rowsPerBand
     val carry = if (narrow) Seq(col("doc_id"), col("_xb"))
+      else if (!carryHsi) Seq(col("doc_id"), col("_xb"), col("_salt"))
       else Seq(col("doc_id"), col("_xb"), col("_salt"), col("hsi"))
     sig.select(carry :+
       posexplode(transform(
@@ -248,8 +249,9 @@ object SignatureIndex {
     * exactly. */
   private def keyedFromSig(sig: DataFrame, meta: Meta,
                            hot: Option[DataFrame],
-                           hot2: Option[DataFrame]): DataFrame = {
-    val b = banded(sig, meta.rowsPerBand, narrow = false)
+                           hot2: Option[DataFrame],
+                           carryHsi: Boolean = true): DataFrame = {
+    val b = banded(sig, meta.rowsPerBand, narrow = false, carryHsi = carryHsi)
     val refined = hot match {
       case None => b.withColumn("sub", lit(0L))
       case Some(h) =>
@@ -270,9 +272,11 @@ object SignatureIndex {
               .drop("_pop2", "_sb", "_eb", "_sube")
         }
     }
-    refined.select(
+    val outCols = Seq(
       xxhash64(col("band"), col("band_sig"), col("sub")).as("k"),
-      col("band"), col("band_sig"), col("sub"), col("doc_id"), col("hsi"))
+      col("band"), col("band_sig"), col("sub"), col("doc_id")) ++
+      (if (carryHsi) Seq(col("hsi")) else Nil)
+    refined.select(outCols: _*)
   }
 
   /** Near-dup pairs of a NEW increment (doc_id, hs) against the
@@ -304,15 +308,34 @@ object SignatureIndex {
     val incSig = spark.read.parquet(incDir.toString)
     val incBytes = parquetBytes(incDir)
 
-    val corpusKeyed = keyedFromSig(
-      spark.read.parquet(s"$indexPath/sig"), meta, hot, hot2)
+    val sigScan = spark.read.parquet(s"$indexPath/sig")
+    // SLIM corpus side for the prune: the hsi set payload is ~90% of
+    // the index bytes, and band-exploding it duplicates every corpus
+    // row's set nBands times through the semi — measured 2× the whole
+    // probe at the 16M rung (§4.16). So the semi runs over the key
+    // columns only, and hsi is FETCHED afterwards for the survivors
+    // alone (increment-bounded: ≤ |increment band keys| × capPop), via
+    // a broadcast semi at the payload scan.
+    val corpusKeyedSlim = keyedFromSig(sigScan, meta, hot, hot2,
+      carryHsi = false)
     val incKeyed0 = keyedFromSig(incSig, meta, hot, hot2)
     // increment band keys, broadcast into a LEFT SEMI prune: the
     // corpus-banded scan drops every row whose bucket the increment
     // never touches BEFORE any exchange — the corpus side of the pair
     // join is increment-bounded, not corpus-sized
     val incKeys = incKeyed0.select(col("k")).distinct()
-    val pruned0 = corpusKeyed.join(broadcast(incKeys), Seq("k"), "left_semi")
+    // eager checkpoint: the slim semi feeds BOTH the survivor-id
+    // broadcast and the pair join's corpus leg; without materialization
+    // the corpus-wide explode+semi runs twice. Survivors are
+    // increment-bounded, so the blocks are small (same bounded
+    // lingering as the gate's batch checkpoint).
+    val prunedSlim = corpusKeyedSlim.join(broadcast(incKeys), Seq("k"), "left_semi")
+      .localCheckpoint(true)
+    val survivorIds = prunedSlim.select(col("doc_id")).distinct()
+    val pruned0 = prunedSlim.join(
+      sigScan.select(col("doc_id"), col("hsi"))
+        .join(broadcast(survivorIds), Seq("doc_id"), "left_semi"),
+      Seq("doc_id"))
 
     // same width policy + same full-tuple/non-foldable-sub discipline
     // as the fat self-join (§4.9/§4.12); sized by the INCREMENT, the
