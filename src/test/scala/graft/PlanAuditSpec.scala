@@ -553,22 +553,48 @@ class PlanAuditSpec extends AnyFunSuite {
     // that NO registry query ever introduces an unbounded one.
     // stream_* queries are skipped: building their frame runs the
     // stream, and the returned sink-read plan carries no Window.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries if !name.startsWith("stream_")) {
-      val plan = fn(spark, sf).queryExecution.optimizedPlan
-      plan.foreach {
-        case w: LWindow if w.partitionSpec.isEmpty =>
-          val bounded = w.child.collectFirst {
-            case _: GlobalLimit => true
-            case _: LocalLimit  => true
-            case _: Aggregate   => true
-          }.isDefined
-          if (!bounded) offenders += s"$name: ${w.simpleString(80)}"
-        case _ => ()
-      }
+      unboundedGlobalWindows(fn(spark, sf)).foreach(w => offenders += s"$name: $w")
     }
     assert(offenders.isEmpty,
       s"unbounded global-Window plans (add a partitionBy or bound the frame):\n${offenders.mkString("\n")}")
+  }
+
+  /** The audit predicate, factored so the negative control below can
+    * prove it actually fires. */
+  private def unboundedGlobalWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        val bounded = w.child.collectFirst {
+          case _: GlobalLimit => true
+          case _: LocalLimit  => true
+          case _: Aggregate   => true
+        }.isDefined
+        if (!bounded) out += w.simpleString(80)
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  test("window audit negative control: an unbounded global Window IS flagged; bounded forms are not") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val unbounded = docs.withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(unbounded).nonEmpty,
+      "a corpus-wide single-partition Window escaped the audit")
+    val limited = docs.limit(100).withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(limited).isEmpty, "limit-bounded window flagged")
+    val agged = docs.groupBy(col("lang")).count().withColumn("rn",
+      row_number().over(Window.orderBy(col("lang"))))
+    assert(unboundedGlobalWindows(agged).isEmpty, "aggregation-bounded window flagged")
+    val partitioned = docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(partitioned).isEmpty, "partitioned window flagged")
   }
 }
