@@ -204,7 +204,16 @@ object SignatureIndex {
     * The staged strong-pair graph (`pairs/`) is INVALIDATED: it was
     * materialized over the pre-append corpus, and serving it after an
     * append would silently drop every cluster edge involving appended
-    * docs. The next [[clustersFromIndex]] restages it. */
+    * docs. The next [[clustersFromIndex]] restages it.
+    *
+    * Partial-failure contract (single-writer, like the build): if the
+    * sig append lands but the meta rewrite doesn't, the index still
+    * probes CORRECTLY (probes scan `sig/` directly; meta only feeds
+    * bookkeeping and join-width sizing) and RE-RUNNING the append is
+    * semantically safe — duplicated signature rows collapse in every
+    * consumer (pair frames group on the id pair, the gate's hit probe
+    * is a semi) — it just wastes the duplicate's bytes until the next
+    * rebuild. */
   def appendToIndex(newHashed: DataFrame, path: String): Meta = {
     val root = Paths.get(path)
     val before = readMeta(path)
