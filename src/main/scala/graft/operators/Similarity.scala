@@ -188,8 +188,8 @@ object Similarity {
   /** Shared tail of both IVF paths: candidates from the probed cells
     * only (join keyed on `cell` — block-local, never all-pairs), exact
     * quantized dot ranking. */
-  private def ivfSearch(assigned: DataFrame, probeCells: DataFrame,
-                        idCol: String, k: Int): DataFrame = {
+  private[operators] def ivfSearch(assigned: DataFrame, probeCells: DataFrame,
+                                   idCol: String, k: Int): DataFrame = {
     val cands = assigned.select(col("cell"), col(idCol).as("candidate_id"), col("qv"))
     val scored = probeCells.join(cands, "cell")
       .filter(col("probe_id") =!= col("candidate_id"))

@@ -872,6 +872,100 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** The persisted ANN index of the full embedding corpus
+    * ([[AnnIndex]], cell-partitioned on disk) — built ONCE per
+    * (sfDir, embeddings fingerprint) from the same trained centroids
+    * as ann_ivf_trained, shared by every index-served ANN query. */
+  private[graft] def annIndexPath(s: SparkSession, d: String): String =
+    AnnIndex.ensureAnnIndex(
+      SignatureIndex.sourceCacheKey("annivf", d, "embeddings.parquet")) { p =>
+      AnnIndex.buildAnnIndex(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          Similarity.quantize(col("embedding")).as("qv")),
+        trainedIvfCentroids(s, d), p)
+    }
+
+  /** The 10 standard probe vectors, quantized. */
+  private def annProbes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("probe_id"),
+        Similarity.quantize(col("embedding")).as("pqv"))
+
+  /** ann_index_topk: IVF search served off the PERSISTED index — the
+    * production lifecycle for the ANN family (the ann_ivf_* queries
+    * re-assign the corpus per invocation; this reads only the nProbe
+    * probed cell PARTITIONS of the build-once layout). Identical
+    * output contract to ann_ivf_trained: one oracle twin, two plans —
+    * the dedup_index_* pattern applied to embeddings. */
+  private val ann_index_topk: Q = (s, d) => {
+    AnnIndex.probeAnnIndex(s, annIndexPath(s, d), annProbes(s, d),
+      nProbe = 4, k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** ann_index_filtered: FILTERED ANN — top-k under a metadata
+    * predicate (label = 3), the "nearest neighbors among docs where
+    * X" query every retrieval pipeline runs. The predicate rides the
+    * SAME pruned cells scan as the partition filter (pushed to
+    * parquet), not a post-search re-rank — so k survivors are k
+    * matching survivors. */
+  private val ann_index_filtered: Q = (s, d) => {
+    AnnIndex.probeAnnIndex(s, annIndexPath(s, d), annProbes(s, d),
+      nProbe = 4, k = 3, candidateFilter = col("label") === 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Coarse centroids trained over the BASE slice only (vec_id < t) —
+    * the quantizer an append-lifecycle index froze before the
+    * increment existed. Same artifact pattern as
+    * [[trainedIvfCentroids]]; `t` derives from the source, so the
+    * fingerprinted cache key stays consistent. */
+  private def trainedIvfCentroidsBase(s: SparkSession, d: String,
+                                      t: Long): Seq[(Long, Array[Long])] = {
+    val path = graft.storage.PartitionedStore.cached(
+      d, "ann_ivf_centroids_base_v1", source = "embeddings.parquet") { p =>
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < t)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      val seeds = q.filter(col("vec_id") < 16).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      val trained = Similarity.kmeansQuantized(q, seeds, iters = 2)
+      import s.implicits._
+      trained.map { case (cid, qc) => (cid, qc.toSeq) }
+        .toDF("cid", "qc").coalesce(1).write.parquet(p)
+    }
+    centroidsMemo.computeIfAbsent(path, _ =>
+      s.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq)
+  }
+
+  /** ann_index_append: the index APPEND lifecycle end-to-end — build
+    * over the first 90% of the id space with centroids trained on
+    * that base, append the last 10% against the FROZEN quantizer
+    * (increment-sized work), then probe the merged index. The oracle
+    * replays the same contract in SQL: Lloyd over the base slice,
+    * assignment of ALL vectors to the frozen centroids — proving a
+    * post-append probe equals a fresh build over the same quantizer
+    * (the recall-safety claim of [[AnnIndex.appendToAnnIndex]]). */
+  private val ann_index_append: Q = (s, d) => {
+    // threshold from the source (bounded collect of one row); integer
+    // arithmetic matches the twin's ((max+1)*9)//10 truncating form
+    val maxId = Tables.embeddings(s, d)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val t = (maxId + 1) * 9 / 10
+    val path = AnnIndex.ensureAnnIndex(
+      SignatureIndex.sourceCacheKey("annivf_app", d, "embeddings.parquet")) { p =>
+      val all = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      AnnIndex.buildAnnIndex(all.filter(col("vec_id") < t),
+        trainedIvfCentroidsBase(s, d, t), p)
+      AnnIndex.appendToAnnIndex(all.filter(col("vec_id") >= t), p)
+    }
+    AnnIndex.probeAnnIndex(s, path, annProbes(s, d), nProbe = 4, k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** pipeline_profile: corpus profiling — the per-source quality
     * histogram + token totals a mixture plan is drawn FROM
     * (pipeline_domain_mix consumes rates; this produces the evidence).
@@ -1667,6 +1761,9 @@ object DataPipelineQueries {
     "multimodal_audio_frames" -> multimodal_audio_frames,
     "multimodal_video_sample" -> multimodal_video_sample,
     "ann_ivf_trained" -> ann_ivf_trained,
+    "ann_index_topk" -> ann_index_topk,
+    "ann_index_filtered" -> ann_index_filtered,
+    "ann_index_append" -> ann_index_append,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
     "pipeline_split" -> pipeline_split,
@@ -1868,12 +1965,87 @@ object DataPipelineQueries {
        |JOIN sets sb ON sb.doc_id = cand.id_b
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB twin of the trained-IVF search frame — shared verbatim by
+    * ann_ivf_trained (live corpus re-assignment per call) and
+    * ann_index_topk (partition-pruned probe of the persisted
+    * [[graft.operators.AnnIndex]]): one twin, two plans, same as the
+    * dedup_clusters / dedup_index_clusters pairing. */
+  private lazy val ivfTrainedSql: String =
+    s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+       |${lloydIterSql("c0", "c1", 64)},
+       |${lloydIterSql("c1", "c2", 64)},
+       |af AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM q v, c2 c) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q
+       |  WHERE vec_id >= 16 AND vec_id < 26),
+       |pcells AS (SELECT probe_id, pqv, cell FROM (
+       |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM probes p, c2 c) t WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+       |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+       |      z -> z[1] * z[2])) AS BIGINT) AS score
+       |  FROM pcells pc JOIN af a
+       |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+       |ranked AS (SELECT probe_id, candidate_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, candidate_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, candidate_id, score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY probe_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_ivf_trained" ->
-      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+    "ann_ivf_trained" -> ivfTrainedSql,
+    // the index-served search contracts to the identical frame — the
+    // engine reads its persisted cell partitions, the twin recomputes
+    "ann_index_topk" -> ivfTrainedSql,
+    "ann_index_filtered" ->
+      s"""WITH q AS (SELECT vec_id, label, $quantizeSql AS qv FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
          |${lloydIterSql("c0", "c1", 64)},
          |${lloydIterSql("c1", "c2", 64)},
+         |af AS (
+         |  SELECT vec_id, label, qv, cell FROM (
+         |    SELECT v.vec_id, v.label, v.qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM q v, c2 c) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q
+         |  WHERE vec_id >= 16 AND vec_id < 26),
+         |pcells AS (SELECT probe_id, pqv, cell FROM (
+         |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM probes p, c2 c) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN af a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+         |      AND a.label = 3),
+         |ranked AS (SELECT probe_id, candidate_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, candidate_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, candidate_id, score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+    "ann_index_append" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |tt AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t FROM embeddings),
+         |qb AS (SELECT q.vec_id, q.qv FROM q, tt WHERE q.vec_id < tt.t),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qb WHERE vec_id < 16),
+         |${lloydIterSql("c0", "c1", 64, src = "qb")},
+         |${lloydIterSql("c1", "c2", 64, src = "qb")},
          |af AS (
          |  SELECT vec_id, qv, cell FROM (
          |    SELECT v.vec_id, v.qv, c.cid AS cell,
