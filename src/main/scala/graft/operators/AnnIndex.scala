@@ -278,6 +278,50 @@ object AnnIndex {
     }
   }
 
+  /** Compact over-fragmented cell partitions — the maintenance job
+    * that keeps a long append lifecycle scan-efficient: every
+    * [[appendToAnnIndex]] adds up to one small file per touched cell,
+    * and a daily-ingest index accumulates reader-visible file-count
+    * overhead (open/footer cost per file, tiny row groups). Rewrites
+    * ONLY cells holding more than `maxFilesPerCell` part files, one
+    * bounded cell at a time — cost is proportional to the fragmented
+    * cells' bytes, never corpus-sized, and untouched cells keep their
+    * files byte-identical. Same single-writer contract as
+    * build/append (compaction is a scheduled maintenance event); a
+    * crash mid-swap loses at most the one cell being rewritten to a
+    * rebuild. Returns the number of cells compacted. */
+  def compactCells(spark: SparkSession, path: String,
+                   maxFilesPerCell: Int = 4): Int = {
+    val cellsRoot = Paths.get(path, "cells")
+    val cellDirs = scala.util.Using.resource(Files.list(cellsRoot))(
+      _.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell="))
+        .toSeq)
+    def partFiles(dir: Path): Seq[Path] =
+      scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .toSeq)
+    var compacted = 0
+    for (dir <- cellDirs) {
+      val parts = partFiles(dir)
+      if (parts.size > maxFilesPerCell) {
+        val tmp = cellsRoot.resolve(".compact_" + dir.getFileName.toString)
+        // materialize the merged cell BEFORE touching the originals
+        spark.read.parquet(dir.toString).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        parts.foreach(Files.delete)
+        partFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+          Files.move(f, dir.resolve(s"compact_$i.parquet"))
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   // ---- meta / centroid IO ----------------------------------------------
 
   private def writeMeta(root: Path, meta: Meta): Unit = {

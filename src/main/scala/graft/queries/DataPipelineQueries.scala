@@ -966,6 +966,43 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Exact quantized-dot score above which a probe's top index
+    * neighbor marks it a semantic duplicate (same fixture cluster):
+    * the observed top-1 median on this corpus, so the flag is
+    * non-trivially mixed at every SF. */
+  private val EmbedDupThreshold = 360000L
+
+  /** dedup_embed_incremental: incremental SEMANTIC dedup — the
+    * embedding-side mirror of [[dedup_incremental]]: a new batch of
+    * embeddings (last 10% of the id space) probes the persisted ANN
+    * index of the curated corpus (first 90%, frozen quantizer) for
+    * its nearest indexed neighbor; a top-1 dot above
+    * [[EmbedDupThreshold]] flags the arrival as a near-duplicate of
+    * existing data. Per-ingest cost is increment-sized probe work +
+    * the pruned cell scan — the corpus is never re-assigned, never
+    * shuffled (the same contract the signature index gives MinHash
+    * dedup). */
+  private val dedup_embed_incremental: Q = (s, d) => {
+    val maxId = Tables.embeddings(s, d)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val t = (maxId + 1) * 9 / 10
+    val path = AnnIndex.ensureAnnIndex(
+      SignatureIndex.sourceCacheKey("annivf_base", d, "embeddings.parquet")) { p =>
+      AnnIndex.buildAnnIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") < t)
+          .select(col("vec_id"), col("label"),
+            Similarity.quantize(col("embedding")).as("qv")),
+        trainedIvfCentroidsBase(s, d, t), p)
+    }
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") >= t)
+      .select(col("vec_id").as("probe_id"),
+        Similarity.quantize(col("embedding")).as("pqv"))
+    AnnIndex.probeAnnIndex(s, path, probes, nProbe = 4, k = 1)
+      .select(col("probe_id"), col("candidate_id").as("nn_id"), col("score"),
+        (col("score") >= EmbedDupThreshold).as("is_dup"))
+      .orderBy(col("probe_id"))
+  }
+
   /** pipeline_profile: corpus profiling — the per-source quality
     * histogram + token totals a mixture plan is drawn FROM
     * (pipeline_domain_mix consumes rates; this produces the evidence).
@@ -1764,6 +1801,7 @@ object DataPipelineQueries {
     "ann_index_topk" -> ann_index_topk,
     "ann_index_filtered" -> ann_index_filtered,
     "ann_index_append" -> ann_index_append,
+    "dedup_embed_incremental" -> dedup_embed_incremental,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
     "pipeline_split" -> pipeline_split,
@@ -2039,6 +2077,39 @@ object DataPipelineQueries {
          |SELECT probe_id, rank, candidate_id, score
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+    "dedup_embed_incremental" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |tt AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t FROM embeddings),
+         |qb AS (SELECT q.vec_id, q.qv FROM q, tt WHERE q.vec_id < tt.t),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qb WHERE vec_id < 16),
+         |${lloydIterSql("c0", "c1", 64, src = "qb")},
+         |${lloydIterSql("c1", "c2", 64, src = "qb")},
+         |af AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT v.vec_id, v.qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM qb v, c2 c) t WHERE rn = 1),
+         |probes AS (SELECT q.vec_id AS probe_id, q.qv AS pqv
+         |  FROM q, tt WHERE q.vec_id >= tt.t),
+         |pcells AS (SELECT probe_id, pqv, cell FROM (
+         |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM probes p, c2 c) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id AS nn_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN af a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |ranked AS (SELECT probe_id, nn_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, nn_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, nn_id, score, score >= 360000 AS is_dup
+         |FROM ranked WHERE rank = 1
+         |ORDER BY probe_id""".stripMargin,
     "ann_index_append" ->
       s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
          |tt AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t FROM embeddings),

@@ -128,6 +128,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cellsState() == before)
   }
 
+  test("compaction merges fragmented cells without changing results") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 350), cents, idx)
+    // three small appends fragment the touched cells
+    for (lo <- Seq(350, 400, 450)) {
+      AnnIndex.appendToAnnIndex(
+        vecsQ.filter(col("vec_id") >= lo && col("vec_id") < lo + 50), idx)
+    }
+    val before = canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+    def nFiles(): Int =
+      scala.util.Using.resource(Files.walk(Paths.get(idx, "cells")))(
+        _.iterator().asScala.count(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")))
+    val filesBefore = nFiles()
+    val compacted = AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
+    assert(compacted > 0, "fixture must fragment at least one cell")
+    assert(nFiles() < filesBefore)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == before)
+  }
+
+  test("compaction leaves unfragmented cells byte-untouched") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    def state(): Seq[(String, Long, Long)] =
+      scala.util.Using.resource(Files.walk(Paths.get(idx, "cells")))(
+        _.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => (p.toString, Files.size(p),
+            Files.getLastModifiedTime(p).toMillis))
+          .toSeq.sortBy(_._1))
+    val before = state()
+    // fresh build: one file per cell, nothing above the threshold
+    assert(AnnIndex.compactCells(spark, idx, maxFilesPerCell = 4) == 0)
+    assert(state() == before)
+  }
+
   test("rebuild policy flags drift past a quarter of the base corpus") {
     assert(!AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 125, 25)))
     assert(AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 131, 31)))
