@@ -970,7 +970,26 @@ object DataPipelineQueries {
     * neighbor marks it a semantic duplicate (same fixture cluster):
     * the observed top-1 median on this corpus, so the flag is
     * non-trivially mixed at every SF. */
-  private val EmbedDupThreshold = 360000L
+  private[graft] val EmbedDupThreshold = 360000L
+
+  /** The persisted ANN index of the BASE corpus slice (vec_id <
+    * (max+1)·9/10) — the artifact [[dedup_embed_incremental]] and the
+    * streaming embed gate share: both probe the same curated
+    * embedding store, so they amortize the same build (the docs90Index
+    * pattern for vectors). */
+  private[graft] def annBaseIndexPath(s: SparkSession, d: String): String = {
+    val maxId = Tables.embeddings(s, d)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val t = (maxId + 1) * 9 / 10
+    AnnIndex.ensureAnnIndex(
+      SignatureIndex.sourceCacheKey("annivf_base", d, "embeddings.parquet")) { p =>
+      AnnIndex.buildAnnIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") < t)
+          .select(col("vec_id"), col("label"),
+            Similarity.quantize(col("embedding")).as("qv")),
+        trainedIvfCentroidsBase(s, d, t), p)
+    }
+  }
 
   /** dedup_embed_incremental: incremental SEMANTIC dedup — the
     * embedding-side mirror of [[dedup_incremental]]: a new batch of
@@ -986,14 +1005,7 @@ object DataPipelineQueries {
     val maxId = Tables.embeddings(s, d)
       .agg(max(col("vec_id"))).head().getLong(0)
     val t = (maxId + 1) * 9 / 10
-    val path = AnnIndex.ensureAnnIndex(
-      SignatureIndex.sourceCacheKey("annivf_base", d, "embeddings.parquet")) { p =>
-      AnnIndex.buildAnnIndex(
-        Tables.embeddings(s, d).filter(col("vec_id") < t)
-          .select(col("vec_id"), col("label"),
-            Similarity.quantize(col("embedding")).as("qv")),
-        trainedIvfCentroidsBase(s, d, t), p)
-    }
+    val path = annBaseIndexPath(s, d)
     val probes = Tables.embeddings(s, d).filter(col("vec_id") >= t)
       .select(col("vec_id").as("probe_id"),
         Similarity.quantize(col("embedding")).as("pqv"))
@@ -2039,6 +2051,46 @@ object DataPipelineQueries {
        |SELECT probe_id, rank, candidate_id, score
        |FROM ranked WHERE rank <= 3
        |ORDER BY probe_id, rank""".stripMargin
+
+  /** DuckDB twin of the streaming embed gate (admitted = no top-1
+    * index neighbor at/above the threshold) — lives here because it
+    * shares every CTE with dedup_embed_incremental's twin; referenced
+    * by StreamingQueries.oracles. */
+  private[graft] lazy val embedGateSql: String =
+    s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+       |tt AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t FROM embeddings),
+       |qb AS (SELECT q.vec_id, q.qv FROM q, tt WHERE q.vec_id < tt.t),
+       |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qb WHERE vec_id < 16),
+       |${lloydIterSql("c0", "c1", 64, src = "qb")},
+       |${lloydIterSql("c1", "c2", 64, src = "qb")},
+       |af AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM qb v, c2 c) t WHERE rn = 1),
+       |probes AS (SELECT q.vec_id AS probe_id, q.qv AS pqv
+       |  FROM q, tt WHERE q.vec_id >= tt.t),
+       |pcells AS (SELECT probe_id, pqv, cell FROM (
+       |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM probes p, c2 c) t WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id AS nn_id,
+       |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+       |      z -> z[1] * z[2])) AS BIGINT) AS score
+       |  FROM pcells pc JOIN af a
+       |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+       |top1 AS (SELECT probe_id, nn_id, score FROM (
+       |    SELECT probe_id, nn_id, score,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY score DESC, nn_id) AS rank
+       |    FROM scored) r WHERE rank = 1)
+       |SELECT p.probe_id AS vec_id, t1.nn_id, t1.score
+       |FROM probes p LEFT JOIN top1 t1 ON t1.probe_id = p.probe_id
+       |WHERE t1.score IS NULL OR t1.score < $EmbedDupThreshold
+       |ORDER BY vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedSql,

@@ -460,7 +460,46 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** stream_embed_gate: the streaming SEMANTIC ingest gate — the
+    * embedding-side twin of [[stream_ingest_gate]]: new embeddings
+    * arrive in micro-batches and each batch probes the PERSISTED ANN
+    * index of the curated corpus ([[graft.operators.AnnIndex]], shared
+    * artifact with dedup_embed_incremental) for its top-1 exact-dot
+    * neighbor; arrivals at or above the duplicate threshold are
+    * rejected, no-neighbor arrivals are admitted. Stateless by
+    * construction (every decision is a pure function of the row and
+    * the frozen index), so the admitted set is batch-split-invariant —
+    * the same reason the MinHash gate's oracle can hash across the
+    * 3-batch staging. Per-batch cost: probe assignment (driver-held
+    * centroids, no join) + a partition-PRUNED scan of the probed
+    * cells; the corpus is never re-assigned, never shuffled. */
+  private val stream_embed_gate: Q = (s, d) => embedGate(s, d, 3)
+
+  /** Gate body, parameterized on batch count so batch-split invariance
+    * is spec-testable (OracleSfSweepSpec pattern). */
+  private[graft] def embedGate(s: SparkSession, d: String,
+                               nBatches: Int): DataFrame = {
+    import graft.operators.{AnnIndex, Similarity}
+    val idx = DataPipelineQueries.annBaseIndexPath(s, d)
+    val inc = StreamingOps.embeddingsStream(s, d, nBatches)
+    StreamingOps.runForeachBatch(s, inc,
+      s"graft_stream_embed_gate_$nBatches",
+      (batch, _) => {
+        val probes = batch.select(col("vec_id").as("probe_id"),
+          Similarity.quantize(col("embedding")).as("pqv"))
+        val top1 = AnnIndex.probeAnnIndex(s, idx, probes, nProbe = 4, k = 1)
+          .select(col("probe_id"), col("candidate_id").as("nn_id"),
+            col("score"))
+        probes.select(col("probe_id")).join(top1, Seq("probe_id"), "left")
+          .filter(col("score").isNull ||
+            col("score") < DataPipelineQueries.EmbedDupThreshold)
+          .select(col("probe_id").as("vec_id"), col("nn_id"), col("score"))
+      })
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_embed_gate" -> stream_embed_gate,
     "stream_ingest_gate" -> stream_ingest_gate,
     "stream_asof_enrich" -> stream_asof_enrich,
     "stream_routed_sink" -> stream_routed_sink,
@@ -478,6 +517,9 @@ object StreamingQueries {
     "stream_recover" -> stream_recover)
 
   val oracles: Map[String, String] = Map(
+    // batch twin of the streaming embed gate — shares every CTE with
+    // dedup_embed_incremental's twin, so it lives beside it
+    "stream_embed_gate" -> DataPipelineQueries.embedGateSql,
     // batch twin of the streaming ingest gate: increment docs (bucket
     // ≥ 90) with no exact-md5 corpus match and no strong-Jaccard LSH
     // band match in the corpus (bucket < 90) — the stream result must

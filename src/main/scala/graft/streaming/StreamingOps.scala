@@ -159,6 +159,86 @@ object StreamingOps {
       .option("latestFirst", "false")
       .parquet(stageDocBatches(spark, sfDir, nBatches))
 
+  /** Explicit schema for the staged embeddings stream. */
+  val embeddingsRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming read of the embeddings INCREMENT (the last tenth of the
+    * id space — this fixture family's standard new-arrivals slice,
+    * shared with dedup_embed_incremental / ann_index_append) as a
+    * multi-batch stream: staged once per sfDir into `nBatches`
+    * vec_id-contiguous parquet files with ascending mtimes, one per
+    * micro-batch. Like documents, embeddings have no event time; the
+    * consumer is the stateless ANN-index gate. */
+  def embeddingsStream(spark: SparkSession, sfDir: String,
+                       nBatches: Int = 3): DataFrame =
+    spark.readStream
+      .schema(embeddingsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(stageVecBatches(spark, sfDir, nBatches))
+
+  /** Stage the embeddings increment (vec_id ≥ (max+1)·9/10) into
+    * `nBatches` vec_id-contiguous files — the [[stageDocBatches]]
+    * discipline applied to vectors (same cache key shape, same
+    * atomic-rename build, same empty-source guard + cleanup). */
+  private[graft] def stageVecBatches(spark: SparkSession, sfDir: String,
+                                     nBatches: Int): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, "embeddings.parquet")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_v${StageFormatVersion}_" +
+        Integer.toHexString(sfDir.hashCode) + "_" + sourceFingerprint(src),
+      s"vecinc_$nBatches")
+    if (Files.isDirectory(dir)) return dir.toString
+    val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(build)
+    try {
+      val raw = spark.read.parquet(src.toString)
+        .select(embeddingsRawSchema.fields.toIndexedSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val mm = raw.agg(max(col("vec_id"))).head()
+      require(!mm.isNullAt(0),
+        s"cannot stage streaming vec batches: $src has no rows")
+      val idMax = mm.getLong(0)
+      val idMin = (idMax + 1) * 9 / 10
+      val span = math.max(idMax - idMin, 1L)
+      val inc = raw.filter(col("vec_id") >= idMin)
+      val base = System.currentTimeMillis()
+      for (pos <- 0 until nBatches) {
+        val lo = idMin + span * pos / nBatches
+        val hi = idMin + span * (pos + 1) / nBatches
+        val slice = inc.filter(col("vec_id") >= lo &&
+          (if (pos == nBatches - 1) lit(true) else col("vec_id") < hi))
+        val tmp = build.resolve(s"tmp_$pos")
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(Files.list(tmp))(
+          _.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+        val dst = build.resolve(f"vecinc_$pos%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(base + pos * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+      }
+    } catch {
+      case e: Throwable =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(build.toFile)
+        catch { case _: Exception => () }
+        throw e
+    }
+    dir.toString
+  }
+
   /** Stage documents.parquet into `nBatches` doc_id-contiguous files
     * under a cache dir keyed like [[stageDir]] (format version, sfDir,
     * source size+mtime) — same atomic-rename build, same stale-key

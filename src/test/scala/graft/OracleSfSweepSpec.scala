@@ -76,5 +76,24 @@ class OracleSfSweepSpec extends AnyFunSuite {
         prog.contains("\"stateOperators\":[]"),
         s"ingest gate plan acquired state operators:\n$prog")
     }
+
+    test(s"embed gate is batch-split invariant at ${sf.split('/').last}") {
+      // same claim for the semantic gate: admission is a pure function
+      // of the row and the frozen ANN index, so the admitted set is
+      // identical at every staging granularity, and the plan is
+      // stateless
+      val admitted = Seq(1, 3).map { n =>
+        queries.StreamingQueries.embedGate(spark, sf, n)
+          .collect().map(_.mkString("|")).sorted.toSeq
+      }
+      assert(admitted(0).nonEmpty, s"embed gate admitted nothing at $sf")
+      assert(admitted(0) == admitted(1),
+        s"admitted set depends on the batch split at $sf")
+      val prog = graft.streaming.StreamingOps.lastProgressJson
+        .getOrElse(fail("no streaming progress recorded"))
+      assert(prog.contains("\"stateOperators\" : [ ]") ||
+        prog.contains("\"stateOperators\":[]"),
+        s"embed gate plan acquired state operators:\n$prog")
+    }
   }
 }
