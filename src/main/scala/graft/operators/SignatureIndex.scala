@@ -231,6 +231,45 @@ object SignatureIndex {
     meta
   }
 
+  /** Compact the small signature files a long append lifecycle
+    * accumulates (each [[appendToIndex]] adds one or more
+    * increment-sized part files beside the corpus-build parts):
+    * every part file under `minFileBytes` merges into one, the
+    * originals are deleted, and meta's sigBytes refreshes. Content is
+    * untouched — every consumer scans `sig/` as a whole — so probes
+    * and pair frames are result-invariant (spec-pinned); cost is
+    * proportional to the SMALL files' bytes (appends), never the
+    * corpus build parts above the threshold. Single-writer contract
+    * like build/append. Returns the number of files merged. */
+  def compactSignatures(spark: SparkSession, path: String,
+                        minFileBytes: Long = 8L << 20): Int = {
+    val sigDir = Paths.get(path, "sig")
+    val small = scala.util.Using.resource(Files.list(sigDir))(
+      _.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.size(p) < minFileBytes)
+        .toSeq.sortBy(_.toString))
+    if (small.size < 2) return 0
+    val tmp = sigDir.resolveSibling(".compact_sig_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    // materialize the merged file BEFORE touching the originals
+    spark.read.parquet(small.map(_.toString): _*).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    small.foreach(Files.delete)
+    val merged = scala.util.Using.resource(Files.list(tmp))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    merged.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f, sigDir.resolve(
+        s"compact_${tmp.getFileName.toString.takeRight(8)}_$i.parquet"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    val meta = readMeta(path)
+    writeMeta(Paths.get(path),
+      meta.copy(sigBytes = parquetBytes(sigDir)))
+    small.size
+  }
+
   def readMeta(path: String): Meta = {
     val p = Paths.get(path, "_INDEX_META")
     require(Files.isRegularFile(p), s"no signature index at $path")

@@ -257,6 +257,38 @@ class SignatureIndexSpec extends AnyFunSuite {
     } finally b.unpersist()
   }
 
+  test("compactSignatures merges append fragments without changing results") {
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(corpus, idx)
+    // three appends fragment sig/ with increment-sized part files
+    val slices = Seq((90, 93), (93, 96), (96, 100)).map { case (lo, hi) =>
+      hashed.filter(col("bucket") >= lo && col("bucket") < hi).drop("bucket")
+    }
+    slices.foreach(SignatureIndex.appendToIndex(_, idx))
+    val before = canon(SignatureIndex.selfPairsFromIndex(spark, idx))
+    assert(before.nonEmpty)
+    def nFiles(): Int =
+      scala.util.Using.resource(Files.list(Paths.get(idx, "sig")))(
+        _.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")))
+    val filesBefore = nFiles()
+    // a threshold below every file merges nothing and touches nothing
+    assert(SignatureIndex.compactSignatures(spark, idx, minFileBytes = 1) == 0)
+    assert(nFiles() == filesBefore)
+    // a threshold above every file merges them all into one
+    val merged = SignatureIndex.compactSignatures(spark, idx,
+      minFileBytes = Long.MaxValue)
+    assert(merged == filesBefore && nFiles() < filesBefore)
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) == before)
+    // meta bookkeeping refreshed to the compacted layout
+    assert(SignatureIndex.readMeta(idx).sigBytes ==
+      scala.util.Using.resource(Files.walk(Paths.get(idx, "sig")))(
+        _.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum))
+  }
+
   test("ensureIndex caches by key and stamp") {
     val key = "spec_" + System.nanoTime()
     val p1 = SignatureIndex.ensureIndex(corpus, key)
