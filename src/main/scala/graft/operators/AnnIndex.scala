@@ -366,19 +366,27 @@ object AnnIndex {
   private val centroidsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
 
-  /** Build-once cache for fixture-derived indexes — same key
-    * discipline as [[SignatureIndex.ensureIndex]] (prefix + source dir
-    * hash + size/mtime fingerprint via
-    * [[SignatureIndex.sourceCacheKey]]). `build` runs once per key and
-    * must leave a complete index at the dir it is given. */
-  def ensureAnnIndex(cacheKey: String)(build: String => Meta): String =
+  /** Build-once cache for fixture-derived indexes — same key AND
+    * stamp discipline as [[SignatureIndex.ensureIndex]] (prefix +
+    * source dir hash + size/mtime fingerprint via
+    * [[SignatureIndex.sourceCacheKey]]; `stamp` records the build
+    * configuration the closure encodes — a caller changing its
+    * centroid count or training depth must not silently reuse an
+    * index built under the old config). `build` runs once per
+    * (key, stamp) and must leave a complete index at the dir it is
+    * given. */
+  def ensureAnnIndex(cacheKey: String, stamp: String = "v1")
+                    (build: String => Meta): String =
     synchronized {
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         s"graft_annindex_v${FormatVersion}_$cacheKey")
       val marker = dir.resolve("_INDEX_OK")
-      if (Files.isRegularFile(marker)) return dir.toString
+      if (Files.isRegularFile(marker) &&
+          new String(Files.readAllBytes(marker),
+            StandardCharsets.UTF_8) == stamp)
+        return dir.toString
       build(dir.toString)
-      Files.write(marker, "ok".getBytes(StandardCharsets.UTF_8))
+      Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
       dir.toString
     }
 }

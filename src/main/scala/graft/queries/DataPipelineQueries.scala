@@ -878,7 +878,8 @@ object DataPipelineQueries {
     * as ann_ivf_trained, shared by every index-served ANN query. */
   private[graft] def annIndexPath(s: SparkSession, d: String): String =
     AnnIndex.ensureAnnIndex(
-      SignatureIndex.sourceCacheKey("annivf", d, "embeddings.parquet")) { p =>
+      SignatureIndex.sourceCacheKey("annivf", d, "embeddings.parquet"),
+      stamp = "cents=16 iters=2 slice=full") { p =>
       AnnIndex.buildAnnIndex(
         Tables.embeddings(s, d).select(col("vec_id"), col("label"),
           Similarity.quantize(col("embedding")).as("qv")),
@@ -955,7 +956,8 @@ object DataPipelineQueries {
       .agg(max(col("vec_id"))).head().getLong(0)
     val t = (maxId + 1) * 9 / 10
     val path = AnnIndex.ensureAnnIndex(
-      SignatureIndex.sourceCacheKey("annivf_app", d, "embeddings.parquet")) { p =>
+      SignatureIndex.sourceCacheKey("annivf_app", d, "embeddings.parquet"),
+      stamp = "cents=16 iters=2 slice=base90+inc10") { p =>
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         Similarity.quantize(col("embedding")).as("qv"))
       AnnIndex.buildAnnIndex(all.filter(col("vec_id") < t),
@@ -982,7 +984,8 @@ object DataPipelineQueries {
       .agg(max(col("vec_id"))).head().getLong(0)
     val t = (maxId + 1) * 9 / 10
     AnnIndex.ensureAnnIndex(
-      SignatureIndex.sourceCacheKey("annivf_base", d, "embeddings.parquet")) { p =>
+      SignatureIndex.sourceCacheKey("annivf_base", d, "embeddings.parquet"),
+      stamp = "cents=16 iters=2 slice=base90") { p =>
       AnnIndex.buildAnnIndex(
         Tables.embeddings(s, d).filter(col("vec_id") < t)
           .select(col("vec_id"), col("label"),
