@@ -106,21 +106,23 @@ object AnnIndexProbe {
       val (sBig1, _) = probePass(probes10k)
       val (sBig2, rowsBig) = probePass(probes10k)
 
-      // append cost, then roll the index back (harness trick — the
-      // cached rung must stay pristine for later runs)
-      val cellsDir = java.nio.file.Paths.get(idxDir, "cells")
-      def listCells(): Set[String] =
+      // append cost (delta write), then roll the index back (harness
+      // trick — the cached rung must stay pristine for later runs)
+      def listIdx(): Set[String] =
         scala.util.Using.resource(
-          java.nio.file.Files.walk(cellsDir))(s =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)))(s =>
           scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
             .asScala.filter(java.nio.file.Files.isRegularFile(_))
             .map(_.toString).toSet)
-      val before = listCells()
+      val before = listIdx()
       val metaBytes = java.nio.file.Files.readAllBytes(metaPath)
       val ta = System.nanoTime()
       AnnIndex.appendToAnnIndex(appendQ, idxDir)
       val appendSec = (System.nanoTime() - ta) / 1e9
-      (listCells() -- before).foreach(f =>
+      // post-append probe: the delta union must not change the probe
+      // class (delta is increment-sized; same cell predicate)
+      val (pd1, _) = probePass(probes10)
+      (listIdx() -- before).foreach(f =>
         java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
       java.nio.file.Files.write(metaPath, metaBytes)
 
@@ -132,7 +134,9 @@ object AnnIndexProbe {
         s""""probe10_passes":[${j(s10a)},${j(s10b)}],""" +
         s""""probe10k_passes":[${j(sBig1)},${j(sBig2)}],""" +
         s""""rows10":$rows10,"rows10k":$rowsBig,""" +
-        s""""append_sec":${j(appendSec)},"index_vecs":${meta.nVecs}}""")
+        s""""append_sec":${j(appendSec)},""" +
+        s""""probe10_postappend_sec":${j(pd1)},""" +
+        s""""index_vecs":${meta.nVecs}}""")
       Dedup.purgeScratchDirs()
     }
     spark.stop()

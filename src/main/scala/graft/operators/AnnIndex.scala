@@ -95,6 +95,7 @@ object AnnIndex {
     * `<` update). Spec-pinned equal to the inline kernel. */
   private[graft] def assignBulk(vecsQ: DataFrame,
                                 cents: Seq[(Long, Array[Long])]): DataFrame = {
+    require(cents.nonEmpty, "assignBulk: empty centroid set")
     val spark = vecsQ.sparkSession
     val sorted = cents.sortBy(_._1).toArray
     val bc = spark.sparkContext.broadcast(sorted)
@@ -164,6 +165,15 @@ object AnnIndex {
     val spark = vecsQ.sparkSession
     val root = Paths.get(path)
     Files.createDirectories(root)
+    // a REBUILD at a path that lived an append lifecycle must not
+    // inherit the previous index's delta: the overwrite below replaces
+    // cells/ and centroids/, and a stale delta/ would duplicate every
+    // previously-appended vector in probe candidate lists (found by the
+    // oracle gate: a stamp-forced rebuild over a probed index returned
+    // rank-duplicated candidates)
+    val staleDelta = root.resolve("delta")
+    if (Files.isDirectory(staleDelta))
+      org.apache.commons.io.FileUtils.deleteDirectory(staleDelta.toFile)
     import spark.implicits._
     cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -180,27 +190,45 @@ object AnnIndex {
   /** APPEND an increment to an existing index — the between-rebuilds
     * lifecycle: new embeddings are assigned against the FROZEN
     * centroid table (increment-sized work, nothing corpus-sized read
-    * or written) and land as new files in their cell partitions.
+    * or written) and land in the UNPARTITIONED `delta/` side table,
+    * carrying their assigned `cell` as a plain column — the LSM shape
+    * (base + delta). Writing straight into the cell partitions was
+    * measured append-fan-out-bound: a 10k-vector append at the 16M
+    * rung (4000 cells) cost 65 s creating ~one tiny file per touched
+    * cell, 2.7× the 8M rung for identical input (SCALING.md §4.17) —
+    * the file-creation count, not the data, was the cost. A delta
+    * append writes increment-partition-count files regardless of
+    * nCells; probes read delta through the same cell predicate
+    * (pushed to parquet — delta is increment-class until
+    * [[compactCells]] folds it into the partitioned base).
+    *
     * Recall contract: a post-append probe returns exactly what a fresh
     * build OVER THE SAME centroids would (assignment is deterministic
     * in the frozen quantizer) — only quantizer STALENESS drifts,
     * bounded by [[RebuildFraction]]/[[needsRebuild]].
     *
-    * Partial-failure contract (single-writer): if cell files land but
-    * the meta rewrite doesn't, probes stay CORRECT (they scan `cells/`
+    * Partial-failure contract (single-writer): if delta files land but
+    * the meta rewrite doesn't, probes stay CORRECT (they scan `delta/`
     * directly; meta is bookkeeping). Unlike the signature index,
     * RE-RUNNING a half-failed append is NOT duplicate-safe — a
     * duplicated vec_id surfaces twice in candidate lists — so a
-    * confirmed-failed append means rebuild (or prune the orphaned
-    * files by mtime before retrying). */
+    * confirmed-failed append means pruning the orphaned delta files
+    * by mtime (bounded: delta holds only appends) before retrying. */
   def appendToAnnIndex(newVecsQ: DataFrame, path: String): Meta = {
     val root = Paths.get(path)
     val before = readMeta(path)
+    // a parquet append with a different column set would silently fork
+    // the stored schema and surface as null payloads at probe time
+    val existing = newVecsQ.sparkSession.read.parquet(s"$path/cells")
+      .schema.fieldNames.toSet - "cell"
+    val incoming = newVecsQ.schema.fieldNames.toSet
+    require(incoming == existing,
+      s"appendToAnnIndex: increment columns $incoming do not match the " +
+        s"indexed cell columns $existing at $path")
     val cents = readCentroids(newVecsQ.sparkSession, path)
     val assigned = assign(newVecsQ, cents).cache()
     val nNew = assigned.count()
-    assigned.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    assigned.write.mode("append").parquet(s"$path/delta")
     assigned.unpersist()
     val meta = before.copy(nVecs = before.nVecs + nNew,
       appendedVecs = before.appendedVecs + nNew)
@@ -225,9 +253,22 @@ object AnnIndex {
     // PartitionFilters so only the probed directories are scanned
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cands = spark.read.parquet(s"$path/cells")
+    val base = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(cellIds: _*))
-      .filter(candidateFilter)
+    // un-compacted appends: increment-class side table; the same cell
+    // predicate prunes as PushedFilters instead of PartitionFilters
+    // (guard on actual part files — an empty dir is legal residue)
+    val deltaDir = Paths.get(path, "delta")
+    val deltaHasFiles = Files.isDirectory(deltaDir) &&
+      scala.util.Using.resource(Files.list(deltaDir))(
+        _.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    val cands0 =
+      if (deltaHasFiles)
+        base.unionByName(spark.read.parquet(deltaDir.toString)
+          .filter(col("cell").isin(cellIds: _*)))
+      else base
+    val cands = cands0.filter(candidateFilter)
     Similarity.ivfSearch(cands, broadcast(probeCells), "vec_id", k)
   }
 
@@ -278,21 +319,41 @@ object AnnIndex {
     }
   }
 
-  /** Compact over-fragmented cell partitions — the maintenance job
-    * that keeps a long append lifecycle scan-efficient: every
-    * [[appendToAnnIndex]] adds up to one small file per touched cell,
-    * and a daily-ingest index accumulates reader-visible file-count
-    * overhead (open/footer cost per file, tiny row groups). Rewrites
-    * ONLY cells holding more than `maxFilesPerCell` part files, one
-    * bounded cell at a time — cost is proportional to the fragmented
-    * cells' bytes, never corpus-sized, and untouched cells keep their
-    * files byte-identical. Same single-writer contract as
-    * build/append (compaction is a scheduled maintenance event); a
-    * crash mid-swap loses at most the one cell being rewritten to a
-    * rebuild. Returns the number of cells compacted. */
+  /** Compact the index after a run of appends — the maintenance job
+    * that keeps a long append lifecycle scan-efficient. Two phases:
+    *
+    *  1. FOLD the `delta/` side table into the cell partitions
+    *     (delta rows already carry their frozen-quantizer cell, so the
+    *     fold is one repartition-by-cell write of delta-sized data —
+    *     never corpus-sized) and drop the folded delta files;
+    *  2. rewrite ONLY cells holding more than `maxFilesPerCell` part
+    *     files, one bounded cell at a time — cost proportional to the
+    *     fragmented cells' bytes; untouched cells keep their files
+    *     byte-identical.
+    *
+    * Same single-writer contract as build/append (compaction is a
+    * scheduled maintenance event). Crash windows, both repaired by
+    * rebuild: between the fold write and the delta delete, folded rows
+    * exist twice (the append-retry caveat); mid-phase-2 swap, the one
+    * cell being rewritten is lost. Returns the number of cells
+    * compacted (phase 2). */
   def compactCells(spark: SparkSession, path: String,
                    maxFilesPerCell: Int = 4): Int = {
     val cellsRoot = Paths.get(path, "cells")
+    val deltaDir = Paths.get(path, "delta")
+    if (Files.isDirectory(deltaDir)) {
+      val deltaFiles = scala.util.Using.resource(Files.list(deltaDir))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+      if (deltaFiles.nonEmpty) {
+        spark.read.parquet(deltaDir.toString)
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(cellsRoot.toString)
+        deltaFiles.foreach(Files.delete)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(deltaDir.toFile)
+    }
     val cellDirs = scala.util.Using.resource(Files.list(cellsRoot))(
       _.iterator().asScala
         .filter(p => Files.isDirectory(p) &&

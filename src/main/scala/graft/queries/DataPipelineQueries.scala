@@ -957,7 +957,7 @@ object DataPipelineQueries {
     val t = (maxId + 1) * 9 / 10
     val path = AnnIndex.ensureAnnIndex(
       SignatureIndex.sourceCacheKey("annivf_app", d, "embeddings.parquet"),
-      stamp = "cents=16 iters=2 slice=base90+inc10") { p =>
+      stamp = "cents=16 iters=2 slice=base90+inc10 layout=delta-cleanbuild") { p =>
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         Similarity.quantize(col("embedding")).as("qv"))
       AnnIndex.buildAnnIndex(all.filter(col("vec_id") < t),

@@ -140,13 +140,17 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     val before = canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
     def nFiles(): Int =
-      scala.util.Using.resource(Files.walk(Paths.get(idx, "cells")))(
+      scala.util.Using.resource(Files.walk(Paths.get(idx)))(
         _.iterator().asScala.count(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet")))
+    // appends land in delta/, not the cell partitions
+    assert(Files.isDirectory(Paths.get(idx, "delta")))
     val filesBefore = nFiles()
     val compacted = AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
-    assert(compacted > 0, "fixture must fragment at least one cell")
+    assert(compacted > 0, "the fold must fragment at least one cell")
     assert(nFiles() < filesBefore)
+    // the delta is folded away and the probe frame is unchanged
+    assert(!Files.isDirectory(Paths.get(idx, "delta")))
     assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == before)
   }
 
@@ -165,6 +169,36 @@ class AnnIndexSpec extends AnyFunSuite {
     // fresh build: one file per cell, nothing above the threshold
     assert(AnnIndex.compactCells(spark, idx, maxFilesPerCell = 4) == 0)
     assert(state() == before)
+  }
+
+  test("rebuild clears a stale delta from the previous lifecycle") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 450), cents, idx)
+    AnnIndex.appendToAnnIndex(vecsQ.filter(col("vec_id") >= 450), idx)
+    assert(Files.isDirectory(Paths.get(idx, "delta")))
+    // rebuild over the full corpus at the same path (the stamp-miss
+    // path of ensureAnnIndex): the old delta must not survive to
+    // duplicate the previously-appended vectors
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    assert(!Files.isDirectory(Paths.get(idx, "delta")))
+    val fresh = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, fresh)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3)))
+  }
+
+  test("append rejects an increment whose columns diverge from the cells") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 400), cents, idx)
+    val bad = vecsQ.filter(col("vec_id") >= 400).drop("label")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendToAnnIndex(bad, idx)
+    }
+    assert(e.getMessage.contains("do not match"))
   }
 
   test("rebuild policy flags drift past a quarter of the base corpus") {
