@@ -266,6 +266,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "the corpus-total scalar must broadcast into the 200-row frame")
   }
 
+  test("ann_index_topk: probed cells land as PartitionFilters; probes broadcast") {
+    val p = plan("ann_index_topk")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"the cells scan must prune to the probed partitions:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "the probe-cell frame must broadcast into the candidate join")
+    assert(!p.contains("SortMergeJoin"),
+      "an index probe must never sort the corpus side")
+  }
+
+  test("ann_index_filtered: the metadata predicate rides the pruned scan") {
+    val p = plan("ann_index_filtered")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined)
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined,
+      s"label predicate must push to parquet, not post-filter:\n$p")
+  }
+
   test("pipeline_domain_mix: the sampling decision is scan-local (one aggregation exchange only)") {
     val p = plan("pipeline_domain_mix")
     // rows are kept by row-local hash math; the only exchanges allowed
