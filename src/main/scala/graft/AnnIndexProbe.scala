@@ -31,9 +31,17 @@ object AnnIndexProbe {
   private val ProbeBig = 10000L
   private val AppendVecs = 10000L
 
+  /** Training-sample size for the `sample` variant: the corpus-
+    * independent quantizer-training bound every production IVF uses
+    * (FAISS trains on ~10⁵–10⁶ points regardless of corpus size) —
+    * turns the build's 2-Lloyd-pass N·√N training term into a
+    * constant, leaving only the unavoidable single assignment pass. */
+  private val TrainSample = 262144L
+
   def main(args: Array[String]): Unit = {
     val sizes = (if (args.nonEmpty) args(0) else "1000000,2000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
+    val sampleTrain = args.length > 1 && args(1) == "sample"
     val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -77,7 +85,7 @@ object AnnIndexProbe {
           Similarity.quantize(col("embedding")).as("qv"))
 
       val nCells = math.max(64, math.round(math.sqrt(n.toDouble))).toInt
-      val idxDir = s"$base/annidx_n$n"
+      val idxDir = if (sampleTrain) s"$base/annidx_s_n$n" else s"$base/annidx_n$n"
       val metaPath = java.nio.file.Paths.get(idxDir, "_INDEX_META")
       val buildSec =
         if (java.nio.file.Files.isRegularFile(metaPath)) Double.NaN
@@ -87,7 +95,14 @@ object AnnIndexProbe {
             .select(col("vec_id"), col("qv")).collect()
             .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
             .sortBy(_._1).toSeq
-          val cents = AnnIndex.kmeansBulk(vecsQ.select(col("qv")), seeds,
+          // sample variant: train the quantizer on a bounded
+          // deterministic slice (ids are hash-mixed uniform across the
+          // fixture clusters, so the prefix is an unbiased sample);
+          // full variant: Lloyd over the whole corpus
+          val trainSet =
+            if (sampleTrain) vecsQ.filter(col("vec_id") < TrainSample)
+            else vecsQ
+          val cents = AnnIndex.kmeansBulk(trainSet.select(col("qv")), seeds,
             iters = 2)
           AnnIndex.buildAnnIndex(vecsQ, cents, idxDir)
           (System.nanoTime() - t0) / 1e9
@@ -128,6 +143,7 @@ object AnnIndexProbe {
 
       def j(v: Double) = if (v.isNaN) "null" else f"$v%.2f"
       println(s"""{"corpus_vecs":$n,"n_cells":$nCells,""" +
+        s""""train":"${if (sampleTrain) "sample262k" else "full"}",""" +
         s""""build_sec":${j(buildSec)},""" +
         s""""probe10_sec":${j(math.min(s10a, s10b))},""" +
         s""""probe10k_sec":${j(math.min(sBig1, sBig2))},""" +
