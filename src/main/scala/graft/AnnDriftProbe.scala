@@ -92,11 +92,11 @@ object AnnDriftProbe {
     AnnIndex.buildAnnIndex(baseQ.unionByName(incQ),
       trainOn(baseQ.unionByName(incQ), fullN, nCells), fresh)
 
-    def results(idx: String): org.apache.spark.sql.DataFrame =
-      AnnIndex.probeAnnIndex(spark, idx, probes, nProbe = 4, k = K)
+    def results(idx: String, nProbe: Int): org.apache.spark.sql.DataFrame =
+      AnnIndex.probeAnnIndex(spark, idx, probes, nProbe = nProbe, k = K)
         .select(col("probe_id"), col("candidate_id"))
-    val a = results(drifted).cache()
-    val f = results(fresh).cache()
+    val a = results(drifted, 4).cache()
+    val f = results(fresh, 4).cache()
     val nA = a.count(); val nF = f.count()
     val inter = a.join(f, Seq("probe_id", "candidate_id")).count()
     // ground truth: exact top-K by the same quantized dot over the
@@ -118,6 +118,22 @@ object AnnDriftProbe {
       f""""recall_drifted_vs_exact":${aVsT.toDouble / nT}%.4f,""" +
       f""""recall_fresh_vs_exact":${fVsT.toDouble / nT}%.4f,""" +
       s""""rows":[$nA,$nF,$nT]}""")
+
+    // the speed/recall KNOB, measured on the same fresh index: recall
+    // vs exact and probe wall at each nProbe (candidate work and bytes
+    // read scale ∝ nProbe; recall climbs toward exact)
+    for (np <- Seq(4, 8, 16, 32)) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = results(fresh, np).cache()
+      val n = r.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val hit = r.join(truth, Seq("probe_id", "candidate_id")).count()
+      r.unpersist()
+      println(s"""{"nprobe":$np,"n_cells":$nCells,""" +
+        f""""recall_vs_exact":${hit.toDouble / nT}%.4f,""" +
+        f""""probe_sec":$sec%.2f,"rows":$n}""")
+    }
     spark.stop()
   }
 }
