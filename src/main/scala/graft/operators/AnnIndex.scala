@@ -248,6 +248,39 @@ object AnnIndex {
                     candidateFilter: Column = lit(true)): DataFrame = {
     val cents = readCentroids(spark, path)
     val probeCells = probeCellsOf(probesQ, cents, nProbe)
+    searchCells(spark, path, broadcast(probeCells), candidateFilter, k)
+  }
+
+  /** k-NN JOIN against the persisted index: EVERY input vector probes
+    * for its top-k — the k-NN-graph build a semantic-dedup or
+    * clustering pass runs over the whole corpus. Same cell-local
+    * search as [[probeAnnIndex]] with the opposite probe-side
+    * contract: the probe batch is corpus-class, so the cell join
+    * SHUFFLES both sides on `cell` (pairs still form only inside
+    * shared cells — never all-pairs; pair work is N × nProbe ×
+    * N/nCells, the inherent k-NN-graph cost) instead of broadcasting
+    * a frame that would not fit. Probing ~all cells also means the
+    * partition filter prunes nothing — the corpus contributes one
+    * full scan, which is the floor for a pass that must rank every
+    * vector. */
+  def knnJoinIndex(spark: SparkSession, path: String, vecsQ: DataFrame,
+                   nProbe: Int, k: Int,
+                   candidateFilter: Column = lit(true)): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val probesQ = vecsQ.select(col("vec_id").as("probe_id"),
+      col("qv").as("pqv"))
+    val probeCells = probeCellsOf(probesQ, cents, nProbe)
+    searchCells(spark, path, probeCells, candidateFilter, k)
+  }
+
+  /** Shared search tail: prune the cells scan to the probed cell ids
+    * (bounded by nCells — control-plane — regardless of probe count),
+    * union the un-compacted delta under the same predicate, filter,
+    * and rank. The probe frame arrives with or without a broadcast
+    * hint — the two public contracts above. */
+  private def searchCells(spark: SparkSession, path: String,
+                          probeCells: DataFrame, candidateFilter: Column,
+                          k: Int): DataFrame = {
     // distinct probed cells: bounded by nCells (the centroid table is
     // driver-held already) — control-plane collect, becomes literal
     // PartitionFilters so only the probed directories are scanned
@@ -269,7 +302,7 @@ object AnnIndex {
           .filter(col("cell").isin(cellIds: _*)))
       else base
     val cands = cands0.filter(candidateFilter)
-    Similarity.ivfSearch(cands, broadcast(probeCells), "vec_id", k)
+    Similarity.ivfSearch(cands, probeCells, "vec_id", k)
   }
 
   /** nProbe nearest cells per probe — inline sorted (distance, cid)

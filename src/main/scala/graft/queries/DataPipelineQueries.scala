@@ -968,6 +968,21 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** ann_index_knn_join: the k-NN GRAPH build off the persisted index
+    * — EVERY corpus vector probes for its top-k neighbors (the
+    * precursor pass of semantic dedup / clustering). Same cell-local
+    * search as ann_index_topk with the corpus-class probe contract:
+    * the cell join shuffles instead of broadcasting
+    * ([[AnnIndex.knnJoinIndex]]). Same oracle machinery, probes = the
+    * whole corpus. */
+  private val ann_index_knn_join: Q = (s, d) => {
+    AnnIndex.knnJoinIndex(s, annIndexPath(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv")),
+      nProbe = 4, k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Exact quantized-dot score above which a probe's top index
     * neighbor marks it a semantic duplicate (same fixture cluster):
     * the observed top-1 median on this corpus, so the flag is
@@ -1816,6 +1831,7 @@ object DataPipelineQueries {
     "ann_index_topk" -> ann_index_topk,
     "ann_index_filtered" -> ann_index_filtered,
     "ann_index_append" -> ann_index_append,
+    "ann_index_knn_join" -> ann_index_knn_join,
     "dedup_embed_incremental" -> dedup_embed_incremental,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
@@ -2100,6 +2116,35 @@ object DataPipelineQueries {
     // the index-served search contracts to the identical frame — the
     // engine reads its persisted cell partitions, the twin recomputes
     "ann_index_topk" -> ivfTrainedSql,
+    "ann_index_knn_join" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+         |${lloydIterSql("c0", "c1", 64)},
+         |${lloydIterSql("c1", "c2", 64)},
+         |af AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT v.vec_id, v.qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM q v, c2 c) t WHERE rn = 1),
+         |pcells AS (SELECT probe_id, pqv, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.qv AS pqv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${l2Sql("p.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM q p, c2 c) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN af a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |ranked AS (SELECT probe_id, candidate_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, candidate_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, candidate_id, score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     "ann_index_filtered" ->
       s"""WITH q AS (SELECT vec_id, label, $quantizeSql AS qv FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),

@@ -171,6 +171,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(state() == before)
   }
 
+  test("knn join matches per-probe search and survives the shuffle path") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    // the per-probe contract run over every vector must equal the join
+    val expected = canon(AnnIndex.probeAnnIndex(spark, idx,
+      vecsQ.select(col("vec_id").as("probe_id"), col("qv").as("pqv")),
+      nProbe = 4, k = 3))
+    val joined = AnnIndex.knnJoinIndex(spark, idx, vecsQ, nProbe = 4, k = 3)
+    assert(canon(joined) == expected)
+    // corpus-class contract: with broadcast disabled the cell join
+    // must still plan (shuffle) and produce the identical frame
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = AnnIndex.knnJoinIndex(spark, idx, vecsQ, 4, 3)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast disabled, yet the cell join broadcast:\n$plan")
+      assert(canon(shuffled) == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      thresholdBefore)
+  }
+
   test("rebuild clears a stale delta from the previous lifecycle") {
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
       rawCentroids(16), iters = 2)
