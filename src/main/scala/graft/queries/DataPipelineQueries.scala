@@ -983,6 +983,32 @@ object DataPipelineQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** dedup_embed_index_clusters: semantic clusters served off the
+    * PERSISTED ANN index — the embedding-side mirror of
+    * dedup_index_clusters: mutual top-1 neighbors from
+    * [[AnnIndex.knnJoinIndex]] form the edge set (the SemDeDup-style
+    * grouping, threshold-free for the same ulp-stability reason as
+    * dedup_embed_clusters), then the shared size-driven CC. Recurring
+    * clustering pays the k-NN join off the build-once layout — the
+    * corpus is never re-assigned. */
+  private val dedup_embed_index_clusters: Q = (s, d) => {
+    val top1 = AnnIndex.knnJoinIndex(s, annIndexPath(s, d),
+        Tables.embeddings(s, d).select(col("vec_id"),
+          Similarity.quantize(col("embedding")).as("qv")),
+        nProbe = 4, k = 1)
+      .select(col("probe_id"), col("candidate_id").as("nn"))
+    val mutual = top1.as("x").join(top1.as("y"),
+        col("x.probe_id") === col("y.nn") &&
+          col("x.nn") === col("y.probe_id") &&
+          col("x.probe_id") < col("x.nn"))
+      .select(col("x.probe_id").as("id_a"), col("x.nn").as("id_b"))
+    Dedup.connectedComponents(
+        Tables.embeddings(s, d).select(col("vec_id")), "vec_id", mutual)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact quantized-dot score above which a probe's top index
     * neighbor marks it a semantic duplicate (same fixture cluster):
     * the observed top-1 median on this corpus, so the flag is
@@ -1832,6 +1858,7 @@ object DataPipelineQueries {
     "ann_index_filtered" -> ann_index_filtered,
     "ann_index_append" -> ann_index_append,
     "ann_index_knn_join" -> ann_index_knn_join,
+    "dedup_embed_index_clusters" -> dedup_embed_index_clusters,
     "dedup_embed_incremental" -> dedup_embed_incremental,
     "dedup_clusters" -> dedup_clusters,
     "pipeline_curate" -> pipeline_curate,
@@ -2111,40 +2138,66 @@ object DataPipelineQueries {
        |WHERE t1.score IS NULL OR t1.score < $EmbedDupThreshold
        |ORDER BY vec_id""".stripMargin
 
+  /** Shared CTE block of the index k-NN join twins: trained centroids,
+    * full-corpus assignment, every vector as a probe, scored + ranked
+    * cell-local candidates. Consumed by ann_index_knn_join (rank ≤ k)
+    * and dedup_embed_index_clusters (rank = 1 → mutual-NN → CC). */
+  private lazy val knnJoinCtes: String =
+    s"""q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+       |${lloydIterSql("c0", "c1", 64)},
+       |${lloydIterSql("c1", "c2", 64)},
+       |af AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM q v, c2 c) t WHERE rn = 1),
+       |pcells AS (SELECT probe_id, pqv, cell FROM (
+       |    SELECT p.vec_id AS probe_id, p.qv AS pqv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${l2Sql("p.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM q p, c2 c) t WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+       |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+       |      z -> z[1] * z[2])) AS BIGINT) AS score
+       |  FROM pcells pc JOIN af a
+       |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+       |ranked AS (SELECT probe_id, candidate_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, candidate_id) AS rank
+       |  FROM scored)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedSql,
     // the index-served search contracts to the identical frame — the
     // engine reads its persisted cell partitions, the twin recomputes
     "ann_index_topk" -> ivfTrainedSql,
     "ann_index_knn_join" ->
-      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
-         |${lloydIterSql("c0", "c1", 64)},
-         |${lloydIterSql("c1", "c2", 64)},
-         |af AS (
-         |  SELECT vec_id, qv, cell FROM (
-         |    SELECT v.vec_id, v.qv, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
-         |    FROM q v, c2 c) t WHERE rn = 1),
-         |pcells AS (SELECT probe_id, pqv, cell FROM (
-         |    SELECT p.vec_id AS probe_id, p.qv AS pqv, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${l2Sql("p.qv", "c.qc")} ASC, c.cid ASC) AS rn
-         |    FROM q p, c2 c) t WHERE rn <= 4),
-         |scored AS (
-         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
-         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
-         |      z -> z[1] * z[2])) AS BIGINT) AS score
-         |  FROM pcells pc JOIN af a
-         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
-         |ranked AS (SELECT probe_id, candidate_id, score,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY score DESC, candidate_id) AS rank
-         |  FROM scored)
+      s"""WITH $knnJoinCtes
          |SELECT probe_id, rank, candidate_id, score
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+    // mutual top-1 over the same knn frame + the shared recursive-CC
+    // tail (the clustersSql pattern applied to embeddings)
+    "dedup_embed_index_clusters" ->
+      s"""WITH RECURSIVE $knnJoinCtes,
+         |top1 AS (SELECT probe_id, candidate_id AS nn_id FROM ranked
+         |  WHERE rank = 1),
+         |mut AS (SELECT x.probe_id AS src, x.nn_id AS dst
+         |  FROM top1 x JOIN top1 y
+         |    ON y.probe_id = x.nn_id AND y.nn_id = x.probe_id
+         |  WHERE x.probe_id < x.nn_id),
+         |edges AS (SELECT src, dst FROM mut UNION SELECT dst, src FROM mut),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS vec_id, min(r) AS cluster_id,
+         |  min(r) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY vec_id""".stripMargin,
     "ann_index_filtered" ->
       s"""WITH q AS (SELECT vec_id, label, $quantizeSql AS qv FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
