@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -64,20 +63,66 @@ object AnnIndex {
     * this the bulk mapPartitions kernel is dispatched. */
   val InlineCellsMax = 64
 
+  /** Largest probed-cell set planned as a literal `IN` chain; above
+    * this the cell predicate becomes ONE `array_contains` against a
+    * single array literal — same expression-tree-size discipline as
+    * [[InlineCellsMax]] (the PQ lesson: a √N-literal chain is a
+    * ~10^5-node plan at 10^10 vectors, paying more to plan than to
+    * run). `array_contains` over a foldable array still references
+    * only the partition column, so it rides the scan as a
+    * PartitionFilter and prunes directories exactly like the literal
+    * chain (spec-pinned). When the probe set covers EVERY cell (the
+    * k-NN-join case) the predicate is skipped outright — it would
+    * prune nothing and still be planned. */
+  val IsinCellsMax = 64
+
   case class Meta(nCells: Int, dims: Int, nVecs: Long,
                   appendedVecs: Long = 0L)
+
+  /** Gate-side probe-width POLICY for duplicate-admission gates riding
+    * this index (the streaming embed gate): nProbe for a gate whose
+    * job is REJECTING near-duplicates, pinned the way capPop and
+    * [[RebuildFraction]] are. Measured (SCALING.md §4.18, planted
+    * duplicate class on the √N-cell 1M ladder index): an EXACT
+    * re-ingest assigns to its original's cell and is caught at ANY
+    * nProbe ≥ 1 (admit-error 0 at every width); misses only appear
+    * when perturbation pushes a probe across a cell boundary, and at
+    * nProbe=16 the admit-error on the strong near-dup band stays ≤ ~1%
+    * while probing ~1.4% of a 1M corpus. Generic recall@10 at the same
+    * width is 0.94 (§4.17) — the gate's duplicate class does strictly
+    * better because duplicates are CLOSE, and close probes land in or
+    * next to their source's cell. */
+  val GateNProbe = 16
 
   /** Fraction of the build-time corpus that may arrive by
     * [[appendToAnnIndex]] before [[needsRebuild]] flags the frozen
     * centroids stale. Appends never lose recall versus the same frozen
     * quantizer (assignment is a pure deterministic function of the
     * centroid table), but the quantizer itself drifts from the data:
-    * cells grow imbalanced and probe selectivity decays. Same policy
-    * constant as [[SignatureIndex.RebuildFraction]]. */
-  val RebuildFraction: Double = 0.25
+    * cells grow imbalanced and probe selectivity decays. Shared policy
+    * ([[IndexLifecycle.RebuildFraction]], measured at the threshold in
+    * SCALING.md §4.17: recall unchanged, only balance drifts). */
+  val RebuildFraction: Double = IndexLifecycle.RebuildFraction
 
   def needsRebuild(meta: Meta): Boolean =
-    meta.appendedVecs > RebuildFraction * (meta.nVecs - meta.appendedVecs)
+    IndexLifecycle.driftExceeds(meta.appendedVecs, meta.nVecs)
+
+  /** Compaction-cadence predicate ([[IndexLifecycle
+    * .CompactSmallFilesMax]], measured in SCALING.md §4.19): true once
+    * the un-compacted `delta/` side table holds enough part files that
+    * the per-file open cost starts dragging the pruned probe path —
+    * delta is scanned IN FULL by every probe (its cell predicate is a
+    * PushedFilter, not a partition prune), so file COUNT, not bytes,
+    * is the trigger. */
+  def needsCompaction(path: String): Boolean = {
+    val d = Paths.get(path, "delta")
+    val files =
+      if (!Files.isDirectory(d)) 0
+      else scala.util.Using.resource(Files.list(d))(
+        _.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")))
+    IndexLifecycle.needsCompaction(files)
+  }
 
   // ---- assignment kernels ----------------------------------------------
 
@@ -207,13 +252,18 @@ object AnnIndex {
     * in the frozen quantizer) — only quantizer STALENESS drifts,
     * bounded by [[RebuildFraction]]/[[needsRebuild]].
     *
-    * Partial-failure contract (single-writer): if delta files land but
-    * the meta rewrite doesn't, probes stay CORRECT (they scan `delta/`
-    * directly; meta is bookkeeping). Unlike the signature index,
-    * RE-RUNNING a half-failed append is NOT duplicate-safe — a
-    * duplicated vec_id surfaces twice in candidate lists — so a
-    * confirmed-failed append means pruning the orphaned delta files
-    * by mtime (bounded: delta holds only appends) before retrying. */
+    * Partial-failure contract (single-writer), now UNIFORM with
+    * [[SignatureIndex.appendToIndex]]: if delta files land but the
+    * meta rewrite doesn't, probes stay CORRECT (they scan `delta/`
+    * directly; meta is bookkeeping), and RE-RUNNING the append is
+    * duplicate-safe — every consumer collapses delta duplicates
+    * (probes and k-NN joins dedupe the delta scan on `vec_id`;
+    * [[compactCells]]' fold dedupes before folding), so the retry
+    * costs only the duplicate's bytes until the next compaction.
+    * Requires `vec_id` unique within the increment (the same
+    * uniqueness the candidate frame's contract already assumes). Meta
+    * counters may double-count a retried append — conservative: the
+    * only effect is an EARLIER [[needsRebuild]]. */
   def appendToAnnIndex(newVecsQ: DataFrame, path: String): Meta = {
     val root = Paths.get(path)
     val before = readMeta(path)
@@ -247,8 +297,15 @@ object AnnIndex {
                     nProbe: Int, k: Int,
                     candidateFilter: Column = lit(true)): DataFrame = {
     val cents = readCentroids(spark, path)
+    // increment-class by contract, and read twice (the distinct-cell
+    // collect for partition pruning + the candidate join): materialize
+    // once so the probe-side assignment — and whatever upstream frame
+    // feeds it — runs a single time (round-10 ADVICE: it ran twice).
+    // Checkpoint blocks are probe-batch-sized and freed by driver GC.
     val probeCells = probeCellsOf(probesQ, cents, nProbe)
-    searchCells(spark, path, broadcast(probeCells), candidateFilter, k)
+      .localCheckpoint(true)
+    searchCells(spark, path, broadcast(probeCells), candidateFilter, k,
+      pruneCells = true)
   }
 
   /** k-NN JOIN against the persisted index: EVERY input vector probes
@@ -259,10 +316,12 @@ object AnnIndex {
     * SHUFFLES both sides on `cell` (pairs still form only inside
     * shared cells — never all-pairs; pair work is N × nProbe ×
     * N/nCells, the inherent k-NN-graph cost) instead of broadcasting
-    * a frame that would not fit. Probing ~all cells also means the
-    * partition filter prunes nothing — the corpus contributes one
-    * full scan, which is the floor for a pass that must rank every
-    * vector. */
+    * a frame that would not fit. Probing ~all cells also means cell
+    * PRUNING is skipped outright (`pruneCells = false`): the corpus
+    * contributes one full scan — the floor for a pass that must rank
+    * every vector — and collecting the distinct probed cells would
+    * cost a SECOND corpus-sized assignment pass to prune ~nothing
+    * (round-10 ADVICE: exactly that double pass ran). */
   def knnJoinIndex(spark: SparkSession, path: String, vecsQ: DataFrame,
                    nProbe: Int, k: Int,
                    candidateFilter: Column = lit(true)): DataFrame = {
@@ -270,24 +329,47 @@ object AnnIndex {
     val probesQ = vecsQ.select(col("vec_id").as("probe_id"),
       col("qv").as("pqv"))
     val probeCells = probeCellsOf(probesQ, cents, nProbe)
-    searchCells(spark, path, probeCells, candidateFilter, k)
+    searchCells(spark, path, probeCells, candidateFilter, k,
+      pruneCells = false)
   }
 
   /** Shared search tail: prune the cells scan to the probed cell ids
-    * (bounded by nCells — control-plane — regardless of probe count),
-    * union the un-compacted delta under the same predicate, filter,
-    * and rank. The probe frame arrives with or without a broadcast
-    * hint — the two public contracts above. */
+    * (when `pruneCells` — the increment-probe contract; the k-NN join
+    * probes every cell and skips pruning outright), union the
+    * un-compacted delta under the same predicate, filter, and rank.
+    * The probe frame arrives with or without a broadcast hint — the
+    * two public contracts above.
+    *
+    * Predicate form ladder (see [[IsinCellsMax]]): ≤ the threshold, a
+    * literal IN chain (the oracle configs — plans unchanged); above
+    * it, ONE `array_contains` against a single array literal (same
+    * PartitionFilter pruning, O(1) plan nodes instead of √N); equal to
+    * nCells, no predicate at all.
+    *
+    * The delta scan dedupes on `vec_id` — the collapse point that
+    * makes a RETRIED [[appendToAnnIndex]] duplicate-safe (duplicate
+    * delta rows are bit-identical, so any survivor is the right one).
+    * Delta is increment-class by contract, so the dedup exchange is
+    * increment-sized; the corpus-sized base never pays it. */
   private def searchCells(spark: SparkSession, path: String,
                           probeCells: DataFrame, candidateFilter: Column,
-                          k: Int): DataFrame = {
+                          k: Int, pruneCells: Boolean): DataFrame = {
     // distinct probed cells: bounded by nCells (the centroid table is
-    // driver-held already) — control-plane collect, becomes literal
-    // PartitionFilters so only the probed directories are scanned
-    val cellIds = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val base = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cellIds: _*))
+    // driver-held already) — control-plane collect, becomes a
+    // partition predicate so only the probed directories are scanned
+    val cellPred: Option[Column] =
+      if (!pruneCells) None
+      else {
+        val cellIds = probeCells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (cellIds.length >= readMeta(path).nCells) None
+        else if (cellIds.length <= IsinCellsMax)
+          Some(col("cell").isin(cellIds: _*))
+        else Some(array_contains(lit(cellIds), col("cell")))
+      }
+    def pruned(df: DataFrame): DataFrame =
+      cellPred.fold(df)(p => df.filter(p))
+    val base = pruned(spark.read.parquet(s"$path/cells"))
     // un-compacted appends: increment-class side table; the same cell
     // predicate prunes as PushedFilters instead of PartitionFilters
     // (guard on actual part files — an empty dir is legal residue)
@@ -298,8 +380,8 @@ object AnnIndex {
           .exists(_.getFileName.toString.endsWith(".parquet")))
     val cands0 =
       if (deltaHasFiles)
-        base.unionByName(spark.read.parquet(deltaDir.toString)
-          .filter(col("cell").isin(cellIds: _*)))
+        base.unionByName(pruned(spark.read.parquet(deltaDir.toString))
+          .dropDuplicates("vec_id"))
       else base
     val cands = cands0.filter(candidateFilter)
     Similarity.ivfSearch(cands, probeCells, "vec_id", k)
@@ -365,11 +447,19 @@ object AnnIndex {
     *     byte-identical.
     *
     * Same single-writer contract as build/append (compaction is a
-    * scheduled maintenance event). Crash windows, both repaired by
-    * rebuild: between the fold write and the delta delete, folded rows
-    * exist twice (the append-retry caveat); mid-phase-2 swap, the one
-    * cell being rewritten is lost. Returns the number of cells
-    * compacted (phase 2). */
+    * scheduled maintenance event). Crash windows — both now leave
+    * transient DUPLICATES, never loss ([[IndexLifecycle]]'s ordering
+    * invariant; the old phase-2 order deleted a cell's parts before
+    * the merged file moved in, losing the cell on a crash between):
+    * between the fold write and the delta delete, folded rows exist
+    * twice (base + delta — the next compaction's fold re-folds them
+    * and the phase-2 vec_id dedupe collapses the copies); between a
+    * phase-2 move-in and the original deletes, one cell holds merged +
+    * originals (still above `maxFilesPerCell`, so the NEXT compaction
+    * re-triggers on that cell and its dedupe is the repair). The fold
+    * itself dedupes delta on `vec_id` first, so retried appends
+    * ([[appendToAnnIndex]]) stop costing bytes here. Returns the
+    * number of cells compacted (phase 2). */
   def compactCells(spark: SparkSession, path: String,
                    maxFilesPerCell: Int = 4): Int = {
     val cellsRoot = Paths.get(path, "cells")
@@ -380,6 +470,7 @@ object AnnIndex {
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       if (deltaFiles.nonEmpty) {
         spark.read.parquet(deltaDir.toString)
+          .dropDuplicates("vec_id")
           .repartition(col("cell"))
           .write.mode("append").partitionBy("cell")
           .parquet(cellsRoot.toString)
@@ -401,15 +492,11 @@ object AnnIndex {
     for (dir <- cellDirs) {
       val parts = partFiles(dir)
       if (parts.size > maxFilesPerCell) {
-        val tmp = cellsRoot.resolve(".compact_" + dir.getFileName.toString)
-        // materialize the merged cell BEFORE touching the originals
-        spark.read.parquet(dir.toString).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        parts.foreach(Files.delete)
-        partFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-          Files.move(f, dir.resolve(s"compact_$i.parquet"))
-        }
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        // merged-first ordering + vec_id dedupe: the rewrite collapses
+        // any duplicates a prior crash window left in this cell, so
+        // re-running compaction IS the repair
+        IndexLifecycle.mergeParquetFiles(spark, parts, dir,
+          transform = _.dropDuplicates("vec_id"))
         compacted += 1
       }
     }
@@ -418,47 +505,39 @@ object AnnIndex {
 
   // ---- meta / centroid IO ----------------------------------------------
 
-  private def writeMeta(root: Path, meta: Meta): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("version", FormatVersion.toString)
-    props.setProperty("nCells", meta.nCells.toString)
-    props.setProperty("dims", meta.dims.toString)
-    props.setProperty("nVecs", meta.nVecs.toString)
-    props.setProperty("appendedVecs", meta.appendedVecs.toString)
-    val out = Files.newOutputStream(root.resolve("_INDEX_META"))
-    try props.store(out, "graft ann index") finally out.close()
-  }
+  private def writeMeta(root: Path, meta: Meta): Unit =
+    IndexLifecycle.writeMetaProps(root, "graft ann index", FormatVersion, Seq(
+      "nCells" -> meta.nCells.toString,
+      "dims" -> meta.dims.toString,
+      "nVecs" -> meta.nVecs.toString,
+      "appendedVecs" -> meta.appendedVecs.toString))
 
   def readMeta(path: String): Meta = {
-    val p = Paths.get(path, "_INDEX_META")
-    require(Files.isRegularFile(p), s"no ann index at $path")
-    val props = new java.util.Properties()
-    val in = Files.newInputStream(p)
-    try props.load(in) finally in.close()
-    require(props.getProperty("version") == FormatVersion.toString,
-      s"ann index at $path has version ${props.getProperty("version")}, " +
-        s"this build reads $FormatVersion")
+    val props = IndexLifecycle.readMetaProps(
+      Paths.get(path), "ann index", FormatVersion)
     Meta(props.getProperty("nCells").toInt,
       props.getProperty("dims").toInt,
       props.getProperty("nVecs").toLong,
       props.getProperty("appendedVecs").toLong)
   }
 
-  /** Driver-held centroid table, memoized per (path, centroids-dir
-    * fingerprint) so a rebuilt index at the same path misses the memo
-    * — same staleness discipline as the artifact caches. */
+  /** Driver-held centroid table, memoized ONE LIVE ENTRY PER PATH and
+    * revalidated by the centroids-dir content fingerprint (names +
+    * sizes + mtimes): a rebuilt index at the same path misses AND
+    * EVICTS the stale entry — a long-lived driver rebuilding in place
+    * no longer accumulates one centroid table per rebuild, and a
+    * rebuild landing in the same millisecond with identical bytes
+    * still misses (the rewritten part files carry fresh names). */
   def readCentroids(spark: SparkSession,
-                    path: String): Seq[(Long, Array[Long])] = {
-    val key = path + "#" + graft.streaming.StreamingOps.sourceFingerprint(
-      Paths.get(path, "centroids"))
-    centroidsMemo.computeIfAbsent(key, _ =>
+                    path: String): Seq[(Long, Array[Long])] =
+    centroidsMemo.get(path,
+      IndexLifecycle.dirFingerprint(Paths.get(path, "centroids")))(
       spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).toSeq)
-  }
 
   private val centroidsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
+    new IndexLifecycle.FingerprintMemo[Seq[(Long, Array[Long])]]()
 
   /** Build-once cache for fixture-derived indexes — same key AND
     * stamp discipline as [[SignatureIndex.ensureIndex]] (prefix +
@@ -471,16 +550,6 @@ object AnnIndex {
     * given. */
   def ensureAnnIndex(cacheKey: String, stamp: String = "v1")
                     (build: String => Meta): String =
-    synchronized {
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_annindex_v${FormatVersion}_$cacheKey")
-      val marker = dir.resolve("_INDEX_OK")
-      if (Files.isRegularFile(marker) &&
-          new String(Files.readAllBytes(marker),
-            StandardCharsets.UTF_8) == stamp)
-        return dir.toString
-      build(dir.toString)
-      Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
-      dir.toString
-    }
+    IndexLifecycle.ensureArtifactDir(
+      s"graft_annindex_v${FormatVersion}_$cacheKey", stamp)(p => build(p))
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Shared lifecycle machinery of the two persisted index families —
+  * [[SignatureIndex]] (MinHash/LSH signatures for text dedup) and
+  * [[AnnIndex]] (IVF cells for embedding search): meta properties IO
+  * with a version gate, the appended-drift rebuild policy,
+  * marker-stamped build-once artifact caching, bounded driver-side
+  * memoization keyed by content fingerprint, and the crash-ordered
+  * small-file merge both compactions run.
+  *
+  * Extracted (round 11) because the two families had drifted on
+  * exactly these contracts while duplicating the code: the ANN append
+  * was not retry-duplicate-safe while the signature append was, and
+  * the two compactions ordered their delete/move windows oppositely —
+  * one risking row LOSS on a crash, the other transient duplicates.
+  * One module now owns the contracts; the two layouts are instances.
+  *
+  * Crash-ordering invariant every mutation here follows: new bytes are
+  * materialized COMPLETELY before any old bytes are removed, so a
+  * crash at any point leaves every row present AT LEAST once.
+  * Transient duplicates are the recoverable failure mode (each family
+  * documents its collapse point: signature consumers collapse
+  * duplicates semantically; ANN probes dedupe the delta on vec_id and
+  * compaction dedupes cell rewrites); silent loss never is.
+  */
+object IndexLifecycle {
+
+  /** Fraction of an index's build-time corpus that may arrive by
+    * appends before [[driftExceeds]] flags the frozen build artifacts
+    * (signature hot/hot2 populations, the ANN coarse quantizer) as
+    * stale. Measured basis: SCALING.md §4.16 (signature appends flat,
+    * probe cost in class across the lifecycle) and §4.17 (ANN
+    * drift-recall at exactly this threshold: recall vs exact ground
+    * truth unchanged — only bucket BALANCE drifts, which is a
+    * performance property, not a correctness one). */
+  val RebuildFraction: Double = 0.25
+
+  /** True when appended drift exceeds [[RebuildFraction]] of the
+    * build-time corpus. `nTotal` counts appended rows too, so the
+    * build-time corpus is `nTotal - appended`. */
+  def driftExceeds(appended: Long, nTotal: Long): Boolean =
+    appended > RebuildFraction * (nTotal - appended)
+
+  /** Small-file count at which an append lifecycle should schedule
+    * compaction — the shared cadence trigger both families consult
+    * ([[AnnIndex.needsCompaction]] counts `delta/` part files — the
+    * side table every probe scans in full; [[SignatureIndex
+    * .needsCompaction]] counts sub-threshold `sig/` part files).
+    * Measured basis (SCALING.md §4.19, the 8M ANN rung): probe cost is
+    * insensitive to delta BYTES at increment scale but grows with the
+    * per-file open/footer cost of accumulated append part files;
+    * 20 appends ≈ 80 files is where the drag became measurable, so the
+    * trigger fires at half that — compaction is increment-priced, so
+    * firing early costs little and the probe path stays flat. */
+  val CompactSmallFilesMax: Int = 40
+
+  /** The cadence predicate: schedule compaction once `smallFiles`
+    * accumulated append part files exist. */
+  def needsCompaction(smallFiles: Int): Boolean =
+    smallFiles >= CompactSmallFilesMax
+
+  // ---- meta properties IO ----------------------------------------------
+
+  /** Write the `_INDEX_META` properties stamp (version + the family's
+    * fields) under `root`. Meta is BOOKKEEPING by contract in both
+    * families: probes scan the data directories directly, so a lost or
+    * stale meta rewrite never corrupts results — it only skews the
+    * rebuild/compaction policy counters (conservatively, for a retried
+    * append: counted twice means an earlier rebuild). */
+  def writeMetaProps(root: Path, comment: String, version: Int,
+                     fields: Seq[(String, String)]): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("version", version.toString)
+    fields.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = Files.newOutputStream(root.resolve("_INDEX_META"))
+    try props.store(out, comment) finally out.close()
+  }
+
+  /** Read + version-gate the `_INDEX_META` stamp. A version mismatch
+    * is a hard error: the layout on disk was written by a different
+    * format generation and silently reading it is how stale-sidecar
+    * bugs happen (the round-10 stale-delta lesson). */
+  def readMetaProps(root: Path, what: String,
+                    version: Int): java.util.Properties = {
+    val p = root.resolve("_INDEX_META")
+    require(Files.isRegularFile(p), s"no $what at $root")
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(p)
+    try props.load(in) finally in.close()
+    require(props.getProperty("version") == version.toString,
+      s"$what at $root has version ${props.getProperty("version")}, " +
+        s"this build reads $version")
+    props
+  }
+
+  // ---- build-once artifact cache -----------------------------------------
+
+  /** Marker-stamped build-once artifact under the JVM tmp dir — the
+    * shared `ensure*` discipline: `build` runs once per (dirName,
+    * stamp) and must leave a complete artifact at the dir it is given;
+    * the marker commits it. `stamp` records the build configuration
+    * the closure encodes — a caller changing its parameters must not
+    * silently reuse an artifact built under the old config. Concurrent
+    * sessions race benignly (last content-identical overwrite wins —
+    * everything is a pure function of the inputs the key fingerprints). */
+  def ensureArtifactDir(dirName: String, stamp: String)
+                       (build: String => Unit): String = synchronized {
+    val dir = Paths.get(sys.props("java.io.tmpdir"), dirName)
+    val marker = dir.resolve("_INDEX_OK")
+    if (Files.isRegularFile(marker) &&
+        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp)
+      return dir.toString
+    build(dir.toString)
+    Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  // ---- bounded fingerprint memo ------------------------------------------
+
+  /** Driver-side memo holding ONE live value per stable key: the value
+    * is revalidated by `fingerprint` and REPLACED when it changes, so a
+    * rebuild at the same path evicts the previous entry instead of
+    * accumulating beside it (the unbounded-memo ADVICE item: a
+    * long-lived multi-tenant driver rebuilding indexes in place must
+    * not leak one centroid table per rebuild). */
+  final class FingerprintMemo[V] {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, V)]()
+    def get(stableKey: String, fingerprint: String)(load: => V): V =
+      m.compute(stableKey, (_, prev) =>
+        if (prev != null && prev._1 == fingerprint) prev
+        else (fingerprint, load))._2
+  }
+
+  /** Content fingerprint of a parquet directory: hash of the sorted
+    * (relative name, size, mtime) triples plus the total byte size.
+    * Strictly stronger than size+mtime alone — a rebuild landing in
+    * the same millisecond with identical total bytes still misses,
+    * because the rewritten part files carry fresh task-UUID names. */
+  def dirFingerprint(path: Path): String = {
+    val entries =
+      if (Files.isDirectory(path))
+        scala.util.Using.resource(Files.walk(path))(
+          _.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(p => (path.relativize(p).toString, Files.size(p),
+              Files.getLastModifiedTime(p).toMillis))
+            .toVector.sortBy(_._1))
+      else Vector.empty
+    val h = java.util.Arrays.hashCode(
+      entries.map(e => s"${e._1}|${e._2}|${e._3}".hashCode).toArray)
+    java.lang.Integer.toHexString(h) + "_" +
+      java.lang.Long.toHexString(entries.map(_._2).sum)
+  }
+
+  /** Total parquet bytes under a directory — the sizing input of the
+    * join-width policy and compaction thresholds. */
+  def parquetBytes(dir: Path): Long =
+    scala.util.Using.resource(Files.walk(dir))(
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum)
+
+  // ---- crash-ordered small-file merge --------------------------------------
+
+  /** Merge `files` (parquet parts of one table) into a single part in
+    * `destDir`, with the crash-ordering invariant: (1) the merged data
+    * is materialized COMPLETELY to a temp sibling, (2) moved into
+    * `destDir` under fresh unique names, (3) only THEN are the
+    * originals deleted. A crash in the window between (2) and (3)
+    * leaves the merged rows AND the originals — transient duplicates,
+    * repaired by the caller's documented collapse point (see
+    * [[SignatureIndex.compactSignatures]] /
+    * [[AnnIndex.compactCells]]); a crash before (2) leaves the
+    * originals untouched. Loss is impossible at any point.
+    * `transform` lets a caller dedupe at merge time (the ANN cell
+    * rewrite collapses vec_id duplicates, making a re-run of a crashed
+    * compaction the repair itself). */
+  def mergeParquetFiles(spark: SparkSession, files: Seq[Path], destDir: Path,
+                        transform: DataFrame => DataFrame = identity): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = destDir.resolveSibling(
+      ".merge_" + destDir.getFileName.toString + "_" + tag)
+    transform(spark.read.parquet(files.map(_.toString): _*)).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val merged = scala.util.Using.resource(Files.list(tmp))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    merged.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f, destDir.resolve(s"compact_${tag}_$i.parquet"))
+    }
+    files.foreach(Files.delete)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+}

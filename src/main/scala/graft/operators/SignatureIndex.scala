@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -79,11 +78,7 @@ object SignatureIndex {
       h => (h - 2147483648L).cast("int"))).as("hsi"))
 
   private def parquetBytes(dir: Path): Long =
-    scala.util.Using.resource(Files.walk(dir))(
-      _.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(Files.size).sum)
+    IndexLifecycle.parquetBytes(dir)
 
   /** Band-explode a signature frame into one row per (doc, band),
     * carrying the refinement inputs. `narrow` drops hsi — the
@@ -152,18 +147,15 @@ object SignatureIndex {
     meta
   }
 
-  private def writeMeta(root: Path, meta: Meta): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("version", FormatVersion.toString)
-    props.setProperty("rowsPerBand", meta.rowsPerBand.toString)
-    props.setProperty("capPop", meta.capPop.toString)
-    props.setProperty("maxExtraBits", meta.maxExtraBits.toString)
-    props.setProperty("nDocs", meta.nDocs.toString)
-    props.setProperty("sigBytes", meta.sigBytes.toString)
-    props.setProperty("appendedDocs", meta.appendedDocs.toString)
-    val out = Files.newOutputStream(root.resolve("_INDEX_META"))
-    try props.store(out, "graft signature index") finally out.close()
-  }
+  private def writeMeta(root: Path, meta: Meta): Unit =
+    IndexLifecycle.writeMetaProps(root, "graft signature index",
+      FormatVersion, Seq(
+        "rowsPerBand" -> meta.rowsPerBand.toString,
+        "capPop" -> meta.capPop.toString,
+        "maxExtraBits" -> meta.maxExtraBits.toString,
+        "nDocs" -> meta.nDocs.toString,
+        "sigBytes" -> meta.sigBytes.toString,
+        "appendedDocs" -> meta.appendedDocs.toString))
 
   /** Fraction of the index's BUILD-TIME corpus that may arrive by
     * [[appendToIndex]] before [[Meta.needsRebuild]] flags the frozen
@@ -173,13 +165,14 @@ object SignatureIndex {
     * populations grow unbounded. A quarter of the corpus is far below
     * any density shift that moves a bucket past capPop in practice;
     * the IndexProbe ladder records the append + post-append probe
-    * costs that make this policy adjudicable. */
-  val RebuildFraction: Double = 0.25
+    * costs that make this policy adjudicable. Shared policy constant
+    * ([[IndexLifecycle.RebuildFraction]]). */
+  val RebuildFraction: Double = IndexLifecycle.RebuildFraction
 
   /** True when appended drift exceeds [[RebuildFraction]] of the
     * build-time corpus — the scheduled-rebuild signal. */
   def needsRebuild(meta: Meta): Boolean =
-    meta.appendedDocs > RebuildFraction * (meta.nDocs - meta.appendedDocs)
+    IndexLifecycle.driftExceeds(meta.appendedDocs, meta.nDocs)
 
   /** APPEND an increment's signatures to an existing index — the
     * between-rebuilds lifecycle: a daily ingest probes the index
@@ -240,7 +233,30 @@ object SignatureIndex {
     * and pair frames are result-invariant (spec-pinned); cost is
     * proportional to the SMALL files' bytes (appends), never the
     * corpus build parts above the threshold. Single-writer contract
-    * like build/append. Returns the number of files merged. */
+    * like build/append. Crash ordering ([[IndexLifecycle
+    * .mergeParquetFiles]]): the merged file moves INTO `sig/` before
+    * the originals are deleted, so a crash in the window leaves
+    * duplicate signature rows — which every consumer collapses (pair
+    * frames group on the id pair, the gate's probe is a semi; the
+    * old delete-first order instead LOST the merged rows, a silent
+    * recall hole only a rebuild repaired). A post-crash re-run merges
+    * the duplicates' bytes along; a rebuild reclaims them. Returns
+    * the number of files merged. */
+  /** Compaction-cadence predicate — the signature-family instance of
+    * [[IndexLifecycle.CompactSmallFilesMax]] (measured on the ANN
+    * twin, SCALING.md §4.19; the degradation mechanism — per-file open
+    * cost on the scan every probe pays — is layout-independent): true
+    * once enough sub-threshold append part files accumulated in
+    * `sig/`. */
+  def needsCompaction(path: String, minFileBytes: Long = 8L << 20): Boolean = {
+    val sigDir = Paths.get(path, "sig")
+    val small = scala.util.Using.resource(Files.list(sigDir))(
+      _.iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.size(p) < minFileBytes))
+    IndexLifecycle.needsCompaction(small)
+  }
+
   def compactSignatures(spark: SparkSession, path: String,
                         minFileBytes: Long = 8L << 20): Int = {
     val sigDir = Paths.get(path, "sig")
@@ -250,20 +266,7 @@ object SignatureIndex {
           Files.size(p) < minFileBytes)
         .toSeq.sortBy(_.toString))
     if (small.size < 2) return 0
-    val tmp = sigDir.resolveSibling(".compact_sig_" +
-      java.util.UUID.randomUUID().toString.take(8))
-    // materialize the merged file BEFORE touching the originals
-    spark.read.parquet(small.map(_.toString): _*).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    small.foreach(Files.delete)
-    val merged = scala.util.Using.resource(Files.list(tmp))(
-      _.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
-    merged.zipWithIndex.foreach { case (f, i) =>
-      Files.move(f, sigDir.resolve(
-        s"compact_${tmp.getFileName.toString.takeRight(8)}_$i.parquet"))
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    IndexLifecycle.mergeParquetFiles(spark, small, sigDir)
     val meta = readMeta(path)
     writeMeta(Paths.get(path),
       meta.copy(sigBytes = parquetBytes(sigDir)))
@@ -271,14 +274,8 @@ object SignatureIndex {
   }
 
   def readMeta(path: String): Meta = {
-    val p = Paths.get(path, "_INDEX_META")
-    require(Files.isRegularFile(p), s"no signature index at $path")
-    val props = new java.util.Properties()
-    val in = Files.newInputStream(p)
-    try props.load(in) finally in.close()
-    require(props.getProperty("version") == FormatVersion.toString,
-      s"signature index at $path has version ${props.getProperty("version")}, " +
-        s"this build reads $FormatVersion")
+    val props = IndexLifecycle.readMetaProps(
+      Paths.get(path), "signature index", FormatVersion)
     Meta(props.getProperty("rowsPerBand").toInt,
       props.getProperty("capPop").toInt,
       props.getProperty("maxExtraBits").toInt,
@@ -651,16 +648,9 @@ object SignatureIndex {
 
   def ensureIndex(hashed: => DataFrame, cacheKey: String,
                   rowsPerBand: Int = 4, capPop: Int = 256,
-                  maxExtraBits: Int = 8): String = synchronized {
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_sigindex_v${FormatVersion}_$cacheKey")
-    val marker = dir.resolve("_INDEX_OK")
-    val stamp = s"rpb=$rowsPerBand cap=$capPop xb=$maxExtraBits"
-    if (Files.isRegularFile(marker) &&
-        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp)
-      return dir.toString
-    buildSignatureIndex(hashed, dir.toString, rowsPerBand, capPop, maxExtraBits)
-    Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
-    dir.toString
-  }
+                  maxExtraBits: Int = 8): String =
+    IndexLifecycle.ensureArtifactDir(
+      s"graft_sigindex_v${FormatVersion}_$cacheKey",
+      s"rpb=$rowsPerBand cap=$capPop xb=$maxExtraBits")(p =>
+      buildSignatureIndex(hashed, p, rowsPerBand, capPop, maxExtraBits))
 }

@@ -935,7 +935,7 @@ object DataPipelineQueries {
       trained.map { case (cid, qc) => (cid, qc.toSeq) }
         .toDF("cid", "qc").coalesce(1).write.parquet(p)
     }
-    centroidsMemo.computeIfAbsent(path, _ =>
+    centroidsMemo.get(d + "#ann_ivf_centroids_base_v1", path)(
       s.read.parquet(path).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).toSeq)
@@ -1150,10 +1150,13 @@ object DataPipelineQueries {
         cents.map { case (cid, qc) => (m, cid, qc.toSeq) }
       }.toDF("m", "cid", "qc").coalesce(1).write.parquet(p)
     }
-    // JVM memo keyed by the artifact PATH (which embeds the format
-    // version + source fingerprint, so a regenerated source misses):
-    // the 128-row parse is control-plane data read on every search
-    booksMemo.computeIfAbsent(path, _ =>
+    // JVM memo: ONE live entry per logical artifact, revalidated by
+    // the artifact PATH (which embeds the format version + source
+    // fingerprint, so a regenerated source misses AND evicts the
+    // stale entry — bounded by the artifacts a driver serves, not by
+    // how often their sources regenerate). The 128-row parse is
+    // control-plane data read on every search.
+    booksMemo.get(d + "#ann_pq_books_v1", path)(
       s.read.parquet(path).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
         .groupBy(_._1).toSeq.sortBy(_._1)
@@ -1161,9 +1164,9 @@ object DataPipelineQueries {
   }
 
   private val booksMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Long, Array[Long])]]]()
+    new graft.operators.IndexLifecycle.FingerprintMemo[Seq[Seq[(Long, Array[Long])]]]()
   private val centroidsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
+    new graft.operators.IndexLifecycle.FingerprintMemo[Seq[(Long, Array[Long])]]()
 
   /** The PQ CODE TABLE (vec_id, codes) — the other half of a PQ index:
     * a production deployment stores the M-byte codes at rest next to
@@ -1199,7 +1202,7 @@ object DataPipelineQueries {
       trained.map { case (cid, qc) => (cid, qc.toSeq) }
         .toDF("cid", "qc").coalesce(1).write.parquet(p)
     }
-    centroidsMemo.computeIfAbsent(path, _ =>
+    centroidsMemo.get(d + "#ann_ivf_centroids_v1", path)(
       s.read.parquet(path).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).toSeq)
@@ -2260,7 +2263,7 @@ object DataPipelineQueries {
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY score DESC, nn_id) AS rank
          |  FROM scored)
-         |SELECT probe_id, nn_id, score, score >= 360000 AS is_dup
+         |SELECT probe_id, nn_id, score, score >= $EmbedDupThreshold AS is_dup
          |FROM ranked WHERE rank = 1
          |ORDER BY probe_id""".stripMargin,
     "ann_index_append" ->

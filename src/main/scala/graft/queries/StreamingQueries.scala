@@ -472,7 +472,17 @@ object StreamingQueries {
     * the same reason the MinHash gate's oracle can hash across the
     * 3-batch staging. Per-batch cost: probe assignment (driver-held
     * centroids, no join) + a partition-PRUNED scan of the probed
-    * cells; the corpus is never re-assigned, never shuffled. */
+    * cells; the corpus is never re-assigned, never shuffled.
+    *
+    * Probe-width policy: this oracle config probes nProbe=4 of the
+    * fixture's 16 cells — 25% of the corpus, ABOVE the production
+    * policy's coverage. A production gate on a √N-cell index must use
+    * [[graft.operators.AnnIndex.GateNProbe]] (measured admit-error vs
+    * nProbe on the planted-duplicate ladder, SCALING.md §4.18): at the
+    * default probe width the generic-recall curve (0.49@4) does NOT
+    * transfer to the duplicate class — exact re-ingests are caught at
+    * any width — but the strong near-dup band needs the pinned
+    * width. */
   private val stream_embed_gate: Q = (s, d) => embedGate(s, d, 3)
 
   /** Gate body, parameterized on batch count so batch-split invariance

@@ -226,6 +226,97 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("do not match"))
   }
 
+  test("re-running a half-failed append is duplicate-safe") {
+    val base = vecsQ.filter(col("vec_id") < 400)
+    val inc = vecsQ.filter(col("vec_id") >= 400)
+    val cents = Similarity.kmeansQuantized(base.select(col("qv")),
+      rawCentroids(16), iters = 2)
+
+    // reference lifecycle: exactly one append
+    val ref = newIndexDir()
+    AnnIndex.buildAnnIndex(base, cents, ref)
+    AnnIndex.appendToAnnIndex(inc, ref)
+    val refProbe = canon(AnnIndex.probeAnnIndex(spark, ref, probes, 4, 3))
+    val refKnn = canon(AnnIndex.knnJoinIndex(spark, ref, vecsQ, 4, 3))
+
+    // failure lifecycle: the append's delta files land but the meta
+    // rewrite is lost (simulated by restoring the pre-append meta),
+    // and the operator RETRIES the whole append
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(base, cents, idx)
+    val metaBefore = Files.readAllBytes(Paths.get(idx, "_INDEX_META"))
+    AnnIndex.appendToAnnIndex(inc, idx)
+    Files.write(Paths.get(idx, "_INDEX_META"), metaBefore)
+    AnnIndex.appendToAnnIndex(inc, idx)
+    // delta now holds every appended vec twice; probes and knn joins
+    // must collapse the duplicates (delta vec_id dedupe)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == refProbe)
+    assert(canon(AnnIndex.knnJoinIndex(spark, idx, vecsQ, 4, 3)) == refKnn)
+    // and compaction's fold dedupes too — the duplicate's bytes stop
+    // costing here, same repair point as the signature index's rebuild
+    AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == refProbe)
+  }
+
+  test("a wide probed-cell set plans one array literal, still pruned") {
+    // 80 cells (above IsinCellsMax), probes = 70 of the centroids
+    // themselves with nProbe=1 — each probe's nearest cell is its own
+    // centroid, so exactly 70 distinct cells are probed: above the
+    // literal-IN threshold, below nCells (the predicate must survive)
+    val cents = rawCentroids(80)
+    assert(cents.size > AnnIndex.IsinCellsMax)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    import spark.implicits._
+    val centProbes = cents.take(70)
+      .map { case (cid, qc) => (cid + 100000L, qc.toSeq) }
+      .toDF("probe_id", "pqv")
+    val df = AnnIndex.probeAnnIndex(spark, idx, centProbes, nProbe = 1, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("array_contains"),
+      s"wide cell set must plan as one array literal:\n$plan")
+    assert(!"cell#\\d+L? IN \\(".r.findFirstIn(plan).isDefined &&
+      !plan.contains("cell IN ("),
+      s"wide cell set must not plan a literal IN chain:\n$plan")
+    // pruning proven on the planned scan (pre-AQE physical plan — the
+    // adaptive wrapper hides the scan leaves): ≤ 70 of the 80 cell
+    // partitions selected (cells can be empty: ≤, plus a floor that
+    // the filter was not dropped entirely)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("cells")) => f
+    }
+    assert(scans.nonEmpty, s"no cells scan found:\n$plan")
+    val total = scala.util.Using.resource(Files.list(Paths.get(idx, "cells")))(
+      _.iterator().asScala.count(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("cell=")))
+    assert(scans.head.selectedPartitions.partitionCount <= 70 &&
+      scans.head.selectedPartitions.partitionCount < total,
+      s"scan must prune to the probed cells: " +
+        s"${scans.head.selectedPartitions.partitionCount} of $total")
+    // and the pruned frame equals the live (un-indexed) search
+    val live = Similarity.ivfTopKQ(AnnIndex.assignBulk(vecsQ, cents),
+      centProbes, cents, "vec_id", nProbe = 1, k = 3)
+    assert(canon(df).nonEmpty && canon(df) == canon(live))
+  }
+
+  test("knn join skips cell pruning outright") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    val plan = AnnIndex.knnJoinIndex(spark, idx, vecsQ, 4, 3)
+      .queryExecution.executedPlan.toString
+    // corpus-class probes cover ~all cells: the STATIC predicate would
+    // prune nothing while still being planned, and collecting the
+    // distinct probed cells would cost a second corpus assignment
+    // pass. (Catalyst's own dynamicpruningexpression from the cell
+    // join is allowed — runtime pruning costs no extra pass.)
+    assert(!plan.contains("array_contains") &&
+      !"cell#\\d+L? IN \\(".r.findFirstIn(plan).isDefined,
+      s"knn join must not plan a static cell predicate:\n$plan")
+  }
+
   test("rebuild policy flags drift past a quarter of the base corpus") {
     assert(!AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 125, 25)))
     assert(AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 131, 31)))
