@@ -196,17 +196,10 @@ object EmbedGateProbe {
           .parquet(stageDir.toString)
         val out = graft.streaming.StreamingOps.runForeachBatch(spark, inc,
           s"embedgate_ladder_$n",
-          (batch, _) => {
-            val probes = batch.select(col("vec_id").as("probe_id"),
-              graft.operators.Similarity.quantize(col("embedding")).as("pqv"))
-            val top1 = AnnIndex.probeAnnIndex(spark, idxDir, probes,
-              nProbe = nProbe, k = 1)
-              .select(col("probe_id"), col("score"))
-            probes.select(col("probe_id"))
-              .join(top1, Seq("probe_id"), "left")
-              .filter(col("score").isNull || col("score") < threshold)
-              .select(col("probe_id").as("vec_id"), col("score"))
-          })
+          (batch, _) => AnnIndex.gateBatchThroughAnnIndex(
+            batch.select(col("vec_id").as("probe_id"),
+              graft.operators.Similarity.quantize(col("embedding")).as("pqv")),
+            idxDir, threshold, nProbe = nProbe))
         admitted = out.count()
         (System.nanoTime() - t0) / 1e9
       }

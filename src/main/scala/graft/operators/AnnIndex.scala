@@ -434,6 +434,35 @@ object AnnIndex {
     }
   }
 
+  /** Streaming-ingest ADMISSION GATE body for the embedding family —
+    * the [[SignatureIndex.gateBatchThroughIndex]] twin a foreachBatch
+    * sink runs per trigger: the batch's quantized probes (probe_id,
+    * pqv) take their top-1 exact-dot neighbor from the persisted
+    * index; arrivals whose best score reaches `threshold` are
+    * near-duplicates of curated data and are REJECTED, no-neighbor
+    * arrivals are admitted. Stateless by construction (every decision
+    * is a pure function of the row and the frozen index), so the
+    * admitted set is batch-split-invariant.
+    *
+    * `nProbe` defaults to the pinned [[GateNProbe]] policy — the
+    * measured admit-error operating point for a √N-cell production
+    * index (SCALING.md §4.18); the oracle config overrides it to its
+    * fixture width. Per-batch cost is [[probeAnnIndex]]'s contract:
+    * probe-side assignment + a partition-pruned scan of the probed
+    * cells — the corpus is never re-assigned, never shuffled
+    * (ladder-measured end to end: 1.28/1.21× per corpus doubling,
+    * §4.18). Returns (probe_id, nn_id, score) for the admitted rows. */
+  def gateBatchThroughAnnIndex(probes: DataFrame, path: String,
+                               threshold: Long,
+                               nProbe: Int = GateNProbe): DataFrame = {
+    val spark = probes.sparkSession
+    val top1 = probeAnnIndex(spark, path, probes, nProbe = nProbe, k = 1)
+      .select(col("probe_id"), col("candidate_id").as("nn_id"), col("score"))
+    probes.select(col("probe_id")).join(top1, Seq("probe_id"), "left")
+      .filter(col("score").isNull || col("score") < threshold)
+      .select(col("probe_id"), col("nn_id"), col("score"))
+  }
+
   /** Compact the index after a run of appends — the maintenance job
     * that keeps a long append lifecycle scan-efficient. Two phases:
     *

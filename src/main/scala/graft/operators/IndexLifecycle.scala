@@ -111,15 +111,25 @@ object IndexLifecycle {
     * sessions race benignly (last content-identical overwrite wins —
     * everything is a pure function of the inputs the key fingerprints). */
   def ensureArtifactDir(dirName: String, stamp: String)
-                       (build: String => Unit): String = synchronized {
+                       (build: String => Unit): String = {
     val dir = Paths.get(sys.props("java.io.tmpdir"), dirName)
-    val marker = dir.resolve("_INDEX_OK")
+    ensureMarked(dir.resolve("_INDEX_OK"), stamp)(build(dir.toString))
+    dir.toString
+  }
+
+  /** The marker-guard primitive under [[ensureArtifactDir]] and the
+    * per-index staged artifacts ([[SignatureIndex.ensureSelfPairs]]'
+    * pairs graph, [[SignatureIndex.ensureSidecar]] tables): run
+    * `build` unless `marker` already records exactly `stamp`; commit
+    * the marker after. Invalidation = deleting the marker (the append
+    * lifecycle does this for staged pairs). */
+  def ensureMarked(marker: Path, stamp: String)
+                  (build: => Unit): Unit = synchronized {
     if (Files.isRegularFile(marker) &&
         new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp)
-      return dir.toString
-    build(dir.toString)
+      return
+    build
     Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
-    dir.toString
   }
 
   // ---- bounded fingerprint memo ------------------------------------------

@@ -449,15 +449,12 @@ object SignatureIndex {
   def ensureSelfPairs(spark: SparkSession, indexPath: String,
                       floorBp: Long = 5000): DataFrame = {
     val dir = Paths.get(indexPath, "pairs")
-    val marker = dir.resolve("_PAIRS_OK") // leading _ → invisible to the scan
-    val stamp = s"floorBp=$floorBp"
-    if (!(Files.isRegularFile(marker) &&
-        new String(Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8) == stamp)) {
+    // leading _ on the marker → invisible to the scan
+    IndexLifecycle.ensureMarked(dir.resolve("_PAIRS_OK"),
+      s"floorBp=$floorBp") {
       selfPairsFromIndex(spark, indexPath)
         .filter(col("jaccard_bp") >= floorBp)
         .write.mode("overwrite").parquet(dir.toString)
-      Files.write(marker,
-        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // NOTE: the band join staged a corpus-sized scratch table; the
       // ladder harnesses reclaim it via Dedup.purgeScratchDirs()
       // between measurements (not here — the caller owns scratch
@@ -498,13 +495,11 @@ object SignatureIndex {
     * e.g. the exact-dedup md5 set. `build` writes parquet at the given
     * path; the marker commits it. */
   def ensureSidecar(indexPath: String, name: String)
-                   (build: String => Unit): String = synchronized {
+                   (build: String => Unit): String = {
     val dir = Paths.get(indexPath, name)
-    val marker = Paths.get(indexPath, s"_SIDECAR_${name.toUpperCase}_OK")
-    if (!Files.isRegularFile(marker)) {
-      build(dir.toString)
-      Files.write(marker, Array.emptyByteArray)
-    }
+    IndexLifecycle.ensureMarked(
+      Paths.get(indexPath, s"_SIDECAR_${name.toUpperCase}_OK"), "")(
+      build(dir.toString))
     dir.toString
   }
 

@@ -494,17 +494,12 @@ object StreamingQueries {
     val inc = StreamingOps.embeddingsStream(s, d, nBatches)
     StreamingOps.runForeachBatch(s, inc,
       s"graft_stream_embed_gate_$nBatches",
-      (batch, _) => {
-        val probes = batch.select(col("vec_id").as("probe_id"),
-          Similarity.quantize(col("embedding")).as("pqv"))
-        val top1 = AnnIndex.probeAnnIndex(s, idx, probes, nProbe = 4, k = 1)
-          .select(col("probe_id"), col("candidate_id").as("nn_id"),
-            col("score"))
-        probes.select(col("probe_id")).join(top1, Seq("probe_id"), "left")
-          .filter(col("score").isNull ||
-            col("score") < DataPipelineQueries.EmbedDupThreshold)
-          .select(col("probe_id").as("vec_id"), col("nn_id"), col("score"))
-      })
+      (batch, _) => AnnIndex.gateBatchThroughAnnIndex(
+          batch.select(col("vec_id").as("probe_id"),
+            Similarity.quantize(col("embedding")).as("pqv")),
+          idx, DataPipelineQueries.EmbedDupThreshold,
+          nProbe = 4) // fixture width (4 of 16 cells; see policy note)
+        .select(col("probe_id").as("vec_id"), col("nn_id"), col("score")))
       .orderBy(col("vec_id"))
   }
 
