@@ -578,6 +578,53 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unbounded global-Window plans (add a partitionBy or bound the frame):\n${offenders.mkString("\n")}")
   }
 
+  test("no registry plan ships a wide literal IN chain") {
+    // the §4.17/round-11 defect class (the "PQ lesson"): a predicate
+    // built as isin(ids: _*) over a data-derived set plans one
+    // expression-tree child PER VALUE — √N children at IVF cell
+    // counts, ~10^5 at 10^10 vectors — and the analyzer walks that
+    // tree on every invocation. The engine's rule (AnnIndex
+    // .IsinCellsMax): literal IN only up to 64 values; above, ONE
+    // array_contains array literal (same PartitionFilter pruning) or
+    // a broadcast semi. This audit machine-checks every registered
+    // batch query's analyzed plan for a violation of that rule.
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("stream_")) {
+      wideLiteralIns(fn(spark, sf)).foreach(w => offenders += s"$name: $w")
+    }
+    assert(offenders.isEmpty,
+      s"wide literal IN chains (use array_contains on one array " +
+        s"literal, or a broadcast semi):\n${offenders.mkString("\n")}")
+  }
+
+  /** Audit predicate for the IN-chain test, factored for its negative
+    * control. */
+  private def wideLiteralIns(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{In, Literal}
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    df.queryExecution.analyzed.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case in: In if in.list.size > graft.operators.AnnIndex.IsinCellsMax &&
+            in.list.forall(_.isInstanceOf[Literal]) =>
+          out += s"In over ${in.list.size} literals"
+        case _ => ()
+      })
+    }
+    out.toSeq
+  }
+
+  test("IN audit negative control: a wide literal chain IS flagged; narrow and non-literal are not") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val wide = docs.filter(col("doc_id").isin(0L to 100L: _*))
+    assert(wideLiteralIns(wide).nonEmpty, "a 101-literal IN escaped the audit")
+    val narrow = docs.filter(col("doc_id").isin(0L to 10L: _*))
+    assert(wideLiteralIns(narrow).isEmpty, "a narrow IN was flagged")
+    val arrayForm = docs.filter(
+      array_contains(lit((0L to 100L).toArray), col("doc_id")))
+    assert(wideLiteralIns(arrayForm).isEmpty, "array_contains form flagged")
+  }
+
   /** The audit predicate, factored so the negative control below can
     * prove it actually fires. */
   private def unboundedGlobalWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
