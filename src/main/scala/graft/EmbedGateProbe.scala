@@ -45,13 +45,10 @@ object EmbedGateProbe {
 
   private val IdBase = 1L << 40
 
-  /** splitmix64 — deterministic noise, no Math.random. */
-  private def mix(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4595bL
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** Deterministic noise comes from the fixture's own mixer
+    * ([[ScaleGen.mix]], splitmix64) — no Math.random, and no duplicate
+    * hand-rolled constant to mis-transcribe. */
+  private def mix(x: Long): Long = ScaleGen.mix(x)
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("recall")

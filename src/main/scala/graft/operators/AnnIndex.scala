@@ -83,15 +83,16 @@ object AnnIndex {
     * this index (the streaming embed gate): nProbe for a gate whose
     * job is REJECTING near-duplicates, pinned the way capPop and
     * [[RebuildFraction]] are. Measured (SCALING.md §4.18, planted
-    * duplicate class on the √N-cell 1M ladder index): an EXACT
-    * re-ingest assigns to its original's cell and is caught at ANY
-    * nProbe ≥ 1 (admit-error 0 at every width); misses only appear
-    * when perturbation pushes a probe across a cell boundary, and at
-    * nProbe=16 the admit-error on the strong near-dup band stays ≤ ~1%
-    * while probing ~1.4% of a 1M corpus. Generic recall@10 at the same
-    * width is 0.94 (§4.17) — the gate's duplicate class does strictly
-    * better because duplicates are CLOSE, and close probes land in or
-    * next to their source's cell. */
+    * duplicate class on the √N-cell 1M/2M/8M ladder indexes): an
+    * EXACT re-ingest assigns to its original's cell and is caught at
+    * ANY nProbe ≥ 1 (admit-error 0 at every width and every corpus
+    * size); misses only appear when perturbation pushes a probe
+    * across a cell boundary, and at nProbe=16 the worst noise band
+    * reads ≤ 0.2% admit-error while probing ≤ 1.6% of the cells.
+    * Generic recall@10 at the same width is 0.94 (§4.17) — the
+    * gate's duplicate class does strictly better because duplicates
+    * are CLOSE, and close probes land in or next to their source's
+    * cell. */
   val GateNProbe = 16
 
   /** Fraction of the build-time corpus that may arrive by
@@ -301,9 +302,12 @@ object AnnIndex {
     // collect for partition pruning + the candidate join): materialize
     // once so the probe-side assignment — and whatever upstream frame
     // feeds it — runs a single time (round-10 ADVICE: it ran twice).
-    // Checkpoint blocks are probe-batch-sized and freed by driver GC.
-    val probeCells = probeCellsOf(probesQ, cents, nProbe)
-      .localCheckpoint(true)
+    // cache + count rather than an eager localCheckpoint: a cached
+    // block that a cluster evicts or loses RECOMPUTES from lineage
+    // (graceful), where a lost checkpoint block fails the query — the
+    // wrong cliff for the production gate body riding this path.
+    val probeCells = probeCellsOf(probesQ, cents, nProbe).cache()
+    probeCells.count()
     searchCells(spark, path, broadcast(probeCells), candidateFilter, k,
       pruneCells = true)
   }
@@ -480,13 +484,25 @@ object AnnIndex {
     * transient DUPLICATES, never loss ([[IndexLifecycle]]'s ordering
     * invariant; the old phase-2 order deleted a cell's parts before
     * the merged file moved in, losing the cell on a crash between):
-    * between the fold write and the delta delete, folded rows exist
-    * twice (base + delta — the next compaction's fold re-folds them
-    * and the phase-2 vec_id dedupe collapses the copies); between a
-    * phase-2 move-in and the original deletes, one cell holds merged +
-    * originals (still above `maxFilesPerCell`, so the NEXT compaction
-    * re-triggers on that cell and its dedupe is the repair). The fold
-    * itself dedupes delta on `vec_id` first, so retried appends
+    *
+    *  - PHASE 1 (fold) is IDEMPOTENT: before folding, the deduped
+    *    delta LEFT ANTI-joins the base's vec_ids over the touched
+    *    cells only (delta is increment-class, so the touched-cell set
+    *    is bounded and the base scan is partition-pruned to it) —
+    *    rows a crashed previous fold already landed are skipped, so
+    *    re-running compaction after a crash between the fold write
+    *    and the delta delete is itself the repair. The anti-join's
+    *    price — one slim (vec_id) scan of the touched cells — is the
+    *    cost of that idempotence, paid only at maintenance time.
+    *  - PHASE 2's window is ONE cell (the cell being swapped when the
+    *    crash hit): merged + originals coexist, and if the survivor
+    *    count sits at or below `maxFilesPerCell` the next default run
+    *    does NOT re-trigger on it. The repair is explicit:
+    *    `compactCells(path, maxFilesPerCell = 0)` rewrites every cell
+    *    through the vec_id dedupe (one corpus rewrite — the write
+    *    half of a rebuild), or a rebuild.
+    *
+    * The fold also dedupes delta on `vec_id`, so retried appends
     * ([[appendToAnnIndex]]) stop costing bytes here. Returns the
     * number of cells compacted (phase 2). */
   def compactCells(spark: SparkSession, path: String,
@@ -498,11 +514,22 @@ object AnnIndex {
         _.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       if (deltaFiles.nonEmpty) {
-        spark.read.parquet(deltaDir.toString)
+        val delta = spark.read.parquet(deltaDir.toString)
           .dropDuplicates("vec_id")
+          .cache()
+        // touched cells: bounded by min(|delta|, nCells) — control-plane
+        val touched = delta.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val baseIds = spark.read.parquet(cellsRoot.toString)
+          .filter(
+            if (touched.length <= IsinCellsMax) col("cell").isin(touched: _*)
+            else array_contains(lit(touched), col("cell")))
+          .select(col("vec_id"))
+        delta.join(baseIds, Seq("vec_id"), "left_anti")
           .repartition(col("cell"))
           .write.mode("append").partitionBy("cell")
           .parquet(cellsRoot.toString)
+        delta.unpersist()
         deltaFiles.foreach(Files.delete)
       }
       org.apache.commons.io.FileUtils.deleteDirectory(deltaDir.toFile)

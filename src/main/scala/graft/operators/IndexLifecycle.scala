@@ -122,15 +122,31 @@ object IndexLifecycle {
     * pairs graph, [[SignatureIndex.ensureSidecar]] tables): run
     * `build` unless `marker` already records exactly `stamp`; commit
     * the marker after. Invalidation = deleting the marker (the append
-    * lifecycle does this for staged pairs). */
+    * lifecycle does this for staged pairs).
+    *
+    * Locking: the built-marker fast path is LOCK-FREE, and builds
+    * serialize per MARKER (striped), not globally — a multi-tenant
+    * driver running one cold corpus-sized build must not block every
+    * other artifact's instant marker check behind it (a one-lock
+    * version of this method did exactly that). Two threads racing the
+    * same cold marker serialize; the loser re-checks and skips. */
   def ensureMarked(marker: Path, stamp: String)
-                  (build: => Unit): Unit = synchronized {
-    if (Files.isRegularFile(marker) &&
-        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp)
-      return
-    build
-    Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+                  (build: => Unit): Unit = {
+    def built: Boolean = Files.isRegularFile(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp
+    if (built) return
+    val lock = markerLocks.computeIfAbsent(
+      marker.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      if (!built) {
+        build
+        Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+      }
+    }
   }
+
+  private val markerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   // ---- bounded fingerprint memo ------------------------------------------
 

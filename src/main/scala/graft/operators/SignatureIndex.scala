@@ -224,6 +224,24 @@ object SignatureIndex {
     meta
   }
 
+  /** Compaction-cadence predicate — the signature-family instance of
+    * [[IndexLifecycle.CompactSmallFilesMax]] (measured on the ANN
+    * twin, SCALING.md §4.19; the degradation mechanism — per-file open
+    * cost on the scan every probe pays — is layout-independent): true
+    * once enough sub-threshold append part files accumulated in
+    * `sig/`. A path with no index (or no sig dir) has nothing to
+    * compact — false, same contract as [[AnnIndex.needsCompaction]]
+    * on a delta-less index. */
+  def needsCompaction(path: String, minFileBytes: Long = 8L << 20): Boolean = {
+    val sigDir = Paths.get(path, "sig")
+    if (!Files.isDirectory(sigDir)) return false
+    val small = scala.util.Using.resource(Files.list(sigDir))(
+      _.iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.size(p) < minFileBytes))
+    IndexLifecycle.needsCompaction(small)
+  }
+
   /** Compact the small signature files a long append lifecycle
     * accumulates (each [[appendToIndex]] adds one or more
     * increment-sized part files beside the corpus-build parts):
@@ -242,21 +260,6 @@ object SignatureIndex {
     * recall hole only a rebuild repaired). A post-crash re-run merges
     * the duplicates' bytes along; a rebuild reclaims them. Returns
     * the number of files merged. */
-  /** Compaction-cadence predicate — the signature-family instance of
-    * [[IndexLifecycle.CompactSmallFilesMax]] (measured on the ANN
-    * twin, SCALING.md §4.19; the degradation mechanism — per-file open
-    * cost on the scan every probe pays — is layout-independent): true
-    * once enough sub-threshold append part files accumulated in
-    * `sig/`. */
-  def needsCompaction(path: String, minFileBytes: Long = 8L << 20): Boolean = {
-    val sigDir = Paths.get(path, "sig")
-    val small = scala.util.Using.resource(Files.list(sigDir))(
-      _.iterator().asScala
-        .count(p => p.getFileName.toString.endsWith(".parquet") &&
-          Files.size(p) < minFileBytes))
-    IndexLifecycle.needsCompaction(small)
-  }
-
   def compactSignatures(spark: SparkSession, path: String,
                         minFileBytes: Long = 8L << 20): Int = {
     val sigDir = Paths.get(path, "sig")

@@ -226,6 +226,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("do not match"))
   }
 
+  test("the compaction fold is idempotent across a crash window") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 400), cents, idx)
+    AnnIndex.appendToAnnIndex(vecsQ.filter(col("vec_id") >= 400), idx)
+    // snapshot the delta bytes, then compact (fold writes into cells/,
+    // delta deleted)
+    val deltaDir = Paths.get(idx, "delta")
+    val snapshot = scala.util.Using.resource(Files.list(deltaDir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
+        .toSeq)
+    assert(snapshot.nonEmpty)
+    AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
+    val reference = canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+    // simulate the crash window: the fold's rows landed in the base,
+    // but the delta files were never deleted — restore them and
+    // re-run compaction; the anti-join must skip every already-folded
+    // row, so the probe frame is unchanged (no rank-duplicated
+    // candidates)
+    Files.createDirectories(deltaDir)
+    snapshot.foreach { case (name, bytes) =>
+      Files.write(deltaDir.resolve(name), bytes)
+    }
+    AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == reference)
+  }
+
   test("re-running a half-failed append is duplicate-safe") {
     val base = vecsQ.filter(col("vec_id") < 400)
     val inc = vecsQ.filter(col("vec_id") >= 400)
