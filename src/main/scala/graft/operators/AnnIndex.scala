@@ -77,7 +77,7 @@ object AnnIndex {
   val IsinCellsMax = 64
 
   case class Meta(nCells: Int, dims: Int, nVecs: Long,
-                  appendedVecs: Long = 0L)
+                  appendedVecs: Long = 0L, deletedVecs: Long = 0L)
 
   /** Gate-side probe-width POLICY for duplicate-admission gates riding
     * this index (the streaming embed gate): nProbe for a gate whose
@@ -105,8 +105,16 @@ object AnnIndex {
     * SCALING.md §4.17: recall unchanged, only balance drifts). */
   val RebuildFraction: Double = IndexLifecycle.RebuildFraction
 
+  /** Appends AND deletes both drift the frozen quantizer away from the
+    * live data, so both count toward the rebuild threshold. `nVecs`
+    * stores the LIVE count (build + appended − deleted), so the
+    * build-time corpus the policy is measured against reconstructs as
+    * `nVecs − appended + deleted`; the `+ 2·deleted` below is exactly
+    * that algebra pushed through [[IndexLifecycle.driftExceeds]]'s
+    * (appended, nTotal) signature. */
   def needsRebuild(meta: Meta): Boolean =
-    IndexLifecycle.driftExceeds(meta.appendedVecs, meta.nVecs)
+    IndexLifecycle.driftExceeds(meta.appendedVecs + meta.deletedVecs,
+      meta.nVecs + 2 * meta.deletedVecs)
 
   /** Compaction-cadence predicate ([[IndexLifecycle
     * .CompactSmallFilesMax]], measured in SCALING.md §4.19): true once
@@ -211,15 +219,19 @@ object AnnIndex {
     val spark = vecsQ.sparkSession
     val root = Paths.get(path)
     Files.createDirectories(root)
-    // a REBUILD at a path that lived an append lifecycle must not
-    // inherit the previous index's delta: the overwrite below replaces
-    // cells/ and centroids/, and a stale delta/ would duplicate every
-    // previously-appended vector in probe candidate lists (found by the
-    // oracle gate: a stamp-forced rebuild over a probed index returned
-    // rank-duplicated candidates)
-    val staleDelta = root.resolve("delta")
-    if (Files.isDirectory(staleDelta))
-      org.apache.commons.io.FileUtils.deleteDirectory(staleDelta.toFile)
+    // a REBUILD at a path that lived an append/delete lifecycle must
+    // not inherit the previous index's side tables: the overwrite
+    // below replaces cells/ and centroids/, and a stale delta/ would
+    // duplicate every previously-appended vector in probe candidate
+    // lists (found by the oracle gate: a stamp-forced rebuild over a
+    // probed index returned rank-duplicated candidates) while stale
+    // tombstones/ would silently ERASE rebuilt vectors that happen to
+    // share a previously-deleted vec_id
+    for (side <- Seq("delta", "tombstones")) {
+      val stale = root.resolve(side)
+      if (Files.isDirectory(stale))
+        org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
+    }
     import spark.implicits._
     cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -283,6 +295,37 @@ object AnnIndex {
     assigned.unpersist()
     val meta = before.copy(nVecs = before.nVecs + nNew,
       appendedVecs = before.appendedVecs + nNew)
+    writeMeta(root, meta)
+    meta
+  }
+
+  /** DELETE vectors from the index by id — the takedown/retention
+    * lifecycle (the one mutation build/append/compact didn't cover):
+    * the ids land in the UNPARTITIONED `tombstones/` side table (the
+    * delta pattern applied to removals — nothing corpus-sized is read
+    * or written at delete time) and every search anti-joins them out
+    * until [[compactCells]] physically rewrites the affected cells
+    * and drops the tombstones. Deletes are visible to the NEXT probe
+    * immediately.
+    *
+    * Contracts, uniform with the append side: `ids` is
+    * increment-class (tombstones broadcast into the search anti-join
+    * until compaction folds them away); RE-RUNNING a half-failed
+    * delete is duplicate-safe (duplicate tombstone rows change
+    * nothing in an anti-join, and the fold dedupes before counting);
+    * meta is bookkeeping (probes consult `tombstones/` directly).
+    * Deleting a never-indexed id is a no-op. Deletes count toward
+    * [[needsRebuild]] drift — removals unbalance the frozen
+    * quantizer's cells exactly like arrivals. */
+  def deleteFromAnnIndex(ids: DataFrame, path: String): Meta = {
+    val root = Paths.get(path)
+    val before = readMeta(path)
+    val ts = ids.select(col("vec_id")).distinct().cache()
+    val nDel = ts.count()
+    ts.write.mode("append").parquet(s"$path/tombstones")
+    ts.unpersist()
+    val meta = before.copy(nVecs = before.nVecs - nDel,
+      deletedVecs = before.deletedVecs + nDel)
     writeMeta(root, meta)
     meta
   }
@@ -387,7 +430,22 @@ object AnnIndex {
         base.unionByName(pruned(spark.read.parquet(deltaDir.toString))
           .dropDuplicates("vec_id"))
       else base
-    val cands = cands0.filter(candidateFilter)
+    // un-compacted deletes: tombstone ids anti-join the candidates
+    // (increment-class by deleteFromAnnIndex's contract — broadcast;
+    // physically removed, and this join dropped, at compaction)
+    val tombDir = Paths.get(path, "tombstones")
+    val tombHasFiles = Files.isDirectory(tombDir) &&
+      scala.util.Using.resource(Files.list(tombDir))(
+        _.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    val cands1 =
+      if (tombHasFiles)
+        cands0.join(
+          broadcast(spark.read.parquet(tombDir.toString)
+            .select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+      else cands0
+    val cands = cands1.filter(candidateFilter)
     Similarity.ivfSearch(cands, probeCells, "vec_id", k)
   }
 
@@ -502,9 +560,16 @@ object AnnIndex {
     *    through the vec_id dedupe (one corpus rewrite — the write
     *    half of a rebuild), or a rebuild.
     *
+    *  - PHASE 1b applies the `tombstones/` side table
+    *    ([[deleteFromAnnIndex]]): only cells HOLDING a deleted id are
+    *    rewritten (one slim semi scan finds them — bounded by the
+    *    tombstone count), and the tombstone files are dropped LAST,
+    *    so a crash mid-application re-applies harmlessly (anti-join
+    *    of already-removed ids is a no-op).
+    *
     * The fold also dedupes delta on `vec_id`, so retried appends
     * ([[appendToAnnIndex]]) stop costing bytes here. Returns the
-    * number of cells compacted (phase 2). */
+    * number of cells rewritten (tombstone application + phase 2). */
   def compactCells(spark: SparkSession, path: String,
                    maxFilesPerCell: Int = 4): Int = {
     val cellsRoot = Paths.get(path, "cells")
@@ -534,6 +599,40 @@ object AnnIndex {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(deltaDir.toFile)
     }
+    // PHASE 1b (tombstones): physically remove deleted ids by
+    // rewriting ONLY the cells that hold them (bounded by the
+    // tombstone count — one slim semi scan finds the affected cells),
+    // then drop the tombstone side table. Idempotent across a crash:
+    // tombstones are deleted LAST, and re-applying them to an
+    // already-rewritten cell anti-joins nothing away.
+    var compacted = 0
+    val tombDir = Paths.get(path, "tombstones")
+    if (Files.isDirectory(tombDir)) {
+      val tombFiles = scala.util.Using.resource(Files.list(tombDir))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+      if (tombFiles.nonEmpty) {
+        val ts = spark.read.parquet(tombDir.toString)
+          .select(col("vec_id")).distinct().cache()
+        // the hive partition column infers as int: cast for the collect
+        val affected = spark.read.parquet(cellsRoot.toString)
+          .join(broadcast(ts), Seq("vec_id"), "left_semi")
+          .select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        for (cid <- affected) {
+          val dir = cellsRoot.resolve(s"cell=$cid")
+          val parts = scala.util.Using.resource(Files.list(dir))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+          IndexLifecycle.mergeParquetFiles(spark, parts, dir,
+            transform = _.dropDuplicates("vec_id")
+              .join(broadcast(ts), Seq("vec_id"), "left_anti"))
+          compacted += 1
+        }
+        ts.unpersist()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
     val cellDirs = scala.util.Using.resource(Files.list(cellsRoot))(
       _.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
@@ -544,7 +643,6 @@ object AnnIndex {
         _.iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .toSeq)
-    var compacted = 0
     for (dir <- cellDirs) {
       val parts = partFiles(dir)
       if (parts.size > maxFilesPerCell) {
@@ -566,7 +664,8 @@ object AnnIndex {
       "nCells" -> meta.nCells.toString,
       "dims" -> meta.dims.toString,
       "nVecs" -> meta.nVecs.toString,
-      "appendedVecs" -> meta.appendedVecs.toString))
+      "appendedVecs" -> meta.appendedVecs.toString,
+      "deletedVecs" -> meta.deletedVecs.toString))
 
   def readMeta(path: String): Meta = {
     val props = IndexLifecycle.readMetaProps(
@@ -574,7 +673,9 @@ object AnnIndex {
     Meta(props.getProperty("nCells").toInt,
       props.getProperty("dims").toInt,
       props.getProperty("nVecs").toLong,
-      props.getProperty("appendedVecs").toLong)
+      props.getProperty("appendedVecs").toLong,
+      // absent in pre-delete indexes: they carry no tombstone drift
+      Option(props.getProperty("deletedVecs")).map(_.toLong).getOrElse(0L))
   }
 
   /** Driver-held centroid table, memoized ONE LIVE ENTRY PER PATH and

@@ -64,7 +64,8 @@ object SignatureIndex {
   private val FormatVersion = 1
 
   case class Meta(rowsPerBand: Int, capPop: Int, maxExtraBits: Int,
-                  nDocs: Long, sigBytes: Long, appendedDocs: Long = 0L)
+                  nDocs: Long, sigBytes: Long, appendedDocs: Long = 0L,
+                  deletedDocs: Long = 0L)
 
   /** The five persisted signature columns, from a (doc_id, hs) frame —
     * MUST stay byte-compatible with [[Dedup.probeKeyedSized]]'s staged
@@ -116,6 +117,17 @@ object SignatureIndex {
     val spark = hashed.sparkSession
     val root = Paths.get(path)
     Files.createDirectories(root)
+    // a REBUILD at a path that lived a delete/cluster lifecycle must
+    // not inherit the previous index's side artifacts: stale
+    // tombstones/ would silently ERASE rebuilt docs sharing a
+    // previously-deleted doc_id, and a stale pairs/ marker would serve
+    // the PRE-rebuild strong-pair graph to clustersFromIndex (the
+    // AnnIndex stale-delta bug class, round 10)
+    val staleTomb = root.resolve("tombstones")
+    if (Files.isDirectory(staleTomb))
+      org.apache.commons.io.FileUtils.deleteDirectory(staleTomb.toFile)
+    val stalePairs = root.resolve("pairs").resolve("_PAIRS_OK")
+    if (Files.isRegularFile(stalePairs)) Files.delete(stalePairs)
     hashed.select(sigColumns: _*)
       .write.mode("overwrite").parquet(s"$path/sig")
     val sig = spark.read.parquet(s"$path/sig")
@@ -155,7 +167,8 @@ object SignatureIndex {
         "maxExtraBits" -> meta.maxExtraBits.toString,
         "nDocs" -> meta.nDocs.toString,
         "sigBytes" -> meta.sigBytes.toString,
-        "appendedDocs" -> meta.appendedDocs.toString))
+        "appendedDocs" -> meta.appendedDocs.toString,
+        "deletedDocs" -> meta.deletedDocs.toString))
 
   /** Fraction of the index's BUILD-TIME corpus that may arrive by
     * [[appendToIndex]] before [[Meta.needsRebuild]] flags the frozen
@@ -169,10 +182,16 @@ object SignatureIndex {
     * ([[IndexLifecycle.RebuildFraction]]). */
   val RebuildFraction: Double = IndexLifecycle.RebuildFraction
 
-  /** True when appended drift exceeds [[RebuildFraction]] of the
-    * build-time corpus — the scheduled-rebuild signal. */
+  /** True when appended + deleted drift exceeds [[RebuildFraction]]
+    * of the build-time corpus — the scheduled-rebuild signal. Deletes
+    * count because they both unbalance the frozen hot/hot2
+    * populations AND grow the read-side tombstone anti-join
+    * ([[deleteFromIndex]]); `nDocs` stores the LIVE count, so the
+    * build-time corpus reconstructs as nDocs − appended + deleted
+    * (the same algebra as [[AnnIndex.needsRebuild]]). */
   def needsRebuild(meta: Meta): Boolean =
-    IndexLifecycle.driftExceeds(meta.appendedDocs, meta.nDocs)
+    IndexLifecycle.driftExceeds(meta.appendedDocs + meta.deletedDocs,
+      meta.nDocs + 2 * meta.deletedDocs)
 
   /** APPEND an increment's signatures to an existing index — the
     * between-rebuilds lifecycle: a daily ingest probes the index
@@ -222,6 +241,64 @@ object SignatureIndex {
       appendedDocs = before.appendedDocs + nNew)
     writeMeta(root, meta)
     meta
+  }
+
+  /** DELETE documents from the index by id — the takedown/retention
+    * lifecycle, uniform with [[AnnIndex.deleteFromAnnIndex]]: the ids
+    * land in the UNPARTITIONED `tombstones/` side table
+    * (increment-sized write, nothing corpus-sized touched) and every
+    * consumer reads the sig table through [[liveSig]]'s broadcast
+    * anti-join until the next REBUILD physically reclaims them (the
+    * sig table is not partitioned by id, so physical removal is a
+    * corpus rewrite — exactly what a rebuild is; [[needsRebuild]]
+    * counts deletes toward drift, which BOUNDS the tombstone set
+    * relative to the corpus before a rebuild is scheduled anyway).
+    * Deletes are visible to the NEXT probe/gate/cluster call
+    * immediately.
+    *
+    * Contracts: `ids` is increment-class per call (the cumulative
+    * tombstone set stays broadcast-class because the drift bound
+    * forces a rebuild at 25%); RE-RUNNING a half-failed delete is
+    * duplicate-safe (duplicate tombstones change nothing in an
+    * anti-join); a tombstoned doc_id stays deleted until the next
+    * rebuild — re-ingesting it between rebuilds requires a fresh id.
+    * The staged strong-pair graph is INVALIDATED (it holds edges of
+    * deleted docs); caller-owned sidecars (e.g. the gate's md5 set)
+    * derive from the CALLER's corpus view, not this index — a caller
+    * whose deletion policy extends to them rebuilds them from its
+    * updated corpus. */
+  def deleteFromIndex(ids: DataFrame, path: String): Meta = {
+    val root = Paths.get(path)
+    val before = readMeta(path)
+    val ts = ids.select(col("doc_id")).distinct().cache()
+    val nDel = ts.count()
+    ts.write.mode("append").parquet(s"$path/tombstones")
+    ts.unpersist()
+    val pairsMarker = root.resolve("pairs").resolve("_PAIRS_OK")
+    if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
+    val meta = before.copy(nDocs = before.nDocs - nDel,
+      deletedDocs = before.deletedDocs + nDel)
+    writeMeta(root, meta)
+    meta
+  }
+
+  /** The LIVE sig scan: the persisted signature table minus the
+    * un-reclaimed tombstones ([[deleteFromIndex]]) — the one read
+    * path every consumer (probe, self pairs, clusters, gate) goes
+    * through. The anti-join broadcasts the tombstone ids (bounded by
+    * the drift policy) and disappears entirely when none exist. */
+  private def liveSig(spark: SparkSession, path: String): DataFrame = {
+    val sig = spark.read.parquet(s"$path/sig")
+    val tombDir = Paths.get(path, "tombstones")
+    val tombHasFiles = Files.isDirectory(tombDir) &&
+      scala.util.Using.resource(Files.list(tombDir))(
+        _.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    if (tombHasFiles)
+      sig.join(broadcast(spark.read.parquet(tombDir.toString)
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    else sig
   }
 
   /** Compaction-cadence predicate — the signature-family instance of
@@ -284,8 +361,9 @@ object SignatureIndex {
       props.getProperty("maxExtraBits").toInt,
       props.getProperty("nDocs").toLong,
       props.getProperty("sigBytes").toLong,
-      // absent in pre-append indexes: they have no appended drift
-      Option(props.getProperty("appendedDocs")).map(_.toLong).getOrElse(0L))
+      // absent in pre-append/pre-delete indexes: no such drift
+      Option(props.getProperty("appendedDocs")).map(_.toLong).getOrElse(0L),
+      Option(props.getProperty("deletedDocs")).map(_.toLong).getOrElse(0L))
   }
 
   /** The joinable keyed frame (k, band, band_sig, sub, doc_id, hsi)
@@ -356,7 +434,7 @@ object SignatureIndex {
     val incSig = spark.read.parquet(incDir.toString)
     val incBytes = parquetBytes(incDir)
 
-    val sigScan = spark.read.parquet(s"$indexPath/sig")
+    val sigScan = liveSig(spark, indexPath)
     // SLIM corpus side for the prune: the hsi set payload is ~90% of
     // the index bytes, and band-exploding it duplicates every corpus
     // row's set nBands times through the semi — measured 2× the whole
@@ -434,7 +512,7 @@ object SignatureIndex {
         (Some(hotDf), if (h2.isEmpty) None else Some(h2))
       }
     val keyed = keyedFromSig(
-      spark.read.parquet(s"$indexPath/sig"), meta, hot, hot2)
+      liveSig(spark, indexPath), meta, hot, hot2)
     Dedup.fatJoinPairs(keyed, "SHUFFLE_HASH",
       Dedup.fatJoinWidth(spark, meta.sigBytes,
         MinHashCoeffs.length / meta.rowsPerBand))
@@ -481,7 +559,7 @@ object SignatureIndex {
     val pairs = ensureSelfPairs(spark, indexPath, floorBp)
       .filter(col("jaccard_bp") >= minJaccardBp)
       .select(col("id_a"), col("id_b"))
-    val verts = spark.read.parquet(s"$indexPath/sig").select(col("doc_id"))
+    val verts = liveSig(spark, indexPath).select(col("doc_id"))
     Dedup.connectedComponents(verts, "doc_id", pairs)
   }
 
@@ -497,6 +575,18 @@ object SignatureIndex {
     * same corpus as the index but not part of the signature format —
     * e.g. the exact-dedup md5 set. `build` writes parquet at the given
     * path; the marker commits it. */
+  /** One-shot MUTATION guard beside an index: run `mutate` exactly
+    * once per (index instance, name) — the delete-once discipline for
+    * cached fixture indexes whose mutations are result-idempotent
+    * (tombstones anti-join the same either way) but whose meta
+    * counters must not re-accumulate across registry invocations. A
+    * rebuild lands in a fresh fingerprinted dir, so the marker
+    * naturally resets with the index. */
+  def ensureSidecarMarkerOnce(indexPath: String, name: String)
+                             (mutate: => Unit): Unit =
+    IndexLifecycle.ensureMarked(
+      Paths.get(indexPath, s"_ONCE_${name.toUpperCase}_OK"), "")(mutate)
+
   def ensureSidecar(indexPath: String, name: String)
                    (build: String => Unit): String = {
     val dir = Paths.get(indexPath, name)
@@ -611,7 +701,7 @@ object SignatureIndex {
     val incKeys = incBands
       .select(xxhash64(col("band"), col("band_sig")).as("k")).distinct()
     val corpusBands = gateBands(
-      spark.read.parquet(s"$indexPath/sig").select(col("sig"), col("hsi")),
+      liveSig(spark, indexPath).select(col("sig"), col("hsi")),
       Seq(col("hsi")))
       .withColumnRenamed("hsi", "c_hsi")
       .withColumnRenamed("band", "c_band")

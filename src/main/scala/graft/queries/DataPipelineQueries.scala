@@ -155,6 +155,35 @@ object DataPipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dedup_index_delete: the signature index DELETE lifecycle — build
+    * over the full corpus, tombstone every doc_id ≡ 3 (mod 10)
+    * ([[SignatureIndex.deleteFromIndex]]: increment-sized tombstone
+    * write; physical reclamation rides the next rebuild, bounded by
+    * the drift policy), then serve self pairs: edges touching a
+    * deleted doc must vanish IMMEDIATELY (the liveSig anti-join).
+    * The oracle recomputes the pair frame over the surviving docs
+    * only. Uniform with [[ann_index_delete]] — both families carry
+    * the takedown mutation. */
+  private val dedup_index_delete: Q = (s, d) => {
+    val idx = SignatureIndex.ensureIndex(
+      Dedup.shingleHashSets(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", SHINGLE_K),
+      SignatureIndex.sourceCacheKey("docsall_del", d))
+    // delete-once discipline: the tombstone write is idempotent in
+    // RESULT (anti-join), so re-running on the cached index is safe;
+    // the marker keeps the meta counters single-shot per build
+    SignatureIndex.ensureSidecarMarkerOnce(idx, "DEL_MOD10EQ3") {
+      SignatureIndex.deleteFromIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id")), idx)
+    }
+    SignatureIndex.selfPairsFromIndex(s, idx)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        col("jaccard_bp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Gram-bucket population cap for [[dedup_containment]] candidates:
     * a gram shared by more than this many documents is corpus
     * boilerplate (license blocks, syndicated headers) — evidence for
@@ -885,6 +914,33 @@ object DataPipelineQueries {
           Similarity.quantize(col("embedding")).as("qv")),
         trainedIvfCentroids(s, d), p)
     }
+
+  /** ann_index_delete: the DELETE lifecycle end-to-end — build the
+    * full-corpus index (same frozen quantizer as ann_ivf_trained),
+    * tombstone every vec_id ≡ 7 (mod 10) ([[AnnIndex
+    * .deleteFromAnnIndex]]: increment-sized tombstone write, nothing
+    * corpus-sized touched), then probe: deleted vectors must be
+    * invisible to search IMMEDIATELY (the anti-join path — compaction
+    * only makes the removal physical). The oracle replays the
+    * contract in SQL: same Lloyd training over the FULL corpus (the
+    * quantizer was frozen before the deletes), candidates filtered to
+    * the surviving ids. The takedown/retention mutation a production
+    * vector store cannot ship without. */
+  private val ann_index_delete: Q = (s, d) => {
+    val path = AnnIndex.ensureAnnIndex(
+      SignatureIndex.sourceCacheKey("annivf_del", d, "embeddings.parquet"),
+      stamp = "cents=16 iters=2 del=mod10eq7") { p =>
+      AnnIndex.buildAnnIndex(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          Similarity.quantize(col("embedding")).as("qv")),
+        trainedIvfCentroids(s, d), p)
+      AnnIndex.deleteFromAnnIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 === 7)
+          .select(col("vec_id")), p)
+    }
+    AnnIndex.probeAnnIndex(s, path, annProbes(s, d), nProbe = 4, k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
 
   /** The 10 standard probe vectors, quantized. */
   private def annProbes(s: SparkSession, d: String): DataFrame =
@@ -1858,6 +1914,7 @@ object DataPipelineQueries {
     "multimodal_video_sample" -> multimodal_video_sample,
     "ann_ivf_trained" -> ann_ivf_trained,
     "ann_index_topk" -> ann_index_topk,
+    "ann_index_delete" -> ann_index_delete,
     "ann_index_filtered" -> ann_index_filtered,
     "ann_index_append" -> ann_index_append,
     "ann_index_knn_join" -> ann_index_knn_join,
@@ -1874,6 +1931,7 @@ object DataPipelineQueries {
     "dedup_neardup_pairs" -> dedup_neardup_pairs,
     "dedup_incremental" -> dedup_incremental,
     "dedup_index_selfpairs" -> dedup_index_selfpairs,
+    "dedup_index_delete" -> dedup_index_delete,
     "dedup_index_clusters" -> dedup_index_clusters,
     "dedup_containment" -> dedup_containment,
     "pipeline_mix_balance" -> pipeline_mix_balance,
@@ -2041,8 +2099,14 @@ object DataPipelineQueries {
     * dedup_neardup_pairs (live staged signature table) and
     * dedup_index_selfpairs (persisted [[SignatureIndex]]): both plans
     * contract to the identical result set. */
-  private lazy val neardupPairsSql: String =
-    s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs FROM documents),
+  private lazy val neardupPairsSql: String = neardupPairsSqlFor()
+
+  /** The near-dup-pairs twin, parameterized on a doc predicate so the
+    * index-delete twin reuses every CTE with only the survivor filter
+    * changed (the lloydIterSql `src` pattern). */
+  private def neardupPairsSqlFor(docWhere: String = ""): String =
+    s"""WITH hashed AS (SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM documents$docWhere),
        |sigs AS (SELECT doc_id, ${minhashSigExprs.mkString(", ")} FROM hashed),
        |banded AS (
        |  SELECT doc_id, b.band,
@@ -2177,6 +2241,40 @@ object DataPipelineQueries {
     // the index-served search contracts to the identical frame — the
     // engine reads its persisted cell partitions, the twin recomputes
     "ann_index_topk" -> ivfTrainedSql,
+    // the delete twin: SAME full-corpus quantizer training (the
+    // centroids were frozen before the deletes), candidates filtered
+    // to the surviving ids
+    "ann_index_delete" ->
+      s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+         |${lloydIterSql("c0", "c1", 64)},
+         |${lloydIterSql("c1", "c2", 64)},
+         |af AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT v.vec_id, v.qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM q v, c2 c) t WHERE rn = 1 AND t.vec_id % 10 <> 7),
+         |probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q
+         |  WHERE vec_id >= 16 AND vec_id < 26),
+         |pcells AS (SELECT probe_id, pqv, cell FROM (
+         |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+         |    FROM probes p, c2 c) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN af a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |ranked AS (SELECT probe_id, candidate_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, candidate_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, candidate_id, score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     "ann_index_knn_join" ->
       s"""WITH $knnJoinCtes
          |SELECT probe_id, rank, candidate_id, score
@@ -2395,6 +2493,9 @@ object DataPipelineQueries {
     // the index-served self form is the SAME pair frame by contract —
     // one twin, two plans (live staged table vs persisted index)
     "dedup_index_selfpairs" -> neardupPairsSql,
+    // the delete twin: identical pair frame over the surviving docs
+    "dedup_index_delete" ->
+      neardupPairsSqlFor(" WHERE doc_id % 10 <> 3"),
     "dedup_incremental" ->
       s"""WITH hashed AS (SELECT doc_id, $splitBucketSql AS bucket,
          |    $shingleHashesSql AS hs FROM documents),

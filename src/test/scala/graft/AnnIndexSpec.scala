@@ -348,8 +348,63 @@ class AnnIndexSpec extends AnyFunSuite {
       s"knn join must not plan a static cell predicate:\n$plan")
   }
 
+  test("delete tombstones vectors immediately; compaction applies them physically") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    val del = vecsQ.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    val meta = AnnIndex.deleteFromAnnIndex(del, idx)
+    assert(meta.deletedVecs == del.count() && meta.deletedVecs > 0)
+    // ground truth: a fresh index built WITHOUT the deleted slice over
+    // the same frozen quantizer
+    val fresh = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") % 10 =!= 7),
+      cents, fresh)
+    val expectProbe = canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3))
+    val expectKnn = canon(AnnIndex.knnJoinIndex(spark, fresh, vecsQ, 4, 3))
+    assert(expectProbe.nonEmpty)
+    // visible to the NEXT probe, before any compaction
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expectProbe)
+    assert(canon(AnnIndex.knnJoinIndex(spark, idx, vecsQ, 4, 3))
+      == expectKnn)
+    // retrying the delete is duplicate-safe
+    AnnIndex.deleteFromAnnIndex(del, idx)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expectProbe)
+    // compaction rewrites the affected cells and drops the tombstones
+    val rewritten = AnnIndex.compactCells(spark, idx)
+    assert(rewritten > 0)
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expectProbe)
+  }
+
+  test("rebuild clears stale tombstones from the previous lifecycle") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    AnnIndex.deleteFromAnnIndex(
+      vecsQ.filter(col("vec_id") % 10 === 7).select(col("vec_id")), idx)
+    assert(Files.isDirectory(Paths.get(idx, "tombstones")))
+    // rebuild over the full corpus: old tombstones must not erase
+    // rebuilt vectors that share a previously-deleted vec_id
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+    val fresh = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, fresh)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3)))
+  }
+
   test("rebuild policy flags drift past a quarter of the base corpus") {
     assert(!AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 125, 25)))
     assert(AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 131, 31)))
+    // deletes drift too: base 100, 25 deleted (live 75) is at the
+    // threshold; 26 deleted crosses it
+    assert(!AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 75, 0, 25)))
+    assert(AnnIndex.needsRebuild(AnnIndex.Meta(16, 64, 74, 0, 26)))
   }
 }

@@ -53,6 +53,56 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) == expected)
   }
 
+  test("delete hides a doc from every consumer immediately; rebuild reclaims") {
+    val all = hashed.drop("bucket")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(all, idx)
+    val del = all.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+    val meta = SignatureIndex.deleteFromIndex(del, idx)
+    assert(meta.deletedDocs == del.count() && meta.deletedDocs > 0)
+    // ground truth: the live pair frame over the surviving docs
+    val survivors = all.filter(col("doc_id") % 10 =!= 3)
+    val expectPairs = canon(Dedup.lshJaccardPairs(survivors, 4,
+      onePassMinDocs = 0))
+    assert(expectPairs.nonEmpty)
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx))
+      == expectPairs)
+    // the across probe also sees only survivors: no pair may name a
+    // deleted doc as its corpus side
+    val probed = SignatureIndex.probeSignatureIndex(inc, idx)
+    assert(probed.join(del, probed("id_old") === del("doc_id"),
+      "left_semi").isEmpty)
+    // retrying the delete is duplicate-safe
+    SignatureIndex.deleteFromIndex(del, idx)
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx))
+      == expectPairs)
+    // the staged pair graph was invalidated and restages from liveSig
+    assert(canon(SignatureIndex.clustersFromIndex(spark, idx)
+      .join(del, Seq("doc_id"), "left_semi")).isEmpty,
+      "a deleted doc surfaced in clusters")
+    // a REBUILD at the same path reclaims: stale tombstones must not
+    // erase rebuilt docs sharing a previously-deleted doc_id
+    SignatureIndex.buildSignatureIndex(all, idx)
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) ==
+      canon(Dedup.lshJaccardPairs(all, 4, onePassMinDocs = 0)))
+  }
+
+  test("rebuild drops a stale staged-pairs marker") {
+    val all = hashed.drop("bucket")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(all, idx)
+    // stage pairs over the PRE-rebuild corpus
+    SignatureIndex.ensureSelfPairs(spark, idx)
+    assert(Files.isRegularFile(Paths.get(idx, "pairs", "_PAIRS_OK")))
+    // rebuild over a DIFFERENT corpus slice: serving the old staged
+    // graph would hand clustersFromIndex edges of evicted docs
+    SignatureIndex.buildSignatureIndex(
+      all.filter(col("doc_id") % 2 === 0), idx)
+    assert(!Files.isRegularFile(Paths.get(idx, "pairs", "_PAIRS_OK")),
+      "rebuild served the previous corpus' staged pair graph")
+  }
+
   test("probing never rewrites the persisted corpus signatures") {
     val idx = newIndexDir()
     SignatureIndex.buildSignatureIndex(corpus, idx)
