@@ -124,12 +124,16 @@ object AnnIndex {
     * PushedFilter, not a partition prune), so file COUNT, not bytes,
     * is the trigger. */
   def needsCompaction(path: String): Boolean = {
-    val d = Paths.get(path, "delta")
-    val files =
+    // delta AND tombstone part files count: both side tables are
+    // listed + scanned by every search, so a delete-only lifecycle
+    // accumulates exactly the per-file drag the cadence bounds
+    val files = Seq("delta", "tombstones").map { side =>
+      val d = Paths.get(path, side)
       if (!Files.isDirectory(d)) 0
       else scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala
           .count(_.getFileName.toString.endsWith(".parquet")))
+    }.sum
     IndexLifecycle.needsCompaction(files)
   }
 
@@ -232,6 +236,7 @@ object AnnIndex {
       if (Files.isDirectory(stale))
         org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
     }
+    IndexLifecycle.clearBuildScopedMarkers(root)
     import spark.implicits._
     cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -278,19 +283,32 @@ object AnnIndex {
     * counters may double-count a retried append — conservative: the
     * only effect is an EARLIER [[needsRebuild]]. */
   def appendToAnnIndex(newVecsQ: DataFrame, path: String): Meta = {
+    val spark = newVecsQ.sparkSession
     val root = Paths.get(path)
     val before = readMeta(path)
     // a parquet append with a different column set would silently fork
     // the stored schema and surface as null payloads at probe time
-    val existing = newVecsQ.sparkSession.read.parquet(s"$path/cells")
+    val existing = spark.read.parquet(s"$path/cells")
       .schema.fieldNames.toSet - "cell"
     val incoming = newVecsQ.schema.fieldNames.toSet
     require(incoming == existing,
       s"appendToAnnIndex: increment columns $incoming do not match the " +
         s"indexed cell columns $existing at $path")
-    val cents = readCentroids(newVecsQ.sparkSession, path)
+    val cents = readCentroids(spark, path)
     val assigned = assign(newVecsQ, cents).cache()
     val nNew = assigned.count()
+    // a TOMBSTONED id stays deleted until the next rebuild (the
+    // search anti-join and the compaction fold would both destroy the
+    // re-appended row SILENTLY — the one failure mode the lifecycle
+    // module forbids), so re-using one is a loud error, enforced at
+    // increment cost: use a fresh id or rebuild first
+    tombstoneIds(spark, path).foreach { ts =>
+      val clash = assigned.join(broadcast(ts), Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"appendToAnnIndex: increment re-uses tombstoned vec_ids at " +
+          s"$path — deleted ids stay deleted until the next rebuild")
+    }
     assigned.write.mode("append").parquet(s"$path/delta")
     assigned.unpersist()
     val meta = before.copy(nVecs = before.nVecs + nNew,
@@ -318,16 +336,42 @@ object AnnIndex {
     * [[needsRebuild]] drift — removals unbalance the frozen
     * quantizer's cells exactly like arrivals. */
   def deleteFromAnnIndex(ids: DataFrame, path: String): Meta = {
+    val spark = ids.sparkSession
     val root = Paths.get(path)
     val before = readMeta(path)
-    val ts = ids.select(col("vec_id")).distinct().cache()
+    // only ids not already tombstoned count (and are written): a
+    // RETRIED delete changes neither the side table's distinct set
+    // nor the drift counters — without the anti-join, each retry
+    // would re-decrement nVecs and triple-fire needsRebuild
+    val ts0 = ids.select(col("vec_id")).distinct()
+    val ts = tombstoneIds(spark, path)
+      .fold(ts0)(prev => ts0.join(broadcast(prev), Seq("vec_id"),
+        "left_anti"))
+      .cache()
     val nDel = ts.count()
-    ts.write.mode("append").parquet(s"$path/tombstones")
+    if (nDel > 0) ts.write.mode("append").parquet(s"$path/tombstones")
     ts.unpersist()
     val meta = before.copy(nVecs = before.nVecs - nDel,
       deletedVecs = before.deletedVecs + nDel)
     writeMeta(root, meta)
     meta
+  }
+
+  /** The deduplicated tombstone id frame, or None when none exist —
+    * the one read path every consumer of `tombstones/` shares.
+    * `distinct()` collapses whatever duplicate rows crash-retried
+    * deletes left behind, so each broadcast ships every id once. */
+  private def tombstoneIds(spark: SparkSession,
+                           path: String): Option[DataFrame] = {
+    val dir = Paths.get(path, "tombstones")
+    val has = Files.isDirectory(dir) &&
+      scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    if (has)
+      Some(spark.read.parquet(dir.toString)
+        .select(col("vec_id")).distinct())
+    else None
   }
 
   /** Top-k search against the persisted index. `probesQ` must carry
@@ -433,18 +477,9 @@ object AnnIndex {
     // un-compacted deletes: tombstone ids anti-join the candidates
     // (increment-class by deleteFromAnnIndex's contract — broadcast;
     // physically removed, and this join dropped, at compaction)
-    val tombDir = Paths.get(path, "tombstones")
-    val tombHasFiles = Files.isDirectory(tombDir) &&
-      scala.util.Using.resource(Files.list(tombDir))(
-        _.iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet")))
-    val cands1 =
-      if (tombHasFiles)
-        cands0.join(
-          broadcast(spark.read.parquet(tombDir.toString)
-            .select(col("vec_id"))),
-          Seq("vec_id"), "left_anti")
-      else cands0
+    val cands1 = tombstoneIds(spark, path)
+      .fold(cands0)(ts =>
+        cands0.join(broadcast(ts), Seq("vec_id"), "left_anti"))
     val cands = cands1.filter(candidateFilter)
     Similarity.ivfSearch(cands, probeCells, "vec_id", k)
   }
@@ -608,12 +643,8 @@ object AnnIndex {
     var compacted = 0
     val tombDir = Paths.get(path, "tombstones")
     if (Files.isDirectory(tombDir)) {
-      val tombFiles = scala.util.Using.resource(Files.list(tombDir))(
-        _.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
-      if (tombFiles.nonEmpty) {
-        val ts = spark.read.parquet(tombDir.toString)
-          .select(col("vec_id")).distinct().cache()
+      tombstoneIds(spark, path).foreach { ts0 =>
+        val ts = ts0.cache()
         // the hive partition column infers as int: cast for the collect
         val affected = spark.read.parquet(cellsRoot.toString)
           .join(broadcast(ts), Seq("vec_id"), "left_semi")

@@ -148,6 +148,24 @@ object IndexLifecycle {
   private val markerLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Delete every BUILD-SCOPED marker at an index root — the one-shot
+    * mutation (`_ONCE_*_OK`) and sidecar (`_SIDECAR_*_OK`) markers
+    * that record state of a PARTICULAR build. Called by both
+    * families' (re)builds: an in-place rebuild (same dir, new stamp)
+    * that kept them would silently skip recorded mutations and serve
+    * the previous build's sidecar tables. */
+  def clearBuildScopedMarkers(root: Path): Unit =
+    if (Files.isDirectory(root))
+      scala.util.Using.resource(Files.list(root))(
+        _.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) &&
+              (n.startsWith("_ONCE_") || n.startsWith("_SIDECAR_")) &&
+              n.endsWith("_OK")
+          }
+          .toSeq).foreach(Files.delete)
+
   // ---- bounded fingerprint memo ------------------------------------------
 
   /** Driver-side memo holding ONE live value per stable key: the value

@@ -128,6 +128,11 @@ object SignatureIndex {
       org.apache.commons.io.FileUtils.deleteDirectory(staleTomb.toFile)
     val stalePairs = root.resolve("pairs").resolve("_PAIRS_OK")
     if (Files.isRegularFile(stalePairs)) Files.delete(stalePairs)
+    // one-shot mutation and sidecar markers are PER-BUILD state: an
+    // in-place rebuild (same dir, new stamp — e.g. a capPop change)
+    // that kept them would silently skip recorded mutations and serve
+    // the previous build's sidecars
+    IndexLifecycle.clearBuildScopedMarkers(root)
     hashed.select(sigColumns: _*)
       .write.mode("overwrite").parquet(s"$path/sig")
     val sig = spark.read.parquet(s"$path/sig")
@@ -270,35 +275,54 @@ object SignatureIndex {
   def deleteFromIndex(ids: DataFrame, path: String): Meta = {
     val root = Paths.get(path)
     val before = readMeta(path)
-    val ts = ids.select(col("doc_id")).distinct().cache()
-    val nDel = ts.count()
-    ts.write.mode("append").parquet(s"$path/tombstones")
-    ts.unpersist()
+    // invalidate the staged pair graph FIRST: a crash after the
+    // tombstone write but before this delete would leave liveSig
+    // hiding the docs while clustersFromIndex served the pre-delete
+    // graph (edges through deleted docs); invalidating first makes
+    // the worst crash outcome a spurious pairs restage
     val pairsMarker = root.resolve("pairs").resolve("_PAIRS_OK")
     if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
+    // only ids not already tombstoned count (and are written): a
+    // RETRIED delete changes neither the distinct tombstone set nor
+    // the drift counters
+    val ts0 = ids.select(col("doc_id")).distinct()
+    val ts = tombstoneIds(ids.sparkSession, path)
+      .fold(ts0)(prev => ts0.join(broadcast(prev), Seq("doc_id"),
+        "left_anti"))
+      .cache()
+    val nDel = ts.count()
+    if (nDel > 0) ts.write.mode("append").parquet(s"$path/tombstones")
+    ts.unpersist()
     val meta = before.copy(nDocs = before.nDocs - nDel,
       deletedDocs = before.deletedDocs + nDel)
     writeMeta(root, meta)
     meta
   }
 
+  /** The deduplicated tombstone id frame, or None when none exist. */
+  private def tombstoneIds(spark: SparkSession,
+                           path: String): Option[DataFrame] = {
+    val dir = Paths.get(path, "tombstones")
+    val has = Files.isDirectory(dir) &&
+      scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    if (has)
+      Some(spark.read.parquet(dir.toString)
+        .select(col("doc_id")).distinct())
+    else None
+  }
+
   /** The LIVE sig scan: the persisted signature table minus the
     * un-reclaimed tombstones ([[deleteFromIndex]]) — the one read
     * path every consumer (probe, self pairs, clusters, gate) goes
-    * through. The anti-join broadcasts the tombstone ids (bounded by
-    * the drift policy) and disappears entirely when none exist. */
+    * through. The anti-join broadcasts the deduplicated tombstone ids
+    * (bounded by the drift policy) and disappears entirely when none
+    * exist. */
   private def liveSig(spark: SparkSession, path: String): DataFrame = {
     val sig = spark.read.parquet(s"$path/sig")
-    val tombDir = Paths.get(path, "tombstones")
-    val tombHasFiles = Files.isDirectory(tombDir) &&
-      scala.util.Using.resource(Files.list(tombDir))(
-        _.iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet")))
-    if (tombHasFiles)
-      sig.join(broadcast(spark.read.parquet(tombDir.toString)
-          .select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")
-    else sig
+    tombstoneIds(spark, path).fold(sig)(ts =>
+      sig.join(broadcast(ts), Seq("doc_id"), "left_anti"))
   }
 
   /** Compaction-cadence predicate — the signature-family instance of
@@ -316,7 +340,16 @@ object SignatureIndex {
       _.iterator().asScala
         .count(p => p.getFileName.toString.endsWith(".parquet") &&
           Files.size(p) < minFileBytes))
-    IndexLifecycle.needsCompaction(small)
+    // tombstone part files count too: liveSig lists + scans them on
+    // every consumer read (a delete-only lifecycle accumulates the
+    // same per-file drag appends do)
+    val tombDir = Paths.get(path, "tombstones")
+    val tomb =
+      if (!Files.isDirectory(tombDir)) 0
+      else scala.util.Using.resource(Files.list(tombDir))(
+        _.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")))
+    IndexLifecycle.needsCompaction(small + tomb)
   }
 
   /** Compact the small signature files a long append lifecycle
@@ -345,12 +378,31 @@ object SignatureIndex {
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
           Files.size(p) < minFileBytes)
         .toSeq.sortBy(_.toString))
-    if (small.size < 2) return 0
-    IndexLifecycle.mergeParquetFiles(spark, small, sigDir)
-    val meta = readMeta(path)
-    writeMeta(Paths.get(path),
-      meta.copy(sigBytes = parquetBytes(sigDir)))
-    small.size
+    // the tombstone side table fragments the same way (one-plus part
+    // files per delete) and is listed on every liveSig read: merge it
+    // down too, deduplicating in the same pass (tombstone content is
+    // a set — distinct is the identity its consumers already apply)
+    val tombDir = Paths.get(path, "tombstones")
+    var merged = 0
+    if (Files.isDirectory(tombDir)) {
+      val tombFiles = scala.util.Using.resource(Files.list(tombDir))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString))
+      if (tombFiles.size >= 2) {
+        IndexLifecycle.mergeParquetFiles(spark, tombFiles, tombDir,
+          transform = _.distinct())
+        merged += tombFiles.size
+      }
+    }
+    if (small.size >= 2) {
+      IndexLifecycle.mergeParquetFiles(spark, small, sigDir)
+      merged += small.size
+      val meta = readMeta(path)
+      writeMeta(Paths.get(path),
+        meta.copy(sigBytes = parquetBytes(sigDir)))
+    }
+    merged
   }
 
   def readMeta(path: String): Meta = {

@@ -369,10 +369,21 @@ class AnnIndexSpec extends AnyFunSuite {
       == expectProbe)
     assert(canon(AnnIndex.knnJoinIndex(spark, idx, vecsQ, 4, 3))
       == expectKnn)
-    // retrying the delete is duplicate-safe
-    AnnIndex.deleteFromAnnIndex(del, idx)
+    // retrying the delete is duplicate-safe AND counter-exact: the
+    // retry must not re-decrement the live count or re-grow drift
+    val meta2 = AnnIndex.deleteFromAnnIndex(del, idx)
+    assert(meta2.deletedVecs == meta.deletedVecs &&
+      meta2.nVecs == meta.nVecs)
     assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
       == expectProbe)
+    // re-appending a tombstoned id is a LOUD error (the search
+    // anti-join and the compaction fold would both destroy it
+    // silently otherwise)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendToAnnIndex(
+        vecsQ.filter(col("vec_id") === 7), idx)
+    }
+    assert(e.getMessage.contains("tombstoned"))
     // compaction rewrites the affected cells and drops the tombstones
     val rewritten = AnnIndex.compactCells(spark, idx)
     assert(rewritten > 0)

@@ -58,6 +58,13 @@ class IndexLifecycleSpec extends AnyFunSuite {
       (0 until IndexLifecycle.CompactSmallFilesMax - 1).foreach(i =>
         Files.write(delta.resolve(s"part-$i.parquet"), Array[Byte](1)))
       assert(!graft.operators.AnnIndex.needsCompaction(dir.toString))
+      // tombstone part files count toward the same trigger: a
+      // delete-only lifecycle pays the identical per-file drag
+      val tomb = dir.resolve("tombstones")
+      Files.createDirectories(tomb)
+      Files.write(tomb.resolve("part-t.parquet"), Array[Byte](1))
+      assert(graft.operators.AnnIndex.needsCompaction(dir.toString))
+      Files.delete(tomb.resolve("part-t.parquet"))
       Files.write(delta.resolve("part-last.parquet"), Array[Byte](1))
       assert(graft.operators.AnnIndex.needsCompaction(dir.toString))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)

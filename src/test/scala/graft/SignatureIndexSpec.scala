@@ -72,8 +72,10 @@ class SignatureIndexSpec extends AnyFunSuite {
     val probed = SignatureIndex.probeSignatureIndex(inc, idx)
     assert(probed.join(del, probed("id_old") === del("doc_id"),
       "left_semi").isEmpty)
-    // retrying the delete is duplicate-safe
-    SignatureIndex.deleteFromIndex(del, idx)
+    // retrying the delete is duplicate-safe AND counter-exact
+    val meta2 = SignatureIndex.deleteFromIndex(del, idx)
+    assert(meta2.deletedDocs == meta.deletedDocs &&
+      meta2.nDocs == meta.nDocs)
     assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx))
       == expectPairs)
     // the staged pair graph was invalidated and restages from liveSig
