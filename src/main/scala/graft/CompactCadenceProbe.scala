@@ -28,7 +28,19 @@ object CompactCadenceProbe {
   private val IdBase = 1L << 41
   private val AppendVecs = 10000L
 
+  /** `delete` mode (round 11): prices the DELETE lifecycle at the 8M
+    * rung — tombstone-write cost (must be increment-sized), the
+    * post-delete probe (pays one broadcast anti-join), and the
+    * compaction that applies the tombstones physically. Two delete
+    * shapes: 100 ids (touches ≤100 cells — the takedown case; the
+    * application rewrites only those) and 10k ids (uniform ids touch
+    * ~every cell — the application is corpus-write-priced, the honest
+    * worst case the affected-cells bound permits). */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("delete")) {
+      deleteLadder(if (args.length > 1) args(1).toLong else 8000000L)
+      return
+    }
     val n = if (args.nonEmpty) args(0).toLong else 8000000L
     val checkpoints = (if (args.length > 1) args(1) else "1,5,20")
       .split(",").map(_.trim.toInt).toSeq
@@ -115,6 +127,69 @@ object CompactCadenceProbe {
       report("post_compact", done)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+    spark.stop()
+  }
+
+  private def deleteLadder(n: Long): Unit = {
+    val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val srcIdx = s"$base/annidx_s_n$n"
+    require(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(srcIdx, "_INDEX_META")),
+      s"ladder index missing at $srcIdx — run AnnIndexProbe first")
+    val probes10 = spark.range(IdBase, IdBase + 10, 1, 1)
+      .map(i => ScaleGen.vecRow(i))
+      .select(col("vec_id").as("probe_id"),
+        Similarity.quantize(col("embedding")).as("pqv"))
+      .localCheckpoint(true)
+
+    for (nDel <- Seq(100L, 10000L)) {
+      val idx = s"$base/delete_probe_idx_n$n"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(srcIdx), new java.io.File(idx))
+      try {
+        def probe10(): Double =
+          (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            AnnIndex.probeAnnIndex(spark, idx, probes10, nProbe = 4, k = 10)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val pre = probe10()
+        // existing ids, strided across the id (and thus cell) space
+        val ids = spark.range(0, n, n / nDel, 4).toDF("vec_id")
+        val t0 = System.nanoTime()
+        AnnIndex.deleteFromAnnIndex(ids, idx)
+        val delSec = (System.nanoTime() - t0) / 1e9
+        val post = probe10()
+        val t1 = System.nanoTime()
+        val rewritten = AnnIndex.compactCells(spark, idx)
+        val compSec = (System.nanoTime() - t1) / 1e9
+        val postComp = probe10()
+        println(s"""{"corpus_vecs":$n,"probe":"delete_ladder",""" +
+          s""""n_deleted":$nDel,""" +
+          f""""delete_sec":$delSec%.2f,"probe10_pre_sec":$pre%.2f,""" +
+          f""""probe10_tombstoned_sec":$post%.2f,""" +
+          s""""cells_rewritten":$rewritten,""" +
+          f""""compact_sec":$compSec%.2f,""" +
+          f""""probe10_post_compact_sec":$postComp%.2f}""")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      }
     }
     spark.stop()
   }

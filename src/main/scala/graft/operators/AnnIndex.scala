@@ -76,6 +76,13 @@ object AnnIndex {
     * prune nothing and still be planned. */
   val IsinCellsMax = 64
 
+  /** Affected-cell count above which compaction's tombstone
+    * application switches from per-cell merges (byte-identical
+    * untouched files, but one Spark job per cell — measured ~0.27 s
+    * of fixed cost each, SCALING.md §4.20) to ONE staged bulk rewrite
+    * + per-cell file moves. */
+  val BulkApplyMinCells = 16
+
   case class Meta(nCells: Int, dims: Int, nVecs: Long,
                   appendedVecs: Long = 0L, deletedVecs: Long = 0L)
 
@@ -649,16 +656,67 @@ object AnnIndex {
         val affected = spark.read.parquet(cellsRoot.toString)
           .join(broadcast(ts), Seq("vec_id"), "left_semi")
           .select(col("cell").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        for (cid <- affected) {
-          val dir = cellsRoot.resolve(s"cell=$cid")
-          val parts = scala.util.Using.resource(Files.list(dir))(
+          .collect().map(_.getLong(0)).sorted
+        def applyTransform(df: DataFrame): DataFrame =
+          df.dropDuplicates("vec_id")
+            .join(broadcast(ts), Seq("vec_id"), "left_anti")
+        if (affected.length <= BulkApplyMinCells) {
+          // few cells (the takedown shape): per-cell merge keeps every
+          // untouched byte identical and pays no corpus-job fixed cost
+          for (cid <- affected) {
+            val dir = cellsRoot.resolve(s"cell=$cid")
+            val parts = scala.util.Using.resource(Files.list(dir))(
+              _.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+            IndexLifecycle.mergeParquetFiles(spark, parts, dir,
+              transform = applyTransform)
+            compacted += 1
+          }
+        } else {
+          // many cells (uniform deletes touch ~every cell): the
+          // per-cell loop is one Spark job PER CELL — measured 713 s
+          // for 2639 cells at the 8M rung, ~all per-job fixed cost
+          // (SCALING.md §4.20). Bulk path: ONE job writes every
+          // rewritten cell to a staging dir, then per-cell file moves
+          // (move-in before delete — the same materialize-first
+          // invariant, at filesystem speed).
+          val tag = java.util.UUID.randomUUID().toString.take(8)
+          // reclaim any staging a crashed previous application left
+          // (dot-prefixed: invisible to scans, but not free disk)
+          scala.util.Using.resource(Files.list(cellsRoot.getParent))(
             _.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
-          IndexLifecycle.mergeParquetFiles(spark, parts, dir,
-            transform = _.dropDuplicates("vec_id")
-              .join(broadcast(ts), Seq("vec_id"), "left_anti"))
-          compacted += 1
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString.startsWith(".apply_")).toSeq)
+            .foreach(p =>
+              org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+          val staging = cellsRoot.resolveSibling(".apply_" + tag)
+          val affectedPred =
+            if (affected.length >= readMeta(path).nCells) lit(true)
+            else array_contains(lit(affected), col("cell"))
+          applyTransform(
+            spark.read.parquet(cellsRoot.toString).filter(affectedPred))
+            .repartition(col("cell"))
+            .write.partitionBy("cell").parquet(staging.toString)
+          for (cid <- affected) {
+            val dir = cellsRoot.resolve(s"cell=$cid")
+            val stagedDir = staging.resolve(s"cell=$cid")
+            val oldParts = scala.util.Using.resource(Files.list(dir))(
+              _.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+            val newParts =
+              if (Files.isDirectory(stagedDir))
+                scala.util.Using.resource(Files.list(stagedDir))(
+                  _.iterator().asScala
+                    .filter(_.getFileName.toString.endsWith(".parquet"))
+                    .toSeq)
+              else Seq.empty // every row of this cell was deleted
+            newParts.zipWithIndex.foreach { case (f, i) =>
+              Files.move(f, dir.resolve(s"compact_${tag}_$i.parquet"))
+            }
+            oldParts.foreach(Files.delete)
+            compacted += 1
+          }
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
         }
         ts.unpersist()
       }

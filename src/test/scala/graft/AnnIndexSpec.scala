@@ -392,6 +392,26 @@ class AnnIndexSpec extends AnyFunSuite {
       == expectProbe)
   }
 
+  test("bulk tombstone application (many affected cells) equals per-cell") {
+    // 80 cells, every 3rd vector deleted: affected cells far exceed
+    // BulkApplyMinCells, so compaction takes the one-staged-job path
+    val cents = rawCentroids(80)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    val del = vecsQ.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    AnnIndex.deleteFromAnnIndex(del, idx)
+    val fresh = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") % 3 =!= 0),
+      cents, fresh)
+    val expect = canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3))
+    val rewritten = AnnIndex.compactCells(spark, idx)
+    assert(rewritten > AnnIndex.BulkApplyMinCells,
+      s"fixture must exercise the bulk path (rewrote $rewritten cells)")
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expect)
+  }
+
   test("rebuild clears stale tombstones from the previous lifecycle") {
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
       rawCentroids(16), iters = 2)
