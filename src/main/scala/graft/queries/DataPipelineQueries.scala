@@ -16,7 +16,7 @@ import graft.operators._
 object DataPipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val SHINGLE_K = 5
+  private[queries] val SHINGLE_K = 5
 
   /** dedup_exact: hash-groupBy exact duplicate groups. */
   private val dedup_exact: Q = (s, d) => {
@@ -943,7 +943,7 @@ object DataPipelineQueries {
   }
 
   /** The 10 standard probe vectors, quantized. */
-  private def annProbes(s: SparkSession, d: String): DataFrame =
+  private[queries] def annProbes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("probe_id"),
@@ -2235,6 +2235,63 @@ object DataPipelineQueries {
        |    row_number() OVER (PARTITION BY probe_id
        |      ORDER BY score DESC, candidate_id) AS rank
        |  FROM scored)""".stripMargin
+
+  /** DuckDB twin of the STREAMING TAKEDOWN loop (stream_takedown):
+    * stage b's probe rows are the top-k over the full-corpus index
+    * minus the CUMULATIVE deletes of staged batches ≤ b — the batch
+    * cuts replay StreamingOps.stageVecBatches' integer arithmetic
+    * (idMin = (max+1)·9/10, span floored at 1, thirds by truncating
+    * division). Lives here because it shares the Lloyd/assignment
+    * CTEs with every ANN twin; referenced by
+    * StreamingQueries.oracles. */
+  private[graft] lazy val takedownSql: String = {
+    val stages = (0 until 3).map { b =>
+      s"""scored$b AS (
+         |  SELECT pc.probe_id, a.vec_id AS candidate_id,
+         |    CAST(list_sum(list_transform(list_zip(pc.pqv, a.qv),
+         |      z -> z[1] * z[2])) AS BIGINT) AS score
+         |  FROM pcells pc JOIN af a
+         |    ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM del dd
+         |    WHERE dd.vec_id = a.vec_id AND dd.dstage <= $b)),
+         |ranked$b AS (SELECT probe_id, candidate_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY score DESC, candidate_id) AS rank
+         |  FROM scored$b)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until 3).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS stage, probe_id, rank,
+         |  candidate_id, score FROM ranked$b WHERE rank <= 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id, $quantizeSql AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+       |${lloydIterSql("c0", "c1", 64)},
+       |${lloydIterSql("c1", "c2", 64)},
+       |af AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM q v, c2 c) t WHERE rn = 1),
+       |tt AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t,
+       |  greatest(max(vec_id) - ((max(vec_id) + 1) * 9) // 10, 1) AS span
+       |  FROM embeddings),
+       |del AS (SELECT q.vec_id,
+       |    CASE WHEN q.vec_id < tt.t + tt.span * 1 // 3 THEN 0
+       |         WHEN q.vec_id < tt.t + tt.span * 2 // 3 THEN 1
+       |         ELSE 2 END AS dstage
+       |  FROM q, tt WHERE q.vec_id >= tt.t),
+       |probes AS (SELECT vec_id AS probe_id, qv AS pqv FROM q
+       |  WHERE vec_id >= 16 AND vec_id < 26),
+       |pcells AS (SELECT probe_id, pqv, cell FROM (
+       |    SELECT p.probe_id, p.pqv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${l2Sql("p.pqv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM probes p, c2 c) t WHERE rn <= 4),
+       |$stages
+       |$union
+       |ORDER BY stage, probe_id, rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" -> ivfTrainedSql,

@@ -239,18 +239,46 @@ object StreamingOps {
     dir.toString
   }
 
+  /** Id offset of REPLAYED documents in the gate-append staging
+    * ([[documentsStreamWithReplay]]): a replayed row is a byte-exact
+    * COPY of a batch-0 increment row under `orig_id + ReplayIdOffset`
+    * — far above any fixture id space, and recoverable (`doc_id %
+    * ReplayIdOffset` is the original), which is how the consumer's
+    * bucket filter keeps every replay row in the stream. */
+  private[graft] val ReplayIdOffset: Long = 1L << 40
+
+  /** [[documentsStream]] plus a TRAILING REPLAY micro-batch: after the
+    * `nBatches` staged slices, one more file re-sends every batch-0
+    * row whose ORIGINAL doc_id buckets ≥ 90 (the standard increment
+    * split) as an exact copy under a fresh id (+[[ReplayIdOffset]]).
+    * Purpose-built for the gate→append production-loop oracle: the
+    * fixture's natural duplicate clusters rarely straddle the staged
+    * batch cuts (measured 0 cross-batch pairs at sf ≤ 0.01), so the
+    * property under test — a later batch carrying a copy of an
+    * earlier batch's ADMISSION must be rejected — needs planted
+    * copies to be non-vacuous at oracle SFs. */
+  def documentsStreamWithReplay(spark: SparkSession, sfDir: String,
+                                nBatches: Int = 3): DataFrame =
+    spark.readStream
+      .schema(documentsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(stageDocBatches(spark, sfDir, nBatches, replayStage0 = true))
+
   /** Stage documents.parquet into `nBatches` doc_id-contiguous files
     * under a cache dir keyed like [[stageDir]] (format version, sfDir,
     * source size+mtime) — same atomic-rename build, same stale-key
-    * invalidation. */
+    * invalidation. `replayStage0` appends the gate-append oracle's
+    * replay file (see [[documentsStreamWithReplay]]). */
   private[graft] def stageDocBatches(spark: SparkSession, sfDir: String,
-                                     nBatches: Int): String = synchronized {
+                                     nBatches: Int,
+                                     replayStage0: Boolean = false): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "documents.parquet")
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_v${StageFormatVersion}_" +
         Integer.toHexString(sfDir.hashCode) + "_" + sourceFingerprint(src),
-      s"documents_$nBatches")
+      (if (replayStage0) "documents_replay_" else "documents_") + nBatches)
     if (Files.isDirectory(dir)) return dir.toString
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -282,6 +310,30 @@ object StreamingOps {
         val dst = build.resolve(f"documents_$pos%02d.parquet")
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         dst.toFile.setLastModified(base + pos * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      if (replayStage0) {
+        require(nBatches >= 2, "replay staging needs >= 2 data batches")
+        // exact copies of batch-0's increment rows (original bucket
+        // >= 90) under fresh ids — the planted cross-batch duplicates
+        val bucket = pmod(graft.functions.HashFunctions.hash32(
+          col("doc_id").cast("string")), lit(100))
+        val replay = raw
+          .filter(col("doc_id") >= idMin &&
+            col("doc_id") < lit(idMin + span / nBatches))
+          .filter(bucket >= 90)
+          .withColumn("doc_id", col("doc_id") + lit(ReplayIdOffset))
+          .select(documentsRawSchema.fields.toIndexedSeq
+            .map(f => col(f.name)): _*)
+        val tmp = build.resolve("tmp_replay")
+        replay.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(Files.list(tmp))(
+          _.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+        val dst = build.resolve(f"documents_$nBatches%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(base + nBatches * 2000L)
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
       try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
