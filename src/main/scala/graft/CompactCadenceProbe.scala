@@ -41,6 +41,10 @@ object CompactCadenceProbe {
       deleteLadder(if (args.length > 1) args(1).toLong else 8000000L)
       return
     }
+    if (args.headOption.contains("drift")) {
+      driftRung(if (args.length > 1) args(1).toLong else 8000000L)
+      return
+    }
     val n = if (args.nonEmpty) args(0).toLong else 8000000L
     val checkpoints = (if (args.length > 1) args(1) else "1,5,20")
       .split(",").map(_.trim.toInt).toSeq
@@ -125,6 +129,107 @@ object CompactCadenceProbe {
       println(s"""{"corpus_vecs":$n,"stage":"compacted",""" +
         s""""cells_rewritten":$compacted,""" + f""""compact_sec":$cSec%.2f}""")
       report("post_compact", done)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+    spark.stop()
+  }
+
+  /** `drift` mode (round 12): the WORST LEGAL TOMBSTONE STATE — a
+    * cumulative delete set at exactly the 25% drift bound (2M ids on
+    * the 8M rung), the state the round-11 verdict named as the
+    * broadcast scale-killer. Prices: the chunked delete calls (8 ×
+    * 250k, production increments), the tombstoned probe10 — which
+    * must PLAN the anti-join as SHUFFLE_HASH, not broadcast (the
+    * byte-bounded policy; the flag is printed from the executed plan)
+    * — and the bulk physical application + the post-compact probe. */
+  private def driftRung(n: Long): Unit = {
+    val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val srcIdx = s"$base/annidx_s_n$n"
+    require(Files.isRegularFile(Paths.get(srcIdx, "_INDEX_META")),
+      s"ladder index missing at $srcIdx — run AnnIndexProbe first")
+    val idx = s"$base/drift_probe_idx_n$n"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(srcIdx), new java.io.File(idx))
+    try {
+      val probes10 = spark.range(IdBase, IdBase + 10, 1, 1)
+        .map(i => ScaleGen.vecRow(i))
+        .select(col("vec_id").as("probe_id"),
+          Similarity.quantize(col("embedding")).as("pqv"))
+        .localCheckpoint(true)
+      def probe10(): (Double, org.apache.spark.sql.DataFrame) = {
+        var last: org.apache.spark.sql.DataFrame = null
+        val t = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          last = AnnIndex.probeAnnIndex(spark, idx, probes10, nProbe = 4, k = 10)
+          last.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (t, last)
+      }
+      def antiJoinKinds(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+        def all(p: SparkPlan): Seq[SparkPlan] =
+          (p +: p.children.flatMap(all)) ++ (p match {
+            case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+            case q: QueryStageExec => all(q.plan)
+            case _ => Nil
+          })
+        val ns = all(df.queryExecution.executedPlan)
+        (ns.exists { case b: BroadcastHashJoinExec =>
+            b.joinType.toString == "LeftAnti"
+          case _ => false },
+         ns.exists { case s: ShuffledHashJoinExec =>
+            s.joinType.toString == "LeftAnti"
+          case _ => false })
+      }
+      val (pre, _) = probe10()
+      // 25% of the corpus, strided across the cell space, delivered as
+      // 8 production-sized increments
+      val nDel = n / 4
+      val chunk = nDel / 8
+      val t0 = System.nanoTime()
+      for (c <- 0L until 8L) {
+        val ids = spark.range(c * 4, n, 32, 8).toDF("vec_id")
+          .limit(chunk.toInt)
+        AnnIndex.deleteFromAnnIndex(ids, idx)
+      }
+      val delSec = (System.nanoTime() - t0) / 1e9
+      val tombBytes = graft.operators.IndexLifecycle.parquetBytes(
+        Paths.get(idx, "tombstones"))
+      val (post, dfPost) = probe10()
+      val (bAnti, sAnti) = antiJoinKinds(dfPost)
+      val t1 = System.nanoTime()
+      val rewritten = AnnIndex.compactCells(spark, idx)
+      val compSec = (System.nanoTime() - t1) / 1e9
+      val (postComp, dfComp) = probe10()
+      val (bAnti2, sAnti2) = antiJoinKinds(dfComp)
+      println(s"""{"corpus_vecs":$n,"probe":"drift_rung",""" +
+        s""""n_deleted":${AnnIndex.readMeta(idx).deletedVecs},""" +
+        s""""tombstone_bytes":$tombBytes,""" +
+        f""""delete_sec":$delSec%.2f,"probe10_pre_sec":$pre%.2f,""" +
+        f""""probe10_tombstoned_sec":$post%.2f,""" +
+        s""""anti_broadcast":$bAnti,"anti_shuffled":$sAnti,""" +
+        s""""cells_rewritten":$rewritten,""" +
+        f""""compact_sec":$compSec%.2f,""" +
+        f""""probe10_post_compact_sec":$postComp%.2f,""" +
+        s""""anti_after_compact":${bAnti2 || sAnti2}}""")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     }

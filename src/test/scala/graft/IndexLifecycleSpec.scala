@@ -98,4 +98,46 @@ class IndexLifecycleSpec extends AnyFunSuite {
       assert(IndexLifecycle.dirFingerprint(dir) != fp1)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("boundedIdJoin picks its strategy from measured bytes, results invariant") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 3).as("v"))
+    val ids = spark.range(0, 1000, 7).select(col("id").as("k"))
+    def nodes(d: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(all)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            all(a.executedPlan)
+          case _ => Nil
+        })
+      d.count() // finalize AQE
+      all(d.queryExecution.executedPlan)
+    }
+    val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
+    assert(budget > 0, "spec assumes the session default broadcast budget")
+    // under budget: broadcast anti — the oracle-SF plan
+    val under = IndexLifecycle.boundedIdJoin(df, ids, "k", budget, "left_anti")
+    assert(nodes(under).exists(_.nodeName.contains("BroadcastHashJoin")))
+    // over budget: SHUFFLE_HASH anti, never a broadcast of the id side
+    val over = IndexLifecycle.boundedIdJoin(df, ids, "k", budget + 1, "left_anti")
+    val on = nodes(over)
+    assert(!on.exists(_.nodeName.contains("BroadcastHashJoin")))
+    assert(on.exists(_.nodeName.contains("ShuffledHashJoin")))
+    // identical results either way; semi flips the same switch
+    assert(under.collect().map(_.getLong(0)).sorted.toSeq ==
+      over.collect().map(_.getLong(0)).sorted.toSeq)
+    val semiOver = IndexLifecycle.boundedIdJoin(df, ids, "k", budget + 1, "left_semi")
+    assert(nodes(semiOver).exists(_.nodeName.contains("ShuffledHashJoin")))
+    assert(semiOver.count() == ids.count())
+    // far over budget: the §4.9 width policy widens the exchange
+    // beyond the session default (64 MB budget per build task)
+    val wide = IndexLifecycle.boundedIdJoin(df, ids, "k",
+      4L << 30, "left_anti")
+    val parts = wide.rdd.getNumPartitions
+    assert(parts > spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"expected a widened exchange, saw $parts partitions")
+  }
 }

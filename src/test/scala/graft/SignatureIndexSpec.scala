@@ -351,4 +351,84 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(p1 == p2 && meta1.nDocs > 0)
     Dedup.registerScratchDir(Paths.get(p1))
   }
+
+  test("deleting never-indexed ids is a TRUE no-op (counters and side table)") {
+    import spark.implicits._
+    val idx = newIndexDir()
+    val before = SignatureIndex.buildSignatureIndex(corpus, idx)
+    val foreign = (0L until 10L).map(_ + (1L << 41)).toDF("doc_id")
+    val m1 = SignatureIndex.deleteFromIndex(foreign, idx)
+    assert(m1.nDocs == before.nDocs && m1.deletedDocs == 0)
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+    // mixed increment: exactly the present ids count
+    val two = corpus.select(col("doc_id")).orderBy(col("doc_id")).limit(2)
+    val m2 = SignatureIndex.deleteFromIndex(foreign.unionByName(two), idx)
+    assert(m2.nDocs == before.nDocs - 2 && m2.deletedDocs == 2)
+  }
+
+  test("maintainIndex: drift fires a rebuild that reclaims tombstones; pairs equal a fresh build") {
+    val all = hashed.drop("bucket")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(all, idx)
+    // delete ~30% — crosses RebuildFraction
+    val del = all.filter(col("doc_id") % 10 < 3).select(col("doc_id"))
+    SignatureIndex.deleteFromIndex(del, idx)
+    assert(SignatureIndex.needsRebuild(SignatureIndex.readMeta(idx)),
+      "fixture must cross the drift threshold")
+    // the maintainer re-hashes from the SOURCE (the production
+    // contract: a signature index is derived data; the sorted-stored
+    // hsi cannot reproduce the text-order content salt) — tombstoned
+    // docs are dropped from the supplied corpus inside
+    val report = SignatureIndex.maintainIndex(spark, idx)(all)
+    assert(report.rebuilt)
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+    val meta = SignatureIndex.readMeta(idx)
+    assert(meta.appendedDocs == 0 && meta.deletedDocs == 0)
+    val survivors = all.filter(col("doc_id") % 10 >= 3)
+    assert(meta.nDocs == survivors.count())
+    val fresh = newIndexDir()
+    SignatureIndex.buildSignatureIndex(survivors, fresh)
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) ==
+      canon(SignatureIndex.selfPairsFromIndex(spark, fresh)))
+    // healthy after the rebuild: the next pass is a no-op
+    assert(SignatureIndex.maintainIndex(spark, idx)(
+      sys.error("a healthy index must not re-evaluate the corpus")) ==
+      graft.operators.IndexLifecycle.Maintenance(rebuilt = false, 0))
+  }
+
+  test("gateAndAppendBatch: later batches reject copies of earlier admissions; replays converge") {
+    import spark.implicits._
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val fresh1 = (1 to 30).map(i => s"delta$i").mkString(" ")
+    val fresh2 = (1 to 30).map(i => s"edge$i").mkString(" ")
+    val near1 = (1 to 28).map(i => s"delta$i").mkString(" ") // jacc 28/30 of fresh1
+    val corpusDf = Seq((1L, "tiny doc", "en", "web"), (2L, longA, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(
+      Dedup.shingleHashSets(corpusDf, "doc_id", "text", 5), idx)
+    SignatureIndex.ensureSidecar(idx, "gate_md5") { p =>
+      corpusDf.select(md5(col("text")).as("c_md5")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    def gate(rows: Seq[(Long, String)]): Seq[Long] =
+      SignatureIndex.gateAndAppendBatch(
+        rows.map { case (id, t) => (id, t, "en", "web") }
+          .toDF("doc_id", "text", "lang", "source"),
+        idx, keep = Seq("doc_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // batch 0: a corpus dup rejects, two fresh docs admit
+    val b0 = Seq((10L, longA), (11L, fresh1), (12L, "short new"))
+    assert(gate(b0) == Seq(11L, 12L))
+    // batch 1: EXACT copy of admission 12 rejects (md5 carry), STRONG
+    // near-dup of admission 11 rejects (band carry), new doc admits
+    assert(gate(Seq((20L, "short new"), (21L, near1), (22L, fresh2)))
+      == Seq(22L))
+    // REPLAY of batch 0 (crash-redelivery): rows never reject
+    // THEMSELVES — the admitted set converges to the first delivery
+    assert(gate(b0) == Seq(11L, 12L))
+    // and a post-replay batch still rejects copies of the admissions
+    assert(gate(Seq((30L, fresh2), (31L, (1 to 30).map(i => s"zeta$i")
+      .mkString(" ")))) == Seq(31L))
+  }
 }
