@@ -397,7 +397,7 @@ object AnnIndex {
     if (IndexLifecycle.hasParquet(dir))
       Some((spark.read.parquet(dir.toString)
         .select(col("vec_id")).distinct(),
-        IndexLifecycle.parquetBytes(dir)))
+        IndexLifecycle.idSideBytes(spark, dir)))
     else None
   }
 

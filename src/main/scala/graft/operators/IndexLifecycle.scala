@@ -298,6 +298,35 @@ object IndexLifecycle {
           p.getFileName.toString.endsWith(".parquet"))
         .map(Files.size).sum)
 
+  /** Size signal for an ID side table feeding [[boundedIdJoin]]:
+    * `max(parquet bytes, row count × 8)`. Parquet bytes alone
+    * UNDER-READ compressible id sets — the 8M drift rung measured a
+    * 2M-id strided tombstone table at 9.7 MiB on disk (RLE/dictionary
+    * ~5 B/id), sliding just under the 10 MiB broadcast budget while
+    * its hash relation would be an order of magnitude bigger — so the
+    * signal is floored at the raw key bytes, which no relation can
+    * undercut. Row counts come from the parquet FOOTERS, driver-side
+    * (no Spark job): one small read per part file, and the part-file
+    * count is bounded by the compaction cadence. Duplicate rows from
+    * crash-retried writes inflate the estimate — conservative (an
+    * over-wide estimate costs a shuffle that was almost due anyway;
+    * an under-read is a broadcast OOM). */
+  def idSideBytes(spark: SparkSession, dir: Path): Long = {
+    val files = scala.util.Using.resource(Files.walk(dir))(
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toVector)
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    math.max(files.map(Files.size).sum, rows * 8L)
+  }
+
   // ---- crash-ordered small-file merge --------------------------------------
 
   /** Merge `files` (parquet parts of one table) into a single part in

@@ -334,7 +334,7 @@ object SignatureIndex {
     if (IndexLifecycle.hasParquet(dir))
       Some((spark.read.parquet(dir.toString)
         .select(col("doc_id")).distinct(),
-        IndexLifecycle.parquetBytes(dir)))
+        IndexLifecycle.idSideBytes(spark, dir)))
     else None
   }
 

@@ -978,7 +978,7 @@ object DataPipelineQueries {
     * increment existed. Same artifact pattern as
     * [[trainedIvfCentroids]]; `t` derives from the source, so the
     * fingerprinted cache key stays consistent. */
-  private def trainedIvfCentroidsBase(s: SparkSession, d: String,
+  private[queries] def trainedIvfCentroidsBase(s: SparkSession, d: String,
                                       t: Long): Seq[(Long, Array[Long])] = {
     val path = graft.storage.PartitionedStore.cached(
       d, "ann_ivf_centroids_base_v1", source = "embeddings.parquet") { p =>
@@ -2235,6 +2235,89 @@ object DataPipelineQueries {
        |    row_number() OVER (PARTITION BY probe_id
        |      ORDER BY score DESC, candidate_id) AS rank
        |  FROM scored)""".stripMargin
+
+  /** DuckDB twin of the ANN gate→append loop
+    * (stream_embed_gate_append): sequential admission unroll over the
+    * staged increment batches — stage b's candidate set is the base
+    * assignment PLUS the already-admitted arrivals of stages < b
+    * (assigned to their frozen-quantizer cells) — with a stage-3
+    * REPLAY of batch-0's rows under `vec_id + 2^40` (their probe
+    * cells equal the originals', so the replay reuses stage-0's pc
+    * rows). A replayed copy of an admitted arrival takes its original
+    * as top-1 with the self-dot score and must be rejected. */
+  private[graft] lazy val embedGateAppendSql: String = {
+    val dot = """CAST(list_sum(list_transform(list_zip(pc.qv, a.qv),
+                |      z -> z[1] * z[2])) AS BIGINT)""".stripMargin
+    def stage(b: Int, cand: String, probePred: String,
+              probeId: String): String =
+      s"""s$b AS (
+         |  SELECT $probeId AS probe_id, a.vec_id AS nn_id,
+         |    $dot AS score
+         |  FROM pc JOIN $cand a
+         |    ON a.cell = pc.cell AND a.vec_id <> $probeId
+         |  WHERE $probePred),
+         |t$b AS (SELECT probe_id, nn_id, score FROM (
+         |    SELECT probe_id, nn_id, score,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY score DESC, nn_id) AS rank
+         |    FROM s$b) r WHERE rank = 1)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, label, $quantizeSql AS qv FROM embeddings),
+       |tt AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t,
+       |  greatest(max(vec_id) - ((max(vec_id) + 1) * 9) // 10, 1) AS span
+       |  FROM embeddings),
+       |qb AS (SELECT q.vec_id, q.qv FROM q, tt WHERE q.vec_id < tt.t),
+       |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qb WHERE vec_id < 16),
+       |${lloydIterSql("c0", "c1", 64, src = "qb")},
+       |${lloydIterSql("c1", "c2", 64, src = "qb")},
+       |af AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM qb v, c2 c) t WHERE rn = 1),
+       |inc AS (SELECT q.vec_id, q.qv,
+       |    CASE WHEN q.vec_id < tt.t + tt.span * 1 // 3 THEN 0
+       |         WHEN q.vec_id < tt.t + tt.span * 2 // 3 THEN 1
+       |         ELSE 2 END AS stage
+       |  FROM q, tt WHERE q.vec_id >= tt.t),
+       |pc AS (SELECT vec_id, qv, cell, stage FROM (
+       |    SELECT p.vec_id, p.qv, p.stage, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${l2Sql("p.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM inc p, c2 c) t WHERE rn <= 4),
+       |pi AS (SELECT vec_id, qv, cell FROM (
+       |    SELECT p.vec_id, p.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${l2Sql("p.qv", "c.qc")} ASC, c.cid ASC) AS rn
+       |    FROM inc p, c2 c) t WHERE rn = 1),
+       |${stage(0, "af", "pc.stage = 0", "pc.vec_id")},
+       |a0 AS (SELECT p.vec_id, t0.nn_id, t0.score FROM inc p
+       |  LEFT JOIN t0 ON t0.probe_id = p.vec_id
+       |  WHERE p.stage = 0 AND (t0.score IS NULL OR t0.score < $EmbedDupThreshold)),
+       |cand1 AS (SELECT * FROM af UNION ALL
+       |  SELECT pi.* FROM pi WHERE pi.vec_id IN (SELECT vec_id FROM a0)),
+       |${stage(1, "cand1", "pc.stage = 1", "pc.vec_id")},
+       |a1 AS (SELECT p.vec_id, t1.nn_id, t1.score FROM inc p
+       |  LEFT JOIN t1 ON t1.probe_id = p.vec_id
+       |  WHERE p.stage = 1 AND (t1.score IS NULL OR t1.score < $EmbedDupThreshold)),
+       |cand2 AS (SELECT * FROM cand1 UNION ALL
+       |  SELECT pi.* FROM pi WHERE pi.vec_id IN (SELECT vec_id FROM a1)),
+       |${stage(2, "cand2", "pc.stage = 2", "pc.vec_id")},
+       |a2 AS (SELECT p.vec_id, t2.nn_id, t2.score FROM inc p
+       |  LEFT JOIN t2 ON t2.probe_id = p.vec_id
+       |  WHERE p.stage = 2 AND (t2.score IS NULL OR t2.score < $EmbedDupThreshold)),
+       |cand3 AS (SELECT * FROM cand2 UNION ALL
+       |  SELECT pi.* FROM pi WHERE pi.vec_id IN (SELECT vec_id FROM a2)),
+       |${stage(3, "cand3", "pc.stage = 0", "pc.vec_id + 1099511627776")},
+       |a3 AS (SELECT p.vec_id + 1099511627776 AS vec_id, t3.nn_id, t3.score
+       |  FROM inc p LEFT JOIN t3 ON t3.probe_id = p.vec_id + 1099511627776
+       |  WHERE p.stage = 0
+       |    AND (t3.score IS NULL OR t3.score < $EmbedDupThreshold))
+       |SELECT vec_id, nn_id, score FROM (
+       |  SELECT * FROM a0 UNION ALL SELECT * FROM a1
+       |  UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB twin of the STREAMING TAKEDOWN loop (stream_takedown):
     * stage b's probe rows are the top-k over the full-corpus index

@@ -581,6 +581,68 @@ object StreamingQueries {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** stream_embed_gate_append: the ANN twin of [[stream_gate_append]]
+    * — the gate→append production loop for the EMBEDDING family: each
+    * micro-batch probes the persisted base-corpus ANN index for its
+    * top-1 neighbor, admits arrivals below the duplicate threshold,
+    * and APPENDS the admitted vectors ([[graft.operators.AnnIndex
+    * .appendToAnnIndex]]) so the next batch's probes see them through
+    * the delta scan. The staged stream carries a trailing REPLAY
+    * batch (exact copies of batch-0 arrivals under fresh ids): a copy
+    * of an earlier ADMISSION takes its original as top-1 with the
+    * self-dot score and is rejected by the carry — a stateless gate
+    * would admit it. Replay-idempotent for free: ivfSearch's
+    * self-match filter (probe_id ≠ candidate_id) means a
+    * crash-redelivered batch never rejects its own appended rows.
+    * Admission is materialized (checkpoint) BEFORE the append mutates
+    * the index the decision plan reads. Runs the maintainer per
+    * trigger, same as the signature loop. */
+  private val stream_embed_gate_append: Q = (s, d) =>
+    embedGateAppendLoop(s, d, 3)
+
+  private[graft] def embedGateAppendLoop(s: SparkSession, d: String,
+                                         nBatches: Int): DataFrame = {
+    import graft.operators.{AnnIndex, Similarity, SignatureIndex}
+    val maxId = graft.Tables.embeddings(s, d)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val t = (maxId + 1) * 9 / 10
+    // PRIVATE base-corpus index — the loop appends into it
+    val idx = AnnIndex.ensureAnnIndex(
+      SignatureIndex.sourceCacheKey(s"annivf_gapp$nBatches", d,
+        "embeddings.parquet"),
+      stamp = "cents=16 iters=2 slice=base90 gapp=replay") { p =>
+      AnnIndex.buildAnnIndex(
+        graft.Tables.embeddings(s, d).filter(col("vec_id") < t)
+          .select(col("vec_id"), col("label"),
+            Similarity.quantize(col("embedding")).as("qv")),
+        DataPipelineQueries.trainedIvfCentroidsBase(s, d, t), p)
+    }
+    val outDir = SignatureIndex.ensureSidecar(idx, "gapp_out") { p =>
+      val inc = StreamingOps.embeddingsStreamWithReplay(s, d, nBatches)
+      StreamingOps.runForeachBatch(s, inc,
+        s"graft_stream_embed_gapp_$nBatches",
+        (batch, _) => {
+          val probes = batch.select(col("vec_id").as("probe_id"),
+            Similarity.quantize(col("embedding")).as("pqv"))
+          val admitted = AnnIndex.gateBatchThroughAnnIndex(probes, idx,
+            DataPipelineQueries.EmbedDupThreshold,
+            nProbe = 4) // fixture width (4 of 16 cells; see policy note)
+            .localCheckpoint(true) // decide BEFORE the append mutates the index
+          val admRows = batch.join(
+            admitted.select(col("probe_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), col("label"),
+              Similarity.quantize(col("embedding")).as("qv"))
+          if (!admRows.isEmpty) AnnIndex.appendToAnnIndex(admRows, idx)
+          AnnIndex.maintainAnnIndex(s, idx) // production cadence; no-op at oracle SF
+          admitted.select(col("probe_id").as("vec_id"), col("nn_id"),
+            col("score"))
+        })
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(outDir).orderBy(col("vec_id"))
+  }
+
   /** stream_takedown: DELETES ARRIVING AS A STREAM — the reference's
     * kill-list semantics (P3/W8, `vpe/ctrl/TaskController.java:36-88`)
     * applied to the persisted ANN index (round-11 judge ask #5): each
@@ -636,6 +698,7 @@ object StreamingQueries {
 
   val queries: Map[String, Q] = Map(
     "stream_gate_append" -> stream_gate_append,
+    "stream_embed_gate_append" -> stream_embed_gate_append,
     "stream_takedown" -> stream_takedown,
     "stream_embed_gate" -> stream_embed_gate,
     "stream_ingest_gate" -> stream_ingest_gate,
@@ -712,6 +775,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_gate_append" -> gateAppendSql,
+    "stream_embed_gate_append" -> DataPipelineQueries.embedGateAppendSql,
     "stream_takedown" -> DataPipelineQueries.takedownSql,
     // batch twin of the streaming embed gate — shares every CTE with
     // dedup_embed_incremental's twin, so it lives beside it

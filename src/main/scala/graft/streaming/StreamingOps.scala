@@ -180,18 +180,36 @@ object StreamingOps {
       .option("latestFirst", "false")
       .parquet(stageVecBatches(spark, sfDir, nBatches))
 
+  /** [[embeddingsStream]] plus a TRAILING REPLAY micro-batch — the
+    * vector twin of [[documentsStreamWithReplay]]: after the
+    * `nBatches` staged increment slices, one more file re-sends every
+    * batch-0 row as an exact copy under `vec_id + ReplayIdOffset`.
+    * Purpose-built for the ANN gate→append oracle
+    * (stream_embed_gate_append): a copy of an earlier batch's
+    * ADMISSION must be rejected by the append carry. */
+  def embeddingsStreamWithReplay(spark: SparkSession, sfDir: String,
+                                 nBatches: Int = 3): DataFrame =
+    spark.readStream
+      .schema(embeddingsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(stageVecBatches(spark, sfDir, nBatches, replayStage0 = true))
+
   /** Stage the embeddings increment (vec_id ≥ (max+1)·9/10) into
     * `nBatches` vec_id-contiguous files — the [[stageDocBatches]]
     * discipline applied to vectors (same cache key shape, same
-    * atomic-rename build, same empty-source guard + cleanup). */
+    * atomic-rename build, same empty-source guard + cleanup).
+    * `replayStage0` appends the replay file
+    * ([[embeddingsStreamWithReplay]]). */
   private[graft] def stageVecBatches(spark: SparkSession, sfDir: String,
-                                     nBatches: Int): String = synchronized {
+                                     nBatches: Int,
+                                     replayStage0: Boolean = false): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "embeddings.parquet")
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_v${StageFormatVersion}_" +
         Integer.toHexString(sfDir.hashCode) + "_" + sourceFingerprint(src),
-      s"vecinc_$nBatches")
+      (if (replayStage0) "vecinc_replay_" else "vecinc_") + nBatches)
     if (Files.isDirectory(dir)) return dir.toString
     val build = dir.resolveSibling(dir.getFileName.toString + ".build_" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -222,6 +240,27 @@ object StreamingOps {
         val dst = build.resolve(f"vecinc_$pos%02d.parquet")
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         dst.toFile.setLastModified(base + pos * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      if (replayStage0) {
+        require(nBatches >= 2, "replay staging needs >= 2 data batches")
+        // exact copies of every batch-0 row under fresh ids — the
+        // planted cross-batch duplicates
+        val replay = inc
+          .filter(col("vec_id") >= idMin &&
+            col("vec_id") < lit(idMin + span / nBatches))
+          .withColumn("vec_id", col("vec_id") + lit(ReplayIdOffset))
+          .select(embeddingsRawSchema.fields.toIndexedSeq
+            .map(f => col(f.name)): _*)
+        val tmp = build.resolve("tmp_replay")
+        replay.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(Files.list(tmp))(
+          _.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp")))
+        val dst = build.resolve(f"vecinc_$nBatches%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(base + nBatches * 2000L)
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
       try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)

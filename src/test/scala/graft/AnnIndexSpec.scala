@@ -472,7 +472,7 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.range(0, 3000000, 1, 8)
       .select(xxhash64(col("id")).as("vec_id"))
       .write.mode("overwrite").parquet(s"$idx/tombstones")
-    val bytes = graft.operators.IndexLifecycle.parquetBytes(
+    val bytes = graft.operators.IndexLifecycle.idSideBytes(spark,
       Paths.get(idx, "tombstones"))
     val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
     assert(bytes > budget,
@@ -506,6 +506,24 @@ class AnnIndexSpec extends AnyFunSuite {
       "an over-budget tombstone set must not ship as a broadcast")
     assert(bigShuffled,
       "expected a SHUFFLE_HASH anti-join for the over-budget set")
+    // COMPRESSIBLE set: 2M strided ids RLE down to under the budget on
+    // disk, but their hash relation cannot be smaller than rows × 8 B —
+    // the size signal must not let parquet compression leak into the
+    // broadcast decision (caught live at the 8M drift rung: a 2M-id
+    // tombstone table read 9.7 MiB and slid under the 10 MiB bar)
+    spark.range(1L << 41, (1L << 41) + 16000000, 8, 8)
+      .select(col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$idx/tombstones")
+    val tombDir = Paths.get(idx, "tombstones")
+    assert(graft.operators.IndexLifecycle.parquetBytes(tombDir) <= budget,
+      "fixture must compress under the budget on disk")
+    assert(graft.operators.IndexLifecycle.idSideBytes(spark, tombDir) > budget)
+    val comp = AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)
+    assert(canon(comp) == expect)
+    val (compBroadcast, compShuffled) =
+      antiKinds(allNodes(comp.queryExecution.executedPlan))
+    assert(!compBroadcast && compShuffled,
+      "a compressible over-budget set must still plan SHUFFLE_HASH")
     // below the budget the oracle-SF plan is untouched: broadcast anti
     spark.range(0, 10, 1, 1)
       .select((col("id") + (1L << 41)).as("vec_id"))
