@@ -181,24 +181,6 @@ object CompactCadenceProbe {
         }.min
         (t, last)
       }
-      def antiJoinKinds(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
-        def all(p: SparkPlan): Seq[SparkPlan] =
-          (p +: p.children.flatMap(all)) ++ (p match {
-            case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-            case q: QueryStageExec => all(q.plan)
-            case _ => Nil
-          })
-        val ns = all(df.queryExecution.executedPlan)
-        (ns.exists { case b: BroadcastHashJoinExec =>
-            b.joinType.toString == "LeftAnti"
-          case _ => false },
-         ns.exists { case s: ShuffledHashJoinExec =>
-            s.joinType.toString == "LeftAnti"
-          case _ => false })
-      }
       val (pre, _) = probe10()
       // 25% of the corpus, strided across the cell space, delivered as
       // 8 production-sized increments
@@ -214,12 +196,12 @@ object CompactCadenceProbe {
       val tombBytes = graft.operators.IndexLifecycle.parquetBytes(
         Paths.get(idx, "tombstones"))
       val (post, dfPost) = probe10()
-      val (bAnti, sAnti) = antiJoinKinds(dfPost)
+      val (bAnti, sAnti) = graft.operators.IndexLifecycle.antiJoinKinds(dfPost)
       val t1 = System.nanoTime()
       val rewritten = AnnIndex.compactCells(spark, idx)
       val compSec = (System.nanoTime() - t1) / 1e9
       val (postComp, dfComp) = probe10()
-      val (bAnti2, sAnti2) = antiJoinKinds(dfComp)
+      val (bAnti2, sAnti2) = graft.operators.IndexLifecycle.antiJoinKinds(dfComp)
       println(s"""{"corpus_vecs":$n,"probe":"drift_rung",""" +
         s""""n_deleted":${AnnIndex.readMeta(idx).deletedVecs},""" +
         s""""tombstone_bytes":$tombBytes,""" +

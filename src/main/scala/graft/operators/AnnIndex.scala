@@ -131,10 +131,12 @@ object AnnIndex {
     * PushedFilter, not a partition prune), so file COUNT, not bytes,
     * is the trigger. */
   def needsCompaction(path: String): Boolean = {
-    // delta AND tombstone part files count: both side tables are
-    // listed + scanned by every search, so a delete-only lifecycle
-    // accumulates exactly the per-file drag the cadence bounds
-    val files = Seq("delta", "tombstones").map { side =>
+    // delta, tombstone AND gate-append-sidecar part files count: the
+    // first two are scanned by every search, the third by every
+    // gate-append trigger — all three accumulate exactly the per-file
+    // drag the cadence bounds (the sidecar exemption was a round-12
+    // self-review finding)
+    val files = Seq("delta", "tombstones", GateAppendBatchesDir).map { side =>
       val d = Paths.get(path, side)
       if (!Files.isDirectory(d)) 0
       else scala.util.Using.resource(Files.list(d))(
@@ -238,7 +240,7 @@ object AnnIndex {
     // probed index returned rank-duplicated candidates) while stale
     // tombstones/ would silently ERASE rebuilt vectors that happen to
     // share a previously-deleted vec_id
-    for (side <- Seq("delta", "tombstones")) {
+    for (side <- Seq("delta", "tombstones", GateAppendBatchesDir)) {
       val stale = root.resolve(side)
       if (Files.isDirectory(stale))
         org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
@@ -377,7 +379,12 @@ object AnnIndex {
     val newIds = fresh.collect().map(_.getLong(0))
     if (newIds.nonEmpty) {
       import spark.implicits._
+      // coalesce(1): a LocalTableScan write otherwise fans out to
+      // min(rows, defaultParallelism) part files PER DELETE, inflating
+      // the compaction-cadence file count and the per-probe footer
+      // reads (round-12 self-review finding)
       spark.createDataset(newIds.toSeq).toDF("vec_id")
+        .coalesce(1)
         .write.mode("append").parquet(s"$path/tombstones")
     }
     val nDel = newIds.length.toLong
@@ -410,7 +417,8 @@ object AnnIndex {
     * contract as every live ANN query. */
   def probeAnnIndex(spark: SparkSession, path: String, probesQ: DataFrame,
                     nProbe: Int, k: Int,
-                    candidateFilter: Column = lit(true)): DataFrame = {
+                    candidateFilter: Column = lit(true),
+                    excludeIds: Option[DataFrame] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     // the probe side is broadcast-class BY CONTRACT and the search
     // broadcasts it anyway (a broadcast collects to the driver first),
@@ -425,7 +433,7 @@ object AnnIndex {
     val probeCells = spark.createDataFrame(
       java.util.Arrays.asList(pc.collect(): _*), pc.schema)
     searchCells(spark, path, broadcast(probeCells), candidateFilter, k,
-      pruneCells = true)
+      pruneCells = true, excludeIds = excludeIds)
   }
 
   /** k-NN JOIN against the persisted index: EVERY input vector probes
@@ -473,7 +481,8 @@ object AnnIndex {
     * increment-sized; the corpus-sized base never pays it. */
   private def searchCells(spark: SparkSession, path: String,
                           probeCells: DataFrame, candidateFilter: Column,
-                          k: Int, pruneCells: Boolean): DataFrame = {
+                          k: Int, pruneCells: Boolean,
+                          excludeIds: Option[DataFrame] = None): DataFrame = {
     // distinct probed cells: bounded by nCells (the centroid table is
     // driver-held already) — control-plane collect, becomes a
     // partition predicate so only the probed directories are scanned
@@ -510,7 +519,12 @@ object AnnIndex {
         IndexLifecycle.boundedIdJoin(cands0, ts, "vec_id", bytes,
           "left_anti")
       }
-    val cands = cands1.filter(candidateFilter)
+    // caller-scoped exclusion (batch-bounded by contract): the
+    // gate-append REPLAY path hides the redelivered batch's own
+    // appended rows so its decisions replay as-if-never-appended
+    val cands2 = excludeIds.fold(cands1)(ex =>
+      cands1.join(broadcast(ex), Seq("vec_id"), "left_anti"))
+    val cands = cands2.filter(candidateFilter)
     Similarity.ivfSearch(cands, probeCells, "vec_id", k)
   }
 
@@ -581,13 +595,69 @@ object AnnIndex {
     * §4.18). Returns (probe_id, nn_id, score) for the admitted rows. */
   def gateBatchThroughAnnIndex(probes: DataFrame, path: String,
                                threshold: Long,
-                               nProbe: Int = GateNProbe): DataFrame = {
+                               nProbe: Int = GateNProbe,
+                               excludeIds: Option[DataFrame] = None): DataFrame = {
     val spark = probes.sparkSession
-    val top1 = probeAnnIndex(spark, path, probes, nProbe = nProbe, k = 1)
+    val top1 = probeAnnIndex(spark, path, probes, nProbe = nProbe, k = 1,
+      excludeIds = excludeIds)
       .select(col("probe_id"), col("candidate_id").as("nn_id"), col("score"))
     probes.select(col("probe_id")).join(top1, Seq("probe_id"), "left")
       .filter(col("score").isNull || col("score") < threshold)
       .select(col("probe_id"), col("nn_id"), col("score"))
+  }
+
+  /** Sidecar recording which batch admitted which vector —
+    * (vec_id, batch) — written by [[gateAndAppendAnnBatch]]. Dot-less
+    * (it is real data, merged by compaction) but never scanned by
+    * searches: only the gate-append path reads it. */
+  private val GateAppendBatchesDir = "gapp_batches"
+
+  /** The PRODUCTION gate→append composition for the embedding family
+    * — [[SignatureIndex.gateAndAppendBatch]]'s twin, run once per
+    * micro-batch by a foreachBatch sink: gate `rows` (which must
+    * carry exactly the indexed cell columns — vec_id, payload, qv)
+    * through [[gateBatchThroughAnnIndex]], APPEND the admitted rows,
+    * and record the admissions in the `gapp_batches` sidecar.
+    * Returns the admitted (probe_id, nn_id, score) frame.
+    *
+    * REPLAY EXACTLY-ONCE (the round-12 self-review hole: `probe_id ≠
+    * candidate_id` alone lets two co-admitted intra-batch duplicates
+    * reject EACH OTHER on crash-redelivery): the gate excludes every
+    * candidate this SAME batchId previously appended (the sidecar's
+    * batch column → a batch-bounded broadcast anti on the candidate
+    * scan), so a redelivered batch decides as if its own appends never
+    * happened — the admitted set is delivery-count-invariant,
+    * spec-pinned. Re-appending the same rows is duplicate-safe
+    * ([[appendToAnnIndex]]'s delta-dedup contract); duplicate sidecar
+    * rows collapse at the exclusion's distinct.
+    *
+    * Admission is MATERIALIZED (checkpoint) before either write — its
+    * plan reads the directories the appends mutate. */
+  def gateAndAppendAnnBatch(rows: DataFrame, path: String,
+                            threshold: Long, batchId: Long,
+                            nProbe: Int = GateNProbe): DataFrame = {
+    val spark = rows.sparkSession
+    val appDir = Paths.get(path, GateAppendBatchesDir)
+    val excl =
+      if (IndexLifecycle.hasParquet(appDir))
+        Some(spark.read.parquet(appDir.toString)
+          .filter(col("batch") === batchId)
+          .select(col("vec_id")).distinct())
+      else None
+    val probes = rows.select(col("vec_id").as("probe_id"),
+      col("qv").as("pqv"))
+    val admitted = gateBatchThroughAnnIndex(probes, path, threshold,
+      nProbe, excludeIds = excl).localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      val admRows = rows.join(
+        admitted.select(col("probe_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      appendToAnnIndex(admRows, path)
+      admitted.select(col("probe_id").as("vec_id"),
+          lit(batchId).as("batch"))
+        .coalesce(1).write.mode("append").parquet(appDir.toString)
+    }
+    admitted
   }
 
   /** Compact the index after a run of appends — the maintenance job
@@ -746,6 +816,18 @@ object AnnIndex {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
     }
+    // the gate-append sidecar fragments one file per trigger and is
+    // scanned by every gate call: merge it down in the same pass
+    val gappDir = Paths.get(path, GateAppendBatchesDir)
+    if (Files.isDirectory(gappDir)) {
+      val gappFiles = scala.util.Using.resource(Files.list(gappDir))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString))
+      if (gappFiles.size >= 2)
+        IndexLifecycle.mergeParquetFiles(spark, gappFiles, gappDir,
+          transform = _.distinct())
+    }
     val cellDirs = scala.util.Using.resource(Files.list(cellsRoot))(
       _.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
@@ -770,6 +852,54 @@ object AnnIndex {
     compacted
   }
 
+  /** Dot-prefixed rebuild staging dir inside the index root —
+    * invisible to every scan (cells/, delta/, tombstones/ are the
+    * only directories consumers read). */
+  private val RebuildStageDir = ".rebuild_live"
+
+  /** Stage a rebuild's inputs INSIDE the index dir: the live rows
+    * (base ∪ deduped delta, minus tombstones) under
+    * `.rebuild_live/rows` and the RETRAINED quantizer (kmeansBulk
+    * warm-started from the frozen centroids — deterministic) under
+    * `.rebuild_live/cents`, committed by the `_STAGED_OK` marker.
+    * ADDS bytes only — nothing of the old index is touched, so a
+    * crash mid-staging loses nothing. Idempotent: a present marker
+    * short-circuits. */
+  private[graft] def stageRebuildLive(spark: SparkSession, path: String,
+                                      trainIters: Int): Unit = {
+    val stageDir = Paths.get(path, RebuildStageDir)
+    val marker = stageDir.resolve("_STAGED_OK")
+    if (Files.isRegularFile(marker)) return
+    // `cell` dropped from both legs (the partition column reads back
+    // as int, the delta column is long — and the rebuild reassigns
+    // against the retrained quantizer anyway)
+    val base = spark.read.parquet(s"$path/cells").drop("cell")
+    val deltaDir = Paths.get(path, "delta")
+    val merged =
+      if (IndexLifecycle.hasParquet(deltaDir))
+        base.unionByName(spark.read.parquet(deltaDir.toString).drop("cell"))
+      else base
+    // one corpus-wide dedup: a rebuild is the repair point for every
+    // documented transient-duplicate crash window, so it must
+    // collapse them all (retried appends, a crashed phase-2 swap)
+    val live0 = merged.dropDuplicates("vec_id")
+    val live = tombstoneIds(spark, path).fold(live0) {
+      case (ts, bytes) =>
+        IndexLifecycle.boundedIdJoin(live0, ts, "vec_id", bytes,
+          "left_anti")
+    }
+    live.write.mode("overwrite").parquet(
+      stageDir.resolve("rows").toString)
+    val vecsQ = spark.read.parquet(stageDir.resolve("rows").toString)
+    val cents = kmeansBulk(vecsQ.select(col("qv")),
+      readCentroids(spark, path), trainIters)
+    import spark.implicits._
+    cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(stageDir.resolve("cents").toString)
+    Files.write(marker, Array.emptyByteArray)
+  }
+
   /** MAINTENANCE driver — the production loop's one entry point
     * (round-11 judge ask: `needsRebuild`/`needsCompaction` existed but
     * nothing called them in production shape). Consults the policies
@@ -777,52 +907,50 @@ object AnnIndex {
     *
     *  1. [[needsRebuild]] (append+delete drift past
     *     [[RebuildFraction]]) → REBUILD in place from the index's own
-    *     live rows (base ∪ deduped delta, minus tombstones — the ANN
-    *     family is self-contained: the vectors ARE the stored
-    *     content), with the quantizer RETRAINED by [[kmeansBulk]]
-    *     warm-started from the frozen centroids (nCells preserved;
-    *     deterministic, so a spec can reproduce the exact
-    *     post-rebuild index). Physically reclaims every tombstone and
-    *     folds every delta row;
+    *     live rows (the ANN family is self-contained: the vectors ARE
+    *     the stored content), quantizer retrained. Physically
+    *     reclaims every tombstone and folds every delta row;
     *  2. else [[needsCompaction]] → [[compactCells]] (delta fold +
     *     tombstone application + fragmented-cell merge,
     *     increment-priced).
     *
-    * The live frame is STAGED to scratch before the build starts —
-    * [[buildAnnIndex]] overwrites `cells/` while the frame's lineage
-    * reads it (the self-read hazard [[IndexLifecycle]] forbids).
+    * CRASH ORDERING (the [[IndexLifecycle]] invariant applied to the
+    * one mutation that destroys the index's own source of truth): the
+    * live rows AND the retrained quantizer are staged to
+    * `.rebuild_live/` + marker FIRST ([[stageRebuildLive]] — adds
+    * bytes only), and only then does [[buildAnnIndex]] tear down the
+    * old layout. The build's final meta write is the COMMIT POINT
+    * (it resets the drift counters); the staging is dropped LAST. A
+    * crash anywhere re-enters safely: marker present + drift still
+    * flagged → the rebuild RESUMES from the staged rows/quantizer
+    * (never from the possibly-damaged base — the first cut rebuilt
+    * from `cells/` and could lose vectors or resurrect tombstoned
+    * ids, the round-12 self-review finding); marker present + drift
+    * reset → the previous rebuild committed, the stale staging is
+    * reclaimed. The staged frame's lineage reads only `.rebuild_live`
+    * (no self-read of the directories the build overwrites).
+    *
     * Reads must quiesce for the duration (the module's
     * reads-quiesce-during-maintenance contract); appends/deletes are
     * excluded by the single-writer contract already. */
   def maintainAnnIndex(spark: SparkSession, path: String,
                        trainIters: Int = 2): IndexLifecycle.Maintenance = {
     val meta = readMeta(path)
+    val stageDir = Paths.get(path, RebuildStageDir)
+    val marker = stageDir.resolve("_STAGED_OK")
+    if (Files.isRegularFile(marker) && !needsRebuild(meta))
+      // the previous rebuild committed (meta write resets drift) but
+      // crashed before reclaiming its staging — or a direct caller
+      // build superseded it
+      org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
     if (needsRebuild(meta)) {
-      // `cell` dropped from both legs (the partition column reads back
-      // as int, the delta column is long — and the rebuild reassigns
-      // against the retrained quantizer anyway)
-      val base = spark.read.parquet(s"$path/cells").drop("cell")
-      val deltaDir = Paths.get(path, "delta")
-      val merged =
-        if (IndexLifecycle.hasParquet(deltaDir))
-          base.unionByName(spark.read.parquet(deltaDir.toString).drop("cell"))
-        else base
-      // one corpus-wide dedup: a rebuild is the repair point for every
-      // documented transient-duplicate crash window, so it must
-      // collapse them all (retried appends, a crashed phase-2 swap)
-      val live0 = merged.dropDuplicates("vec_id")
-      val live = tombstoneIds(spark, path).fold(live0) {
-        case (ts, bytes) =>
-          IndexLifecycle.boundedIdJoin(live0, ts, "vec_id", bytes,
-            "left_anti")
-      }
-      val stage = Files.createTempDirectory("graft_ann_rebuild_")
-      Dedup.registerScratchDir(stage)
-      live.write.mode("overwrite").parquet(stage.toString)
-      val vecsQ = spark.read.parquet(stage.toString)
-      val cents = kmeansBulk(vecsQ.select(col("qv")),
-        readCentroids(spark, path), trainIters)
-      buildAnnIndex(vecsQ, cents, path)
+      stageRebuildLive(spark, path, trainIters)
+      val vecsQ = spark.read.parquet(stageDir.resolve("rows").toString)
+      val cents = spark.read.parquet(stageDir.resolve("cents").toString)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+      buildAnnIndex(vecsQ, cents, path) // meta write = commit point
+      org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
       IndexLifecycle.Maintenance(rebuilt = true, 0)
     } else if (needsCompaction(path))
       IndexLifecycle.Maintenance(rebuilt = false, compactCells(spark, path))

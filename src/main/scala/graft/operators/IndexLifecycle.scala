@@ -327,6 +327,45 @@ object IndexLifecycle {
     math.max(files.map(Files.size).sum, rows * 8L)
   }
 
+  // ---- executed-plan introspection -----------------------------------------
+
+  /** Every physical node of a MATERIALIZED plan, seen through AQE's
+    * wrappers: `AdaptiveSparkPlanExec` delegates to its final
+    * `executedPlan`, and `QueryStageExec` hides its subtree in `.plan`
+    * (its `children` is empty — the round-12 lesson that cost a false
+    * plan-audit pass). Run an action on `df` first so AQE has
+    * finalized. Shared by the drift-rung probe and the plan-pinning
+    * specs so the unwrap subtlety is maintained once. */
+  def executedPlanNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(all)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec => all(q.plan)
+        case _ => Nil
+      })
+    all(df.queryExecution.executedPlan)
+  }
+
+  /** (broadcast LeftAnti present, shuffled LeftAnti present) — the
+    * [[boundedIdJoin]] strategy observable. Node-TYPED, not string
+    * matching: a node's toString covers its whole subtree, so a
+    * string match would see the anti-join through the joins above
+    * it. */
+  def antiJoinKinds(df: DataFrame): (Boolean, Boolean) = {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val ns = executedPlanNodes(df)
+    (ns.exists {
+      case b: BroadcastHashJoinExec => b.joinType.toString == "LeftAnti"
+      case _ => false
+    },
+     ns.exists {
+      case j: ShuffledHashJoinExec => j.joinType.toString == "LeftAnti"
+      case _ => false
+    })
+  }
+
   // ---- crash-ordered small-file merge --------------------------------------
 
   /** Merge `files` (parquet parts of one table) into a single part in

@@ -544,7 +544,7 @@ object StreamingQueries {
     val idx = SignatureIndex.ensureIndex(
       hashedAll.withColumn("bucket", bucket)
         .filter(col("bucket") < 90).drop("bucket"),
-      SignatureIndex.sourceCacheKey(s"docs90_gapp_r$nBatches", d))
+      SignatureIndex.sourceCacheKey(s"docs90_gapp_r2_$nBatches", d))
     SignatureIndex.ensureSidecar(idx, "gate_md5") { p =>
       graft.Tables.documents(s, d).filter(bucket < 90)
         .select(md5(col("text")).as("c_md5")).distinct()
@@ -563,9 +563,10 @@ object StreamingQueries {
         .filter(origBucket >= 90)
       StreamingOps.runForeachBatch(s, inc,
         s"graft_stream_gate_append_$nBatches",
-        (batch, _) => {
+        (batch, bid) => {
           val admitted = SignatureIndex.gateAndAppendBatch(
-            batch, idx, keep = Seq("doc_id", "lang", "source"))
+            batch, idx, keep = Seq("doc_id", "lang", "source"),
+            batchId = bid)
           // maintenance in production shape: rehash-from-source is the
           // docs the index currently holds (semi vs the slim sig id
           // column), minus tombstones inside maintainIndex; evaluated
@@ -610,7 +611,7 @@ object StreamingQueries {
     val idx = AnnIndex.ensureAnnIndex(
       SignatureIndex.sourceCacheKey(s"annivf_gapp$nBatches", d,
         "embeddings.parquet"),
-      stamp = "cents=16 iters=2 slice=base90 gapp=replay") { p =>
+      stamp = "cents=16 iters=2 slice=base90 gapp=replay_b2") { p =>
       AnnIndex.buildAnnIndex(
         graft.Tables.embeddings(s, d).filter(col("vec_id") < t)
           .select(col("vec_id"), col("label"),
@@ -621,19 +622,12 @@ object StreamingQueries {
       val inc = StreamingOps.embeddingsStreamWithReplay(s, d, nBatches)
       StreamingOps.runForeachBatch(s, inc,
         s"graft_stream_embed_gapp_$nBatches",
-        (batch, _) => {
-          val probes = batch.select(col("vec_id").as("probe_id"),
-            Similarity.quantize(col("embedding")).as("pqv"))
-          val admitted = AnnIndex.gateBatchThroughAnnIndex(probes, idx,
-            DataPipelineQueries.EmbedDupThreshold,
+        (batch, bid) => {
+          val admitted = AnnIndex.gateAndAppendAnnBatch(
+            batch.select(col("vec_id"), col("label"),
+              Similarity.quantize(col("embedding")).as("qv")),
+            idx, DataPipelineQueries.EmbedDupThreshold, batchId = bid,
             nProbe = 4) // fixture width (4 of 16 cells; see policy note)
-            .localCheckpoint(true) // decide BEFORE the append mutates the index
-          val admRows = batch.join(
-            admitted.select(col("probe_id").as("vec_id")),
-            Seq("vec_id"), "left_semi")
-            .select(col("vec_id"), col("label"),
-              Similarity.quantize(col("embedding")).as("qv"))
-          if (!admRows.isEmpty) AnnIndex.appendToAnnIndex(admRows, idx)
           AnnIndex.maintainAnnIndex(s, idx) // production cadence; no-op at oracle SF
           admitted.select(col("probe_id").as("vec_id"), col("nn_id"),
             col("score"))

@@ -479,29 +479,10 @@ class AnnIndexSpec extends AnyFunSuite {
       s"fixture must exceed the broadcast budget: $bytes <= $budget")
     val df = AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)
     assert(canon(df) == expect, "foreign tombstones changed results")
-    // traversal must see through AQE's materialized stage wrappers
-    // (QueryStageExec.children is empty; the join lives in .plan)
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      (p +: p.children.flatMap(allNodes)) ++ (p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allNodes(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allNodes(q.plan)
-        case _ => Nil
-      })
-    // node-typed checks (a node's toString covers its whole SUBTREE,
-    // so a string match would see the anti-join through the cell
-    // join above it)
-    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
-    def antiKinds(ns: Seq[org.apache.spark.sql.execution.SparkPlan]): (Boolean, Boolean) =
-      (ns.exists { case b: BroadcastHashJoinExec =>
-          b.joinType.toString == "LeftAnti"
-        case _ => false },
-       ns.exists { case s: ShuffledHashJoinExec =>
-          s.joinType.toString == "LeftAnti"
-        case _ => false })
+    // shared AQE-aware node-typed detector (IndexLifecycle owns the
+    // QueryStageExec unwrap subtlety)
     val (bigBroadcast, bigShuffled) =
-      antiKinds(allNodes(df.queryExecution.executedPlan))
+      graft.operators.IndexLifecycle.antiJoinKinds(df)
     assert(!bigBroadcast,
       "an over-budget tombstone set must not ship as a broadcast")
     assert(bigShuffled,
@@ -521,7 +502,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val comp = AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)
     assert(canon(comp) == expect)
     val (compBroadcast, compShuffled) =
-      antiKinds(allNodes(comp.queryExecution.executedPlan))
+      graft.operators.IndexLifecycle.antiJoinKinds(comp)
     assert(!compBroadcast && compShuffled,
       "a compressible over-budget set must still plan SHUFFLE_HASH")
     // below the budget the oracle-SF plan is untouched: broadcast anti
@@ -531,7 +512,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val small = AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)
     assert(canon(small) == expect)
     val (smallBroadcast, _) =
-      antiKinds(allNodes(small.queryExecution.executedPlan))
+      graft.operators.IndexLifecycle.antiJoinKinds(small)
     assert(smallBroadcast,
       "an under-budget tombstone set must stay a broadcast anti-join")
   }
@@ -567,6 +548,95 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.buildAnnIndex(survivors, centsR, fresh)
     assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
       canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3)))
+  }
+
+  test("a crashed rebuild resumes from its staging, never from the damaged base") {
+    // the round-12 self-review finding: buildAnnIndex deletes
+    // tombstones/delta and overwrites cells/ BEFORE new bytes land; a
+    // naive re-entry rebuilding from the base would lose vectors or
+    // resurrect tombstoned ids. The maintainer stages live rows + the
+    // retrained quantizer first and resumes from THAT.
+    val base = vecsQ.filter(col("vec_id") % 5 =!= 4)
+    val incr = vecsQ.filter(col("vec_id") % 5 === 4)
+    val centsA = Similarity.kmeansQuantized(base.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(base, centsA, idx)
+    AnnIndex.appendToAnnIndex(incr, idx)
+    val del = vecsQ.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    AnnIndex.deleteFromAnnIndex(del, idx)
+    assert(AnnIndex.needsRebuild(AnnIndex.readMeta(idx)))
+    AnnIndex.stageRebuildLive(spark, idx, trainIters = 2)
+    // simulate the worst crash window: the build tore down both side
+    // tables and half the cell partitions before dying
+    for (side <- Seq("tombstones", "delta"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        Paths.get(idx, side).toFile)
+    val cellDirs = scala.util.Using.resource(
+      Files.list(Paths.get(idx, "cells")))(
+      _.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("cell=")).toSeq)
+    cellDirs.take(cellDirs.size / 2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+    // re-entry: meta still demands the rebuild, staging marker present
+    val report = AnnIndex.maintainAnnIndex(spark, idx)
+    assert(report.rebuilt)
+    assert(!Files.isDirectory(Paths.get(idx, ".rebuild_live")))
+    val survivors = vecsQ.filter(col("vec_id") % 7 =!= 0)
+    val fresh = newIndexDir()
+    AnnIndex.buildAnnIndex(survivors,
+      AnnIndex.kmeansBulk(survivors.select(col("qv")), centsA, iters = 2),
+      fresh)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3)))
+    assert(AnnIndex.readMeta(idx).nVecs == survivors.count())
+  }
+
+  test("gateAndAppendAnnBatch: replay with co-admitted intra-batch duplicates converges") {
+    import spark.implicits._
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    // a real corpus vector's qv: its self-dot is the score a replayed
+    // twin would reject at
+    val q = vecsQ.orderBy(col("vec_id").desc).select(col("qv"))
+      .head().getSeq[Long](0)
+    val selfDot = q.map(x => x * x).sum
+    val batch = Seq((9001L, 1, q), (9002L, 1, q))
+      .toDF("vec_id", "label", "qv")
+    // threshold ABOVE self-dot: nothing in the index rejects them, so
+    // both co-admit on first delivery
+    val thr = selfDot + 1
+    val a1 = AnnIndex.gateAndAppendAnnBatch(batch, idx, thr, batchId = 7)
+      .select(col("probe_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a1 == Seq(9001L, 9002L), s"first delivery admitted $a1")
+    // crash-redelivery of the SAME batchId: without the batch-scoped
+    // exclusion each twin's top-1 is now the OTHER (score = self-dot
+    // < thr... so use a SECOND check below with a tighter threshold);
+    // here both must re-admit identically
+    val a2 = AnnIndex.gateAndAppendAnnBatch(batch, idx, thr, batchId = 7)
+      .select(col("probe_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a2 == a1, s"replay diverged: $a2 vs $a1")
+    // the sharp version: a threshold BELOW self-dot, fresh ids — both
+    // admit (no neighbor scores >= thr in the index), then replay:
+    // without the exclusion each would be rejected by its co-admitted
+    // twin at exactly self-dot >= thr
+    val far = q.map(_ + 1000L)
+    val farDot = far.map(x => x * x).sum
+    val batch2 = Seq((9101L, 1, far), (9102L, 1, far))
+      .toDF("vec_id", "label", "qv")
+    val b1 = AnnIndex.gateAndAppendAnnBatch(batch2, idx, farDot, batchId = 8)
+      .select(col("probe_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(b1 == Seq(9101L, 9102L), s"batch2 first delivery admitted $b1")
+    val b2 = AnnIndex.gateAndAppendAnnBatch(batch2, idx, farDot, batchId = 8)
+      .select(col("probe_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(b2 == b1, s"batch2 replay diverged: $b2 vs $b1")
+    // and a LATER batch carrying a copy of an admission is rejected
+    val batch3 = Seq((9201L, 1, far)).toDF("vec_id", "label", "qv")
+    val c1 = AnnIndex.gateAndAppendAnnBatch(batch3, idx, farDot, batchId = 9)
+      .count()
+    assert(c1 == 0, "a later copy of an admission must be rejected")
   }
 
   test("maintainAnnIndex is a no-op on a healthy index, compacts past the cadence") {

@@ -107,14 +107,8 @@ class IndexLifecycleSpec extends AnyFunSuite {
       (col("id") * 3).as("v"))
     val ids = spark.range(0, 1000, 7).select(col("id").as("k"))
     def nodes(d: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-        (p +: p.children.flatMap(all)) ++ (p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            all(a.executedPlan)
-          case _ => Nil
-        })
       d.count() // finalize AQE
-      all(d.queryExecution.executedPlan)
+      IndexLifecycle.executedPlanNodes(d)
     }
     val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
     assert(budget > 0, "spec assumes the session default broadcast budget")

@@ -396,6 +396,37 @@ class SignatureIndexSpec extends AnyFunSuite {
       graft.operators.IndexLifecycle.Maintenance(rebuilt = false, 0))
   }
 
+  test("a crashed signature rebuild resumes from staging; the corpus closure is untouched") {
+    val all = hashed.drop("bucket")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(all, idx)
+    SignatureIndex.deleteFromIndex(
+      all.filter(col("doc_id") % 10 < 3).select(col("doc_id")), idx)
+    assert(SignatureIndex.needsRebuild(SignatureIndex.readMeta(idx)))
+    // stage exactly what the maintainer stages (the tombstone-filtered
+    // live corpus + marker) …
+    val survivors = all.filter(col("doc_id") % 10 >= 3)
+    val stageDir = Paths.get(idx, ".rebuild_live")
+    survivors.write.mode("overwrite")
+      .parquet(stageDir.resolve("rows").toString)
+    Files.write(stageDir.resolve("_STAGED_OK"), Array.emptyByteArray)
+    // … then simulate the worst crash window: the build already
+    // destroyed the tombstone record (the only other place the
+    // deletions were recorded)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      Paths.get(idx, "tombstones").toFile)
+    // resume must come from the staging — re-evaluating the corpus
+    // closure would RESURRECT the deleted docs (tombstones are gone)
+    val report = SignatureIndex.maintainIndex(spark, idx)(
+      sys.error("resume must not re-stage"))
+    assert(report.rebuilt)
+    assert(!Files.isDirectory(stageDir))
+    val fresh = newIndexDir()
+    SignatureIndex.buildSignatureIndex(survivors, fresh)
+    assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) ==
+      canon(SignatureIndex.selfPairsFromIndex(spark, fresh)))
+  }
+
   test("gateAndAppendBatch: later batches reject copies of earlier admissions; replays converge") {
     import spark.implicits._
     val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
@@ -411,24 +442,29 @@ class SignatureIndexSpec extends AnyFunSuite {
       corpusDf.select(md5(col("text")).as("c_md5")).distinct()
         .write.mode("overwrite").parquet(p)
     }
-    def gate(rows: Seq[(Long, String)]): Seq[Long] =
+    def gate(rows: Seq[(Long, String)], bid: Long): Seq[Long] =
       SignatureIndex.gateAndAppendBatch(
         rows.map { case (id, t) => (id, t, "en", "web") }
           .toDF("doc_id", "text", "lang", "source"),
-        idx, keep = Seq("doc_id"))
+        idx, keep = Seq("doc_id"), batchId = bid)
         .collect().map(_.getLong(0)).sorted.toSeq
-    // batch 0: a corpus dup rejects, two fresh docs admit
-    val b0 = Seq((10L, longA), (11L, fresh1), (12L, "short new"))
-    assert(gate(b0) == Seq(11L, 12L))
+    // batch 0: a corpus dup rejects, two fresh docs admit — including
+    // an INTRA-BATCH duplicate pair (13 copies 12): both admit, since
+    // the gate probes the index, not the in-flight batch
+    val b0 = Seq((10L, longA), (11L, fresh1), (12L, "short new"),
+      (13L, "short new"))
+    assert(gate(b0, 0) == Seq(11L, 12L, 13L))
     // batch 1: EXACT copy of admission 12 rejects (md5 carry), STRONG
     // near-dup of admission 11 rejects (band carry), new doc admits
-    assert(gate(Seq((20L, "short new"), (21L, near1), (22L, fresh2)))
+    assert(gate(Seq((20L, "short new"), (21L, near1), (22L, fresh2)), 1)
       == Seq(22L))
-    // REPLAY of batch 0 (crash-redelivery): rows never reject
-    // THEMSELVES — the admitted set converges to the first delivery
-    assert(gate(b0) == Seq(11L, 12L))
+    // REPLAY of batch 0 (crash-redelivery, SAME batchId): the batch's
+    // own previous appends are excluded, so the co-admitted
+    // intra-batch twins 12/13 do NOT reject each other (the round-12
+    // self-review hole) and the admitted set converges exactly
+    assert(gate(b0, 0) == Seq(11L, 12L, 13L))
     // and a post-replay batch still rejects copies of the admissions
     assert(gate(Seq((30L, fresh2), (31L, (1 to 30).map(i => s"zeta$i")
-      .mkString(" ")))) == Seq(31L))
+      .mkString(" "))), 2) == Seq(31L))
   }
 }
