@@ -649,13 +649,24 @@ object AnnIndex {
     val admitted = gateBatchThroughAnnIndex(probes, path, threshold,
       nProbe, excludeIds = excl).localCheckpoint(true)
     if (!admitted.isEmpty) {
+      // SIDECAR FIRST, index append second (round-12 second-pass
+      // finding: the reverse order re-opened the replay hole exactly
+      // in the crash window the sidecar exists for — sigs landed, no
+      // record, redelivered twins rejected each other). With this
+      // order a crash between the writes leaves an exclusion record
+      // for rows not yet appended: a harmless no-op anti.
+      // OVERWRITE, not append: only the IN-FLIGHT batch's rows can
+      // ever serve a replay (earlier batches committed before this
+      // trigger started), so the sidecar stays batch-sized instead of
+      // growing one dead row per admission (second-pass finding); a
+      // replay overwrites with the identical set.
+      admitted.select(col("probe_id").as("vec_id"),
+          lit(batchId).as("batch"))
+        .coalesce(1).write.mode("overwrite").parquet(appDir.toString)
       val admRows = rows.join(
         admitted.select(col("probe_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
       appendToAnnIndex(admRows, path)
-      admitted.select(col("probe_id").as("vec_id"),
-          lit(batchId).as("batch"))
-        .coalesce(1).write.mode("append").parquet(appDir.toString)
     }
     admitted
   }
@@ -865,6 +876,16 @@ object AnnIndex {
     * ADDS bytes only — nothing of the old index is touched, so a
     * crash mid-staging loses nothing. Idempotent: a present marker
     * short-circuits. */
+  /** Epoch stamp of a staging: the meta counters at staging time. A
+    * committed rebuild that crashed before reclaiming its staging
+    * must NOT be "resumed" after further appends/deletes re-flag the
+    * drift — the stale rows would drop every intervening append and
+    * resurrect every intervening delete (round-12 second-pass
+    * finding). Any mutation moves a counter, so a stamp mismatch
+    * detects exactly that. */
+  private def rebuildEpoch(meta: Meta): String =
+    s"${meta.nVecs}|${meta.appendedVecs}|${meta.deletedVecs}"
+
   private[graft] def stageRebuildLive(spark: SparkSession, path: String,
                                       trainIters: Int): Unit = {
     val stageDir = Paths.get(path, RebuildStageDir)
@@ -897,7 +918,40 @@ object AnnIndex {
     cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
       .coalesce(1).write.mode("overwrite")
       .parquet(stageDir.resolve("cents").toString)
-    Files.write(marker, Array.emptyByteArray)
+    // carry the gate-append sidecar through the rebuild: the build
+    // deletes it, but the IN-FLIGHT batch's exclusion record must
+    // survive a mid-trigger rebuild or a crash-redelivery loses the
+    // replay guarantee (second-pass finding)
+    val sc = Paths.get(path, GateAppendBatchesDir)
+    if (IndexLifecycle.hasParquet(sc)) {
+      val dst = stageDir.resolve(GateAppendBatchesDir)
+      Files.createDirectories(dst)
+      scala.util.Using.resource(Files.list(sc))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => Files.copy(f, dst.resolve(f.getFileName.toString))))
+    }
+    Files.write(marker, rebuildEpoch(readMeta(path))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Put a staged gate-append sidecar back after a rebuild (verbatim:
+    * its rows' vec_ids were appended admissions, so they survive in
+    * the rebuilt cells). Idempotent-enough: duplicate rows collapse
+    * at the exclusion's distinct. */
+  private def restoreStagedSidecar(stageDir: Path, path: String): Unit = {
+    val staged = stageDir.resolve(GateAppendBatchesDir)
+    if (IndexLifecycle.hasParquet(staged)) {
+      val live = Paths.get(path, GateAppendBatchesDir)
+      Files.createDirectories(live)
+      scala.util.Using.resource(Files.list(staged))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            val dst = live.resolve("restored_" + f.getFileName.toString)
+            if (!Files.exists(dst)) Files.copy(f, dst)
+          })
+    }
   }
 
   /** MAINTENANCE driver — the production loop's one entry point
@@ -938,11 +992,20 @@ object AnnIndex {
     val meta = readMeta(path)
     val stageDir = Paths.get(path, RebuildStageDir)
     val marker = stageDir.resolve("_STAGED_OK")
-    if (Files.isRegularFile(marker) && !needsRebuild(meta))
-      // the previous rebuild committed (meta write resets drift) but
-      // crashed before reclaiming its staging — or a direct caller
-      // build superseded it
-      org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
+    if (Files.isRegularFile(marker)) {
+      val staged = new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (!needsRebuild(meta)) {
+        // the previous rebuild committed (meta write resets drift) but
+        // crashed before reclaiming its staging — finish its restore
+        // half, then reclaim — or a direct caller build superseded it
+        restoreStagedSidecar(stageDir, path)
+        org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
+      } else if (staged != rebuildEpoch(meta))
+        // STALE EPOCH: mutations landed after this staging was cut —
+        // resuming it would drop them; restage from the live state
+        org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
+    }
     if (needsRebuild(meta)) {
       stageRebuildLive(spark, path, trainIters)
       val vecsQ = spark.read.parquet(stageDir.resolve("rows").toString)
@@ -950,6 +1013,7 @@ object AnnIndex {
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).toSeq
       buildAnnIndex(vecsQ, cents, path) // meta write = commit point
+      restoreStagedSidecar(stageDir, path)
       org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
       IndexLifecycle.Maintenance(rebuilt = true, 0)
     } else if (needsCompaction(path))

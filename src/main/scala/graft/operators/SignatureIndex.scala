@@ -357,6 +357,25 @@ object SignatureIndex {
     }
   }
 
+  /** Put the staged gate-append md5 sidecar back after a rebuild,
+    * FILTERED to doc_ids surviving in the rebuilt sig table (an
+    * admitted-then-tombstoned doc's md5 must stop rejecting copies of
+    * content that was taken down). Append-mode + set semantics:
+    * duplicate rows from a crash-retried restore are semi-probed. */
+  private def restoreStagedGateMd5(spark: SparkSession, stageDir: Path,
+                                   path: String): Unit = {
+    val staged = stageDir.resolve(GateAppendMd5Dir)
+    if (IndexLifecycle.hasParquet(staged)) {
+      spark.read.parquet(staged.toString)
+        .join(spark.read.parquet(s"$path/sig")
+          .select(col("doc_id").as("c_doc")).distinct(),
+          Seq("c_doc"), "left_semi")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(Paths.get(path, GateAppendMd5Dir).toString)
+    }
+  }
+
   /** MAINTENANCE driver — the production loop's one entry point for
     * keeping an index healthy (round-11 judge ask: the predicates
     * existed but nothing called them in production shape). Consults
@@ -402,8 +421,21 @@ object SignatureIndex {
     val meta = readMeta(path)
     val stageDir = Paths.get(path, ".rebuild_live")
     val marker = stageDir.resolve("_STAGED_OK")
-    if (Files.isRegularFile(marker) && !needsRebuild(meta))
-      org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
+    def epoch(m: Meta): String =
+      s"${m.nDocs}|${m.appendedDocs}|${m.deletedDocs}"
+    if (Files.isRegularFile(marker)) {
+      val staged = new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (!needsRebuild(meta)) {
+        // committed rebuild that crashed before reclaiming: finish
+        // its sidecar restore, then reclaim
+        restoreStagedGateMd5(spark, stageDir, path)
+        org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
+      } else if (staged != epoch(meta))
+        // STALE EPOCH: mutations landed after this staging was cut —
+        // resuming it would drop them; restage from the live state
+        org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
+    }
     if (needsRebuild(meta)) {
       if (!Files.isRegularFile(marker)) {
         val live = tombstoneIds(spark, path).fold(rehashedCorpus) {
@@ -413,11 +445,31 @@ object SignatureIndex {
         }
         live.write.mode("overwrite").parquet(
           stageDir.resolve("rows").toString)
-        Files.write(marker, Array.emptyByteArray)
+        // carry the gate-append md5 sidecar: the build deletes it, but
+        // it is the ONLY exact-dup record for admitted null-signature
+        // docs (a short doc has no band rows) — dropping it at rebuild
+        // would re-admit exact copies of earlier admissions, and the
+        // in-flight batch's replay exclusion would vanish (second-pass
+        // finding). Restored FILTERED to surviving doc_ids after the
+        // build (a tombstoned admission's md5 must stop rejecting:
+        // the content was taken down).
+        val sc = Paths.get(path, GateAppendMd5Dir)
+        if (IndexLifecycle.hasParquet(sc)) {
+          val dst = stageDir.resolve(GateAppendMd5Dir)
+          Files.createDirectories(dst)
+          scala.util.Using.resource(Files.list(sc))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach(f =>
+                Files.copy(f, dst.resolve(f.getFileName.toString))))
+        }
+        Files.write(marker, epoch(meta)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       buildSignatureIndex(
         spark.read.parquet(stageDir.resolve("rows").toString), path,
         meta.rowsPerBand, meta.capPop, meta.maxExtraBits) // meta = commit
+      restoreStagedGateMd5(spark, stageDir, path)
       org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
       IndexLifecycle.Maintenance(rebuilt = true, 0)
     } else if (needsCompaction(path))
@@ -981,11 +1033,19 @@ object SignatureIndex {
     val admitted = admittedLazy.localCheckpoint(true)
     b.unpersist()
     if (!admitted.isEmpty) {
-      appendToIndex(admitted.select(col("doc_id"), col("hs")), indexPath)
+      // SIDECAR FIRST, index append second (round-12 second-pass
+      // finding: the reverse order re-opened the replay hole in the
+      // crash window between the writes — sigs landed with no batch
+      // record, so the redelivered batch's own rows self-rejected).
+      // Recording an admission whose sig never lands is harmless: the
+      // exclusion hides sig rows that do not exist, and the md5 row
+      // correctly rejects future copies of a doc the re-delivered
+      // batch will re-admit and re-append.
       admitted.select(col("i_md5").as("c_md5"), col("doc_id").as("c_doc"),
           lit(batchId).as("c_batch"))
         .coalesce(1)
         .write.mode("append").parquet(appDir.toString)
+      appendToIndex(admitted.select(col("doc_id"), col("hs")), indexPath)
     }
     admitted.select(keep.map(col): _*)
   }

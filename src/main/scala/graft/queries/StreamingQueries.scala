@@ -592,12 +592,14 @@ object StreamingQueries {
     * batch (exact copies of batch-0 arrivals under fresh ids): a copy
     * of an earlier ADMISSION takes its original as top-1 with the
     * self-dot score and is rejected by the carry — a stateless gate
-    * would admit it. Replay-idempotent for free: ivfSearch's
-    * self-match filter (probe_id ≠ candidate_id) means a
-    * crash-redelivered batch never rejects its own appended rows.
-    * Admission is materialized (checkpoint) BEFORE the append mutates
-    * the index the decision plan reads. Runs the maintainer per
-    * trigger, same as the signature loop. */
+    * would admit it. Replay exactly-once comes from the batch-scoped
+    * sidecar exclusion inside [[graft.operators.AnnIndex
+    * .gateAndAppendAnnBatch]] (ivfSearch's probe_id ≠ candidate_id
+    * alone is NOT enough: two co-admitted intra-batch duplicates
+    * would reject each other on redelivery — the round-12 self-review
+    * hole, spec-pinned closed). Admission is materialized before the
+    * appends mutate the index the decision plan reads. Runs the
+    * maintainer per trigger, same as the signature loop. */
   private val stream_embed_gate_append: Q = (s, d) =>
     embedGateAppendLoop(s, d, 3)
 

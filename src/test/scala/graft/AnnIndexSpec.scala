@@ -592,6 +592,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.readMeta(idx).nVecs == survivors.count())
   }
 
+  test("a stale staging epoch is restaged, not resumed") {
+    // committed-then-crashed staging reclaim is covered above; this is
+    // the other stale case: mutations land AFTER a staging was cut and
+    // drift re-flags — resuming the old staging would silently drop
+    // them (round-12 second-pass finding)
+    val base = vecsQ.filter(col("vec_id") % 5 =!= 4)
+    val centsA = Similarity.kmeansQuantized(base.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(base, centsA, idx)
+    AnnIndex.appendToAnnIndex(vecsQ.filter(col("vec_id") % 5 === 4), idx)
+    AnnIndex.deleteFromAnnIndex(
+      vecsQ.filter(col("vec_id") % 7 === 0).select(col("vec_id")), idx)
+    assert(AnnIndex.needsRebuild(AnnIndex.readMeta(idx)))
+    AnnIndex.stageRebuildLive(spark, idx, trainIters = 2)
+    // mutations AFTER the staging was cut
+    val extraDel = vecsQ
+      .filter(col("vec_id") % 11 === 1 && col("vec_id") % 7 =!= 0)
+      .select(col("vec_id"))
+    val nExtra = extraDel.count()
+    assert(nExtra > 0)
+    AnnIndex.deleteFromAnnIndex(extraDel, idx)
+    val report = AnnIndex.maintainAnnIndex(spark, idx)
+    assert(report.rebuilt)
+    // a stale resume would resurrect the extra deletions
+    val survivors = vecsQ.filter(col("vec_id") % 7 =!= 0 &&
+      !(col("vec_id") % 11 === 1))
+    assert(AnnIndex.readMeta(idx).nVecs == survivors.count())
+    assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
+  }
+
   test("gateAndAppendAnnBatch: replay with co-admitted intra-batch duplicates converges") {
     import spark.implicits._
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),

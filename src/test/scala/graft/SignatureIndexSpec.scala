@@ -409,7 +409,10 @@ class SignatureIndexSpec extends AnyFunSuite {
     val stageDir = Paths.get(idx, ".rebuild_live")
     survivors.write.mode("overwrite")
       .parquet(stageDir.resolve("rows").toString)
-    Files.write(stageDir.resolve("_STAGED_OK"), Array.emptyByteArray)
+    val m = SignatureIndex.readMeta(idx)
+    Files.write(stageDir.resolve("_STAGED_OK"),
+      s"${m.nDocs}|${m.appendedDocs}|${m.deletedDocs}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // … then simulate the worst crash window: the build already
     // destroyed the tombstone record (the only other place the
     // deletions were recorded)
@@ -425,6 +428,49 @@ class SignatureIndexSpec extends AnyFunSuite {
     SignatureIndex.buildSignatureIndex(survivors, fresh)
     assert(canon(SignatureIndex.selfPairsFromIndex(spark, idx)) ==
       canon(SignatureIndex.selfPairsFromIndex(spark, fresh)))
+  }
+
+  test("rebuild carries the gate-append md5 sidecar, filtered to survivors") {
+    import spark.implicits._
+    // the second-pass finding: a short admitted doc (null signature —
+    // no band rows) is protected from exact re-ingest ONLY by its
+    // gateapp_md5 row; a rebuild that dropped the sidecar would
+    // re-admit copies. Conversely a TAKEN-DOWN admission's md5 must
+    // stop rejecting (the content was deleted).
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val corpusDf = Seq((1L, longA, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(
+      Dedup.shingleHashSets(corpusDf, "doc_id", "text", 5), idx)
+    SignatureIndex.ensureSidecar(idx, "gate_md5") { p =>
+      corpusDf.select(md5(col("text")).as("c_md5")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    def gate(rows: Seq[(Long, String)], bid: Long): Seq[Long] =
+      SignatureIndex.gateAndAppendBatch(
+        rows.map { case (id, t) => (id, t, "en", "web") }
+          .toDF("doc_id", "text", "lang", "source"),
+        idx, keep = Seq("doc_id"), batchId = bid)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gate(Seq((10L, "tiny x"), (11L, longB)), 0) == Seq(10L, 11L))
+    // take down admission 11; the tiny fixture is already past drift
+    SignatureIndex.deleteFromIndex(Seq(11L).toDF("doc_id"), idx)
+    assert(SignatureIndex.needsRebuild(SignatureIndex.readMeta(idx)))
+    // the live document store: corpus + both admissions (maintain
+    // drops the tombstoned one itself)
+    val store = Seq((1L, longA), (10L, "tiny x"), (11L, longB))
+      .toDF("doc_id", "text")
+    val report = SignatureIndex.maintainIndex(spark, idx)(
+      Dedup.shingleHashSets(store, "doc_id", "text", 5))
+    assert(report.rebuilt)
+    // exact copy of the surviving SHORT admission still rejects —
+    // only the carried md5 row can do that
+    assert(gate(Seq((20L, "tiny x")), 1) == Seq())
+    // a copy of the taken-down admission is ADMITTED again: its sig
+    // was reclaimed and its md5 row was filtered out with it
+    assert(gate(Seq((21L, longB)), 2) == Seq(21L))
   }
 
   test("gateAndAppendBatch: later batches reject copies of earlier admissions; replays converge") {
