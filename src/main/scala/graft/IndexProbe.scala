@@ -28,6 +28,11 @@ object IndexProbe {
   private val IncrementDocs = 100000L
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pairs")) {
+      pairsMode((if (args.length > 1) args(1) else "1000000,2000000")
+        .split(",").map(_.trim.toLong).toSeq)
+      return
+    }
     val sizes = (if (args.nonEmpty) args(0) else "1000000,2000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
     val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
@@ -112,6 +117,88 @@ object IndexProbe {
         s""""append_sec":${j(appendSec)},""" +
         s""""index_sig_bytes":${meta.sigBytes}}""")
       Dedup.purgeScratchDirs() // increment stagings are dead past here
+    }
+    spark.stop()
+  }
+
+  /** `pairs` mode (round 12): the measurement that DECIDED the
+    * staged-pair append policy. An incremental-maintenance path
+    * (append extends pairs/ with cross(inc, live) ∪ self(inc)) was
+    * implemented and priced here against the restage it would
+    * replace — and LOST at every rung (1M: 18.8 vs 8.8 s warm; 2M:
+    * 62.8 vs 42.9 s): the restage rides the PERSISTED signatures
+    * with zero re-hashing, while the increment path pays the
+    * across-probe's corpus scan plus increment hashing. The path was
+    * reverted (SCALING.md §4.23); appends invalidate and the next
+    * clustering lazily restages. With the reverted code this mode
+    * prices that lifecycle: restage_sec (cold stage),
+    * append_maint_sec (append + invalidation — increment-sized),
+    * restage_after_append_sec (the lazy restage a later clustering
+    * pays), staged_rows/restaged_rows (post-append equality check of
+    * the served graph vs a fresh restage, both on the same index). */
+  private def pairsMode(sizes: Seq[Long]): Unit = {
+    val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val maxN = sizes.max
+    val incDir = s"$base/inc100k_from$maxN"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "_SUCCESS"))) {
+      spark.range(maxN, maxN + IncrementDocs, 1, 8)
+        .map(i => ScaleGen.docRow(i))
+        .write.mode("overwrite").parquet(incDir)
+    }
+    for (n <- sizes) {
+      val dir = s"$base/n$n"
+      ScaleGen.ensure(spark, dir, nDocs = n, nVecs = 2, nEvents = 2)
+      val hashed = Dedup.shingleHashSets(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", 5)
+      val idxDir = s"$base/sigidx_n$n"
+      if (!java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(idxDir, "_INDEX_META")))
+        SignatureIndex.buildSignatureIndex(hashed, idxDir)
+      val scratch = s"$base/pairs_probe_idx_n$n"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(scratch))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(idxDir), new java.io.File(scratch))
+      try {
+        val t0 = System.nanoTime()
+        SignatureIndex.ensureSelfPairs(spark, scratch)
+        val restageSec = (System.nanoTime() - t0) / 1e9
+        val incHashed = Dedup.shingleHashSets(
+          spark.read.parquet(incDir), "doc_id", "text", 5)
+        val t1 = System.nanoTime()
+        SignatureIndex.appendToIndex(incHashed, scratch)
+        val maintSec = (System.nanoTime() - t1) / 1e9
+        val stagedRows = SignatureIndex.ensureSelfPairs(spark, scratch).count()
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(scratch, "pairs", "_PAIRS_OK"))
+        val t2 = System.nanoTime()
+        val restagedRows = SignatureIndex.ensureSelfPairs(spark, scratch).count()
+        val restage2Sec = (System.nanoTime() - t2) / 1e9
+        println(s"""{"corpus_docs":$n,"probe":"pairs_maint",""" +
+          s""""increment_docs":$IncrementDocs,""" +
+          f""""restage_sec":$restageSec%.2f,""" +
+          f""""append_maint_sec":$maintSec%.2f,""" +
+          f""""restage_after_append_sec":$restage2Sec%.2f,""" +
+          s""""staged_rows":$stagedRows,"restaged_rows":$restagedRows}""")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(scratch))
+        Dedup.purgeScratchDirs()
+      }
     }
     spark.stop()
   }

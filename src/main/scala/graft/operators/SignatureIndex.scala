@@ -225,9 +225,10 @@ object SignatureIndex {
     * What drifts is performance — [[needsRebuild]] names the bound.
     *
     * The staged strong-pair graph (`pairs/`) is INVALIDATED: it was
-    * materialized over the pre-append corpus, and serving it after an
-    * append would silently drop every cluster edge involving appended
-    * docs. The next [[clustersFromIndex]] restages it.
+    * materialized over the pre-append corpus. (Incremental
+    * maintenance was measured and REVERTED — the restage rides the
+    * persisted signatures and is cheaper at every rung; SCALING.md
+    * §4.23.) The next [[clustersFromIndex]] restages it.
     *
     * Partial-failure contract (single-writer, like the build): if the
     * sig append lands but the meta rewrite doesn't, the index still
@@ -242,10 +243,22 @@ object SignatureIndex {
     val before = readMeta(path)
     val appended = newHashed.select(sigColumns: _*).cache()
     val nNew = appended.count()
-    appended.write.mode("append").parquet(s"$path/sig")
-    appended.unpersist()
+    // the staged pair graph is INVALIDATED on append: it was
+    // materialized over the pre-append corpus, and serving it would
+    // drop every cluster edge involving appended docs. Incremental
+    // maintenance (cross(inc, live) ∪ self(inc), exactly the delta)
+    // was implemented, MEASURED, and reverted in round 12: the
+    // restage rides the PERSISTED signatures — no re-hashing — at
+    // 8.8/42.9 s (1M/2M, IndexProbe pairs mode), while the increment
+    // path pays the across-probe's corpus scan plus increment
+    // hashing (18.8/62.8 s) — invalidate-and-lazily-restage wins at
+    // every measured rung, and only pays when clustering is actually
+    // requested again (SCALING.md §4.23). Deletes, by contrast, keep
+    // the graph valid via the read-side filter in [[ensureSelfPairs]].
     val pairsMarker = root.resolve("pairs").resolve("_PAIRS_OK")
     if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
+    appended.write.mode("append").parquet(s"$path/sig")
+    appended.unpersist()
     val meta = before.copy(
       nDocs = before.nDocs + nNew,
       sigBytes = parquetBytes(Paths.get(path, "sig")),
@@ -280,8 +293,9 @@ object SignatureIndex {
     * maintenance-priced columnar scan), so foreign ids touch neither
     * `tombstones/` nor the drift counters. A tombstoned doc_id stays
     * deleted until the next rebuild — re-ingesting it between
-    * rebuilds requires a fresh id. The staged strong-pair graph is
-    * INVALIDATED (it holds edges of deleted docs); caller-owned
+    * rebuilds requires a fresh id. The staged strong-pair graph
+    * SURVIVES (edges touching deleted docs are filtered at read,
+    * [[ensureSelfPairs]] — no restage); caller-owned
     * sidecars (e.g. the gate's md5 set) derive from the CALLER's
     * corpus view, not this index — a caller whose deletion policy
     * extends to them rebuilds them from its updated corpus. */
@@ -289,13 +303,13 @@ object SignatureIndex {
     val spark = ids.sparkSession
     val root = Paths.get(path)
     val before = readMeta(path)
-    // invalidate the staged pair graph FIRST: a crash after the
-    // tombstone write but before this delete would leave liveSig
-    // hiding the docs while clustersFromIndex served the pre-delete
-    // graph (edges through deleted docs); invalidating first makes
-    // the worst crash outcome a spurious pairs restage
-    val pairsMarker = root.resolve("pairs").resolve("_PAIRS_OK")
-    if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
+    // the staged pair graph stays VALID under deletes (round 12 —
+    // it used to be invalidated wholesale): edge presence is
+    // pairwise-local, so the survivors' graph is exactly the staged
+    // graph minus edges touching a deleted id, and [[ensureSelfPairs]]
+    // applies that as a read-side tombstone filter. No crash window:
+    // the filter derives from tombstones/ at read time, so pairs and
+    // deletions are always consistent.
     val ts0 = ids.select(col("doc_id")).distinct()
     // only ids PRESENT in the index count: the increment broadcasts
     // into a semi over the slim doc_id column (output is
@@ -737,7 +751,10 @@ object SignatureIndex {
     * so the edge list is exactly the artifact to compute once per
     * corpus and reread, same lifecycle as the signatures themselves.
     * Stored with jaccard_bp at a build-time floor so one
-    * materialization serves every downstream threshold ≥ the floor. */
+    * materialization serves every downstream threshold ≥ the floor.
+    * Appends invalidate it (the restage is cheaper than incremental
+    * maintenance — measured, §4.23); DELETES keep it valid via the
+    * read-side tombstone filter below. */
   def ensureSelfPairs(spark: SparkSession, indexPath: String,
                       floorBp: Long = 5000): DataFrame = {
     val dir = Paths.get(indexPath, "pairs")
@@ -752,7 +769,19 @@ object SignatureIndex {
       // between measurements (not here — the caller owns scratch
       // lifecycle, and purging inside would kill sibling stages)
     }
-    spark.read.parquet(dir.toString)
+    // read-side tombstone filter: the staged graph survives deletes
+    // (edge presence is pairwise-local — the survivors' graph is the
+    // staged graph minus edges touching a deleted id); strategy by
+    // measured bytes, same as every tombstone consumer
+    val pairs = spark.read.parquet(dir.toString)
+    tombstoneIds(spark, indexPath).fold(pairs) { case (ts, bytes) =>
+      val fa = IndexLifecycle.boundedIdJoin(pairs,
+        ts.withColumnRenamed("doc_id", "id_a"), "id_a", bytes, "left_anti")
+      IndexLifecycle.boundedIdJoin(fa,
+        ts.withColumnRenamed("doc_id", "id_b"), "id_b", bytes, "left_anti")
+        // a USING join fronts its key column: restore the frame shape
+        .select(pairs.columns.map(col).toIndexedSeq: _*)
+    }
   }
 
   /** Near-dup CLUSTERS off the persisted index: connected components

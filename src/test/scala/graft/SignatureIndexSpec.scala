@@ -341,6 +341,31 @@ class SignatureIndexSpec extends AnyFunSuite {
           .map(Files.size).sum))
   }
 
+  test("staged pairs survive deletes via the read-side filter, no restage") {
+    val all = hashed.drop("bucket")
+    val idx = newIndexDir()
+    SignatureIndex.buildSignatureIndex(all, idx)
+    SignatureIndex.ensureSelfPairs(spark, idx)
+    def pairFiles(): Seq[(String, Long)] =
+      scala.util.Using.resource(Files.list(Paths.get(idx, "pairs")))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
+          .toSeq.sortBy(_._1))
+    val before = pairFiles()
+    SignatureIndex.deleteFromIndex(
+      all.filter(col("doc_id") % 10 === 3).select(col("doc_id")), idx)
+    assert(Files.isRegularFile(Paths.get(idx, "pairs", "_PAIRS_OK")),
+      "delete must not invalidate the staged graph")
+    // filtered read equals the LIVE pair computation over survivors
+    val got = canon(SignatureIndex.ensureSelfPairs(spark, idx))
+    val live = canon(SignatureIndex.selfPairsFromIndex(spark, idx)
+      .filter(col("jaccard_bp") >= 5000))
+    assert(got.nonEmpty && got == live)
+    // and nothing was restaged — the pair bytes are untouched
+    assert(pairFiles() == before)
+  }
+
   test("ensureIndex caches by key and stamp") {
     val key = "spec_" + System.nanoTime()
     val p1 = SignatureIndex.ensureIndex(corpus, key)
