@@ -184,6 +184,35 @@ object DataPipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dedup_index_delete_clusters: clustering AFTER a takedown, served
+    * off the FILTERED staged pair graph — the round-12 delete
+    * lifecycle's read path: the strong-pair graph staged over the
+    * full corpus SURVIVES the delete (edge presence is
+    * pairwise-local; [[SignatureIndex.ensureSelfPairs]] anti-joins
+    * the tombstones at read, byte-bounded), so a takedown schedules
+    * NO restage and the next clustering pays only the filter. The
+    * oracle recomputes clusters over the survivors from scratch —
+    * a filter that leaked an edge through a deleted doc (or dropped
+    * a surviving edge) breaks the hash. */
+  private val dedup_index_delete_clusters: Q = (s, d) => {
+    val idx = SignatureIndex.ensureIndex(
+      Dedup.shingleHashSets(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", SHINGLE_K),
+      SignatureIndex.sourceCacheKey("docsall_delc", d))
+    // stage the graph BEFORE the takedown — the lifecycle under test
+    SignatureIndex.ensureSelfPairs(s, idx)
+    SignatureIndex.ensureSidecarMarkerOnce(idx, "DEL_MOD10EQ3") {
+      SignatureIndex.deleteFromIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id")), idx)
+    }
+    SignatureIndex.clustersFromIndex(s, idx)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gram-bucket population cap for [[dedup_containment]] candidates:
     * a gram shared by more than this many documents is corpus
     * boilerplate (license blocks, syndicated headers) — evidence for
@@ -1932,6 +1961,7 @@ object DataPipelineQueries {
     "dedup_incremental" -> dedup_incremental,
     "dedup_index_selfpairs" -> dedup_index_selfpairs,
     "dedup_index_delete" -> dedup_index_delete,
+    "dedup_index_delete_clusters" -> dedup_index_delete_clusters,
     "dedup_index_clusters" -> dedup_index_clusters,
     "dedup_containment" -> dedup_containment,
     "pipeline_mix_balance" -> pipeline_mix_balance,
@@ -2538,6 +2568,21 @@ object DataPipelineQueries {
          |FROM ranked WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
     "dedup_clusters" -> clustersSql,
+    // survivor-only clusters: the engine serves these off the staged
+    // pair graph FILTERED by the tombstones; the twin recomputes from
+    // scratch over the surviving docs
+    "dedup_index_delete_clusters" ->
+      s"""WITH RECURSIVE surv AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+         |${strongEdgeCtes("surv")},
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM surv
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |  min(r) = id AS is_canonical
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
     // the index-served clustering contracts to the identical frame —
     // one twin, two plans (live band join vs staged pair graph)
     "dedup_index_clusters" -> clustersSql,
