@@ -759,11 +759,21 @@ object SignatureIndex {
                       floorBp: Long = 5000): DataFrame = {
     val dir = Paths.get(indexPath, "pairs")
     // leading _ on the marker → invisible to the scan
+    val tombsMark = dir.resolve("_STAGED_TOMBS")
     IndexLifecycle.ensureMarked(dir.resolve("_PAIRS_OK"),
       s"floorBp=$floorBp") {
       selfPairsFromIndex(spark, indexPath)
         .filter(col("jaccard_bp") >= floorBp)
         .write.mode("overwrite").parquet(dir.toString)
+      // record the tombstone state the stage already reflects (the
+      // graph comes from liveSig, so ids tombstoned BEFORE this stage
+      // are absent): reads under the same state skip the filter —
+      // without the watermark, a delete→restage sequence would pay
+      // two corpus-wide anti-joins per clustering forever, filtering
+      // ids that cannot be present (round-12 third-pass finding)
+      Files.write(tombsMark, IndexLifecycle.dirFingerprint(
+        Paths.get(indexPath, "tombstones"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // NOTE: the band join staged a corpus-sized scratch table; the
       // ladder harnesses reclaim it via Dedup.purgeScratchDirs()
       // between measurements (not here — the caller owns scratch
@@ -772,15 +782,25 @@ object SignatureIndex {
     // read-side tombstone filter: the staged graph survives deletes
     // (edge presence is pairwise-local — the survivors' graph is the
     // staged graph minus edges touching a deleted id); strategy by
-    // measured bytes, same as every tombstone consumer
+    // measured bytes, same as every tombstone consumer; SKIPPED when
+    // the staged watermark matches the current tombstone state
     val pairs = spark.read.parquet(dir.toString)
+    val stagedFp =
+      if (Files.isRegularFile(tombsMark))
+        new String(Files.readAllBytes(tombsMark),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else "" // pre-watermark staging: filter conservatively
     tombstoneIds(spark, indexPath).fold(pairs) { case (ts, bytes) =>
-      val fa = IndexLifecycle.boundedIdJoin(pairs,
-        ts.withColumnRenamed("doc_id", "id_a"), "id_a", bytes, "left_anti")
-      IndexLifecycle.boundedIdJoin(fa,
-        ts.withColumnRenamed("doc_id", "id_b"), "id_b", bytes, "left_anti")
-        // a USING join fronts its key column: restore the frame shape
-        .select(pairs.columns.map(col).toIndexedSeq: _*)
+      if (stagedFp == IndexLifecycle.dirFingerprint(
+          Paths.get(indexPath, "tombstones"))) pairs
+      else {
+        val fa = IndexLifecycle.boundedIdJoin(pairs,
+          ts.withColumnRenamed("doc_id", "id_a"), "id_a", bytes, "left_anti")
+        IndexLifecycle.boundedIdJoin(fa,
+          ts.withColumnRenamed("doc_id", "id_b"), "id_b", bytes, "left_anti")
+          // a USING join fronts its key column: restore the frame shape
+          .select(pairs.columns.map(col).toIndexedSeq: _*)
+      }
     }
   }
 

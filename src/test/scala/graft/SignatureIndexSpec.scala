@@ -358,12 +358,26 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(Files.isRegularFile(Paths.get(idx, "pairs", "_PAIRS_OK")),
       "delete must not invalidate the staged graph")
     // filtered read equals the LIVE pair computation over survivors
-    val got = canon(SignatureIndex.ensureSelfPairs(spark, idx))
+    val served = SignatureIndex.ensureSelfPairs(spark, idx)
+    val got = canon(served)
     val live = canon(SignatureIndex.selfPairsFromIndex(spark, idx)
       .filter(col("jaccard_bp") >= 5000))
     assert(got.nonEmpty && got == live)
+    // the filter is genuinely in the plan (the graph pre-dates the
+    // delete, so the tombstone watermark mismatches) …
+    val (fb, fs) = graft.operators.IndexLifecycle.antiJoinKinds(served)
+    assert(fb || fs, "expected the tombstone anti-join in the served plan")
     // and nothing was restaged — the pair bytes are untouched
     assert(pairFiles() == before)
+    // after a RESTAGE (post-delete), the watermark matches and the
+    // filter is SKIPPED — no anti-join filtering ids that cannot be
+    // present (the graph already comes from liveSig)
+    Files.delete(Paths.get(idx, "pairs", "_PAIRS_OK"))
+    val restaged = SignatureIndex.ensureSelfPairs(spark, idx)
+    assert(canon(restaged) == live)
+    val (rb, rs) = graft.operators.IndexLifecycle.antiJoinKinds(restaged)
+    assert(!rb && !rs,
+      "a post-delete restage must skip the tombstone filter")
   }
 
   test("ensureIndex caches by key and stamp") {
