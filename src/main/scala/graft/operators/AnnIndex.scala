@@ -83,8 +83,22 @@ object AnnIndex {
     * + per-cell file moves. */
   val BulkApplyMinCells = 16
 
+  /** `pqM`/`pqSubDim` > 0 mark a PQ-coded layout ([[buildAnnIndex]]
+    * with codebooks): cells carry an M-code `codes` column beside the
+    * full vector, probes may run the compressed ADC path
+    * ([[probeAnnIndexPq]]). 0 = the plain full-vector layout. */
   case class Meta(nCells: Int, dims: Int, nVecs: Long,
-                  appendedVecs: Long = 0L, deletedVecs: Long = 0L)
+                  appendedVecs: Long = 0L, deletedVecs: Long = 0L,
+                  pqM: Int = 0, pqSubDim: Int = 0)
+
+  /** Largest total codeword count (M × K) encoded with the inline
+    * Catalyst argmin expression ([[Similarity.pqEncode]] — the
+    * oracle-exact plan); above it the bulk mapPartitions kernel takes
+    * over (the [[InlineCellsMax]] dispatch applied to codebooks: a
+    * corpus-grade K=256 book is a ~10^5-node literal tree that pays
+    * more to plan than to run). The oracle fixture (M=8, K=16) sits
+    * exactly at the threshold, so every oracle plan is unchanged. */
+  val InlinePqCodewordsMax = 128
 
   /** Gate-side probe-width POLICY for duplicate-admission gates riding
     * this index (the streaming embed gate): nProbe for a gate whose
@@ -217,6 +231,80 @@ object AnnIndex {
     cents
   }
 
+  /** Add the M-code `codes` column (array<int>) from a `qv` column —
+    * the PQ encode pass. Dispatch by total codeword count
+    * ([[InlinePqCodewordsMax]]): inline Catalyst argmin below (the
+    * exact [[Similarity.pqEncode]] the live ann_pq_topk query runs),
+    * primitive bulk loop above — spec-pinned identical. */
+  private[graft] def encodePq(df: DataFrame,
+                              books: Seq[Seq[(Long, Array[Long])]],
+                              subDim: Int): DataFrame =
+    if (books.map(_.size).sum <= InlinePqCodewordsMax)
+      df.withColumn("codes",
+        Similarity.pqEncode(col("qv"), books, subDim).cast("array<int>"))
+    else encodePqBulk(df, books, subDim)
+
+  /** Bulk PQ encode: per-partition primitive argmin over broadcast
+    * codebooks. Bit-identical tie-break to [[Similarity.pqEncode]]
+    * (smallest distance, then smallest code id; books iterated in
+    * ascending-cid order with strict `<`). */
+  private[graft] def encodePqBulk(df: DataFrame,
+                                  books: Seq[Seq[(Long, Array[Long])]],
+                                  subDim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = books.map(_.sortBy(_._1).toArray).toArray
+    val bc = spark.sparkContext.broadcast(sorted)
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("codes", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)))
+    val qvIdx = inSchema.fieldIndex("qv")
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val bs = bc.value
+      rows.map { r =>
+        val qv = r.getSeq[Long](qvIdx).toArray
+        val codes = new Array[Int](bs.length)
+        var m = 0
+        while (m < bs.length) {
+          val cents = bs(m)
+          val off = m * subDim
+          var bestD = Long.MaxValue
+          var bestC = 0
+          var i = 0
+          while (i < cents.length) {
+            val qc = cents(i)._2
+            var d = 0L
+            var j = 0
+            while (j < subDim) {
+              val x = qv(off + j) - qc(j); d += x * x; j += 1
+            }
+            if (d < bestD) { bestD = d; bestC = cents(i)._1.toInt }
+            i += 1
+          }
+          codes(m) = bestC
+          m += 1
+        }
+        Row.fromSeq(r.toSeq :+ codes.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Driver-held PQ codebooks of a coded index — (m, cid, qc) parquet
+    * under `books/`, memoized by content fingerprint like
+    * [[readCentroids]]. */
+  def readBooks(spark: SparkSession,
+                path: String): Seq[Seq[(Long, Array[Long])]] =
+    booksMemo.get(path,
+      IndexLifecycle.dirFingerprint(Paths.get(path, "books")))(
+      spark.read.parquet(s"$path/books").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toSeq))
+
+  private val booksMemo =
+    new IndexLifecycle.FingerprintMemo[Seq[Seq[(Long, Array[Long])]]]()
+
   // ---- build / append / probe ------------------------------------------
 
   /** Build (or rebuild) the index at `path` from a quantized corpus
@@ -227,7 +315,8 @@ object AnnIndex {
     * partitioned write keeps file counts at one file per cell per
     * holding task instead of tasks × cells. */
   def buildAnnIndex(vecsQ: DataFrame, cents: Seq[(Long, Array[Long])],
-                    path: String): Meta = {
+                    path: String,
+                    pqBooks: Option[Seq[Seq[(Long, Array[Long])]]] = None): Meta = {
     require(cents.nonEmpty, "buildAnnIndex: empty centroid set")
     val spark = vecsQ.sparkSession
     val root = Paths.get(path)
@@ -240,7 +329,11 @@ object AnnIndex {
     // probed index returned rank-duplicated candidates) while stale
     // tombstones/ would silently ERASE rebuilt vectors that happen to
     // share a previously-deleted vec_id
-    for (side <- Seq("delta", "tombstones", GateAppendBatchesDir)) {
+    // a stale books/ from a previous PQ build under a now-plain layout
+    // would desynchronize from meta (which is the PQ source of truth)
+    val staleSides = Seq("delta", "tombstones", GateAppendBatchesDir) ++
+      (if (pqBooks.isEmpty) Seq("books") else Nil)
+    for (side <- staleSides) {
       val stale = root.resolve(side)
       if (Files.isDirectory(stale))
         org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
@@ -249,12 +342,36 @@ object AnnIndex {
     import spark.implicits._
     cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assign(vecsQ, cents)
+    // PQ-coded layout: the M-code `codes` column rides BESIDE the full
+    // vector in the SAME cell table — parquet is columnar, so the ADC
+    // probe path reads only the code pages (the ~dims·8/M compression
+    // that makes billion-vector probe IO affordable) while the exact
+    // re-rank / full-vector consumers read `qv` for the bounded rows
+    // they touch. One table means append/delete/compact/maintain are
+    // layout-agnostic (they move whole rows).
+    pqBooks.foreach { books =>
+      // the ADC LUT is positional (lut[code+1]): codeword ids must be
+      // dense 0..K-1 per subspace — Lloyd never changes ids, so this
+      // only constrains the SEEDS; fail loudly rather than mis-index
+      books.foreach(b => require(
+        b.map(_._1).sorted == (0L until b.size.toLong),
+        "buildAnnIndex: PQ codebook ids must be dense 0..K-1 per subspace"))
+      books.zipWithIndex.flatMap { case (cs, m) =>
+        cs.map { case (cid, qc) => (m, cid, qc.toSeq) }
+      }.toDF("m", "cid", "qc")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    }
+    val dims = cents.head._2.length
+    val pqSubDim = pqBooks.map(b => dims / b.size).getOrElse(0)
+    val assigned0 = assign(vecsQ, cents)
+    val assigned = pqBooks.fold(assigned0)(b =>
+      encodePq(assigned0, b, pqSubDim))
+    assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    val dims = cents.head._2.length
     val meta = Meta(cents.size, dims,
-      nVecs = spark.read.parquet(s"$path/cells").count())
+      nVecs = spark.read.parquet(s"$path/cells").count(),
+      pqM = pqBooks.map(_.size).getOrElse(0), pqSubDim = pqSubDim)
     writeMeta(root, meta)
     meta
   }
@@ -296,15 +413,22 @@ object AnnIndex {
     val root = Paths.get(path)
     val before = readMeta(path)
     // a parquet append with a different column set would silently fork
-    // the stored schema and surface as null payloads at probe time
+    // the stored schema and surface as null payloads at probe time.
+    // On a PQ-coded layout the increment arrives WITHOUT codes (they
+    // are derived data, encoded here against the frozen books — the
+    // same frozen-artifact contract as the cell assignment).
     val existing = spark.read.parquet(s"$path/cells")
-      .schema.fieldNames.toSet - "cell"
+      .schema.fieldNames.toSet - "cell" -
+      (if (before.pqM > 0) "codes" else "")
     val incoming = newVecsQ.schema.fieldNames.toSet
     require(incoming == existing,
       s"appendToAnnIndex: increment columns $incoming do not match the " +
         s"indexed cell columns $existing at $path")
     val cents = readCentroids(spark, path)
-    val assigned = assign(newVecsQ, cents).cache()
+    val assigned0 = assign(newVecsQ, cents)
+    val assigned = (if (before.pqM > 0)
+      encodePq(assigned0, readBooks(spark, path), before.pqSubDim)
+    else assigned0).cache()
     val nNew = assigned.count()
     // a TOMBSTONED id stays deleted until the next rebuild (the
     // search anti-join and the compaction fold would both destroy the
@@ -372,11 +496,12 @@ object AnnIndex {
         IndexLifecycle.boundedIdJoin(present, prev, "vec_id", bytes,
           "left_anti")
     }
-    // increment-class by contract: collect and append from a local
-    // relation — writing the joined frame directly appended to
-    // tombstones/ through a lineage that READS tombstones/ (a lost
-    // block recomputing mid-write could scan the half-appended dir)
-    val newIds = fresh.collect().map(_.getLong(0))
+    // increment-class ENFORCED (boundedCollectIds fails loudly past
+    // the budget): collect and append from a local relation — writing
+    // the joined frame directly appended to tombstones/ through a
+    // lineage that READS tombstones/ (a lost block recomputing
+    // mid-write could scan the half-appended dir)
+    val newIds = IndexLifecycle.boundedCollectIds(fresh, "vec_id")
     if (newIds.nonEmpty) {
       import spark.implicits._
       // coalesce(1): a LocalTableScan write otherwise fans out to
@@ -483,49 +608,207 @@ object AnnIndex {
                           probeCells: DataFrame, candidateFilter: Column,
                           k: Int, pruneCells: Boolean,
                           excludeIds: Option[DataFrame] = None): DataFrame = {
-    // distinct probed cells: bounded by nCells (the centroid table is
-    // driver-held already) — control-plane collect, becomes a
-    // partition predicate so only the probed directories are scanned
-    val cellPred: Option[Column] =
-      if (!pruneCells) None
-      else {
-        val cellIds = probeCells.select(col("cell")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        if (cellIds.length >= readMeta(path).nCells) None
-        else if (cellIds.length <= IsinCellsMax)
-          Some(col("cell").isin(cellIds: _*))
-        else Some(array_contains(lit(cellIds), col("cell")))
-      }
+    val cands = liveCandidates(spark, path,
+      cellPredFor(spark, path, probeCells, pruneCells),
+      candidateFilter, excludeIds)
+    Similarity.ivfSearch(cands, probeCells, "vec_id", k)
+  }
+
+  /** The cell-pruning predicate of a probe — distinct probed cells
+    * (bounded by nCells; the centroid table is driver-held already,
+    * so this is a control-plane collect) as a partition predicate, so
+    * only the probed directories are ever scanned. None when pruning
+    * is off (the k-NN-join contract) or the probe set covers every
+    * cell. */
+  private def cellPredFor(spark: SparkSession, path: String,
+                          probeCells: DataFrame,
+                          pruneCells: Boolean): Option[Column] =
+    if (!pruneCells) None
+    else {
+      val cellIds = probeCells.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (cellIds.length >= readMeta(path).nCells) None
+      else if (cellIds.length <= IsinCellsMax)
+        Some(col("cell").isin(cellIds: _*))
+      else Some(array_contains(lit(cellIds), col("cell")))
+    }
+
+  /** The LIVE candidate scan every search path reads — base cells
+    * (partition-pruned by `cellPred`) ∪ un-compacted delta (same
+    * predicate as PushedFilters, deduped on vec_id — the collapse
+    * point that makes a RETRIED append duplicate-safe), minus the
+    * tombstones through the byte-bounded anti, minus any caller-scoped
+    * exclusion (batch-bounded by contract: the gate-append REPLAY path
+    * hides the redelivered batch's own appended rows), filtered by the
+    * caller's payload predicate. Returns ALL stored columns; callers
+    * project, and Catalyst prunes the projection down to the parquet
+    * scans (on a PQ layout the ADC path therefore reads ONLY the code
+    * pages — the compression win is column pruning, not a second
+    * table). */
+  private def liveCandidates(spark: SparkSession, path: String,
+                             cellPred: Option[Column],
+                             candidateFilter: Column,
+                             excludeIds: Option[DataFrame] = None): DataFrame = {
     def pruned(df: DataFrame): DataFrame =
       cellPred.fold(df)(p => df.filter(p))
     val base = pruned(spark.read.parquet(s"$path/cells"))
-    // un-compacted appends: increment-class side table; the same cell
-    // predicate prunes as PushedFilters instead of PartitionFilters
-    // (guard on actual part files — an empty dir is legal residue)
+    // un-compacted appends: increment-class side table (guard on
+    // actual part files — an empty dir is legal residue)
     val deltaDir = Paths.get(path, "delta")
     val cands0 =
       if (IndexLifecycle.hasParquet(deltaDir))
         base.unionByName(pruned(spark.read.parquet(deltaDir.toString))
           .dropDuplicates("vec_id"))
       else base
-    // un-compacted deletes: tombstone ids anti-join the candidates;
-    // strategy from the side table's MEASURED bytes (broadcast below
-    // the session threshold, size-driven SHUFFLE_HASH above — the
-    // cumulative set is policy-bounded, not code-bounded, so the join
-    // must not assume broadcast-class); physically removed, and this
-    // join dropped, at compaction
+    // un-compacted deletes: strategy from the side table's MEASURED
+    // bytes (the cumulative set is policy-bounded, not code-bounded,
+    // so the join must not assume broadcast-class); physically
+    // removed, and this join dropped, at compaction
     val cands1 = tombstoneIds(spark, path)
       .fold(cands0) { case (ts, bytes) =>
         IndexLifecycle.boundedIdJoin(cands0, ts, "vec_id", bytes,
           "left_anti")
       }
-    // caller-scoped exclusion (batch-bounded by contract): the
-    // gate-append REPLAY path hides the redelivered batch's own
-    // appended rows so its decisions replay as-if-never-appended
     val cands2 = excludeIds.fold(cands1)(ex =>
       cands1.join(broadcast(ex), Seq("vec_id"), "left_anti"))
-    val cands = cands2.filter(candidateFilter)
-    Similarity.ivfSearch(cands, probeCells, "vec_id", k)
+    cands2.filter(candidateFilter)
+  }
+
+  /** Shortlist width of the compressed PQ probe: ADC survivors per
+    * probe that get the exact re-rank. */
+  val PqShortlist = 20
+
+  /** COMPRESSED top-k search against a PQ-coded index — the
+    * production probe path of a billion-vector store. Stage 1 (the
+    * scoring scan, where a probe's bytes live at corpus scale): the
+    * pruned-cell scan reads ONLY the M-code `codes` column (parquet
+    * column pruning — ~dims·8/M less IO than scoring from full
+    * vectors), ranks candidates by asymmetric distance against
+    * per-probe lookup tables precomputed driver-side
+    * ([[Similarity.pqAdcLut]] — the probe side is increment-class by
+    * contract), and keeps the `shortlist` best per probe. Stage 2:
+    *
+    *  - `exactRerank = true` (default, the ann_pq_topk contract):
+    *    the shortlist re-ranks by EXACT L2 from the `qv` column —
+    *    one more slim scan of the probed cells, bounded by the
+    *    broadcast shortlist join (plus a pushed-down id predicate
+    *    when the shortlist fits the [[IsinCellsMax]] plan-size rule).
+    *    Honest IO accounting: this pass re-reads the probed cells'
+    *    full-vector column, so the PQ win here is the SCORING scan
+    *    (compute + bytes) — not total probe bytes;
+    *  - `exactRerank = false` (the quantized scale path — the
+    *    FAISS-IVFPQ default, refinement optional): ranks ARE the ADC
+    *    order, `qv` is never read, total probe IO is the coded scan —
+    *    the ~dims·8/M shrink end to end (the ladder rung's subject).
+    *
+    * Returns (probe_id, rank, candidate_id, l2_dist) — l2_dist is the
+    * exact distance, or the ADC distance on the quantized path.
+    * Tombstones/delta/exclusions ride the same [[liveCandidates]]
+    * scan as every other search. */
+  def probeAnnIndexPq(spark: SparkSession, path: String, probesQ: DataFrame,
+                      nProbe: Int, k: Int,
+                      candidateFilter: Column = lit(true),
+                      shortlist: Int = PqShortlist,
+                      exactRerank: Boolean = true): DataFrame = {
+    val meta = readMeta(path)
+    require(meta.pqM > 0,
+      s"probeAnnIndexPq: the index at $path is not PQ-coded")
+    val cents = readCentroids(spark, path)
+    // probe cells + per-probe ADC lookup tables, materialized ONCE
+    // into a driver-local relation (the probeAnnIndex CacheManager
+    // discipline): bounded by the increment-class probe contract
+    val pcRows = probeCellsOf(probesQ, cents, nProbe).collect()
+    val (cellPred, shortFrameLazy) =
+      pqAdcShortlist(spark, path, pcRows, candidateFilter,
+        if (exactRerank) shortlist else k, meta, keepDist = !exactRerank)
+    if (!exactRerank) {
+      // quantized path: the ADC order IS the ranking; nothing beyond
+      // the coded scan is ever read
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist").asc, col("candidate_id").asc)
+      return shortFrameLazy
+        .withColumn("rank", row_number().over(wAdc).cast("long"))
+        .select(col("probe_id"), col("rank"), col("candidate_id"),
+          col("adc_dist").as("l2_dist"))
+    }
+    // bounded (nProbes × shortlist): a driver-local relation, so the
+    // exact fetch below can push its id filter into the parquet scan
+    val short = shortFrameLazy.collect()
+    import spark.implicits._
+    val shortIds = short.map(_.getLong(1)).distinct.sorted
+    val shortFrame = broadcast(
+      short.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("probe_id", "candidate_id"))
+    // stage 2: exact re-rank — full vectors fetched for the shortlist
+    // rows only: a pushed-down id predicate up to the engine's
+    // literal-IN plan-size rule (wider sets rely on the broadcast
+    // join alone), always the broadcast join for the probe
+    // association
+    val fullVecs0 = liveCandidates(spark, path, cellPred, candidateFilter)
+      .select(col("vec_id").as("candidate_id"), col("qv"))
+    val fullVecs =
+      if (shortIds.length <= IsinCellsMax)
+        fullVecs0.filter(col("candidate_id").isin(shortIds: _*))
+      else fullVecs0
+    val probeVecs = broadcast(pcRows.map(r =>
+        (r.getLong(0), r.getSeq[Long](1))).distinct.toSeq
+      .toDF("probe_id", "pqv"))
+    val exact = shortFrame
+      .join(fullVecs, Seq("candidate_id"))
+      .join(probeVecs, Seq("probe_id"))
+      .select(col("probe_id"), col("candidate_id"),
+        Similarity.l2sqLong(col("pqv"), col("qv")).as("l2_dist"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("l2_dist").asc, col("candidate_id").asc)
+    exact.withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("candidate_id"),
+        col("l2_dist"))
+  }
+
+  /** Stage 1 of the compressed probe as a LAZY frame — (cell pruning
+    * predicate, per-probe ADC shortlist (probe_id, candidate_id)) —
+    * split out so the plan-shape spec can audit the scan the ADC pass
+    * actually runs (code pages only, partitions pruned) before the
+    * driver collect hides it. */
+  private[graft] def pqAdcShortlist(spark: SparkSession, path: String,
+                                    pcRows: Array[Row],
+                                    candidateFilter: Column,
+                                    shortlist: Int,
+                                    meta: Meta,
+                                    keepDist: Boolean = false): (Option[Column], DataFrame) = {
+    val books = readBooks(spark, path)
+    val luts = pcRows.map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .distinct.map { case (pid, pqv) =>
+        pid -> Similarity.pqAdcLut(pqv, books, meta.pqSubDim)
+      }.toMap
+    import spark.implicits._
+    val probeFrame = pcRows.map { r =>
+      val pid = r.getLong(0)
+      (pid, luts(pid), r.getLong(2))
+    }.toSeq.toDF("probe_id", "lut", "cell")
+    val cellPred = cellPredFor(spark, path,
+      probeFrame.select(col("cell")), pruneCells = true)
+    // compressed ADC scan — only (cell, vec_id, codes) leave the
+    // pruned scan; qv's pages are never read (column pruning)
+    val scored = liveCandidates(spark, path, cellPred, candidateFilter)
+      .select(col("cell"), col("vec_id"), col("codes"))
+      .join(broadcast(probeFrame), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("candidate_id"),
+        Similarity.pqAdcDistLut(col("lut"), col("codes"), meta.pqM)
+          .as("adc_dist"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("candidate_id").asc)
+    val outCols = Seq(col("probe_id"), col("candidate_id")) ++
+      (if (keepDist) Seq(col("adc_dist")) else Nil)
+    (cellPred,
+      scored.withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= shortlist)
+        .select(outCols: _*))
   }
 
   /** nProbe nearest cells per probe — inline sorted (distance, cid)
@@ -655,14 +938,20 @@ object AnnIndex {
       // record, redelivered twins rejected each other). With this
       // order a crash between the writes leaves an exclusion record
       // for rows not yet appended: a harmless no-op anti.
-      // OVERWRITE, not append: only the IN-FLIGHT batch's rows can
-      // ever serve a replay (earlier batches committed before this
-      // trigger started), so the sidecar stays batch-sized instead of
-      // growing one dead row per admission (second-pass finding); a
-      // replay overwrites with the identical set.
+      // APPEND, not overwrite (round-12 ADVICE): Spark's overwrite
+      // DELETES the dir before writing, so a crash mid-overwrite on a
+      // redelivery — after the first delivery's index appends landed —
+      // erased the exclusion record and re-opened the exact replay
+      // hole the sidecar closes (and violated the mutations-only-ADD-
+      // side-files invariant). Append-only means the record is never
+      // transiently absent; a replay appends identical rows, which
+      // collapse at the exclusion's distinct. Rows of SUPERSEDED
+      // batches are dead (only the in-flight batchId is ever read —
+      // earlier batches committed before this trigger started) and
+      // are pruned by compaction's sidecar merge.
       admitted.select(col("probe_id").as("vec_id"),
           lit(batchId).as("batch"))
-        .coalesce(1).write.mode("overwrite").parquet(appDir.toString)
+        .coalesce(1).write.mode("append").parquet(appDir.toString)
       val admRows = rows.join(
         admitted.select(col("probe_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -827,8 +1116,12 @@ object AnnIndex {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
     }
-    // the gate-append sidecar fragments one file per trigger and is
-    // scanned by every gate call: merge it down in the same pass
+    // the gate-append sidecar fragments one file per trigger (it is
+    // append-only by the replay invariant — see gateAndAppendAnnBatch)
+    // and is scanned by every gate call: merge it down in the same
+    // pass, PRUNING superseded batches — only the newest batchId can
+    // ever serve a replay (every earlier batch committed before the
+    // newest trigger started), so its rows are the only live ones
     val gappDir = Paths.get(path, GateAppendBatchesDir)
     if (Files.isDirectory(gappDir)) {
       val gappFiles = scala.util.Using.resource(Files.list(gappDir))(
@@ -837,7 +1130,11 @@ object AnnIndex {
           .toSeq.sortBy(_.toString))
       if (gappFiles.size >= 2)
         IndexLifecycle.mergeParquetFiles(spark, gappFiles, gappDir,
-          transform = _.distinct())
+          transform = { df =>
+            val mx = df.agg(max(col("batch"))).head()
+            if (mx.isNullAt(0)) df.distinct()
+            else df.filter(col("batch") === mx.getLong(0)).distinct()
+          })
     }
     val cellDirs = scala.util.Using.resource(Files.list(cellsRoot))(
       _.iterator().asScala
@@ -893,12 +1190,14 @@ object AnnIndex {
     if (Files.isRegularFile(marker)) return
     // `cell` dropped from both legs (the partition column reads back
     // as int, the delta column is long — and the rebuild reassigns
-    // against the retrained quantizer anyway)
-    val base = spark.read.parquet(s"$path/cells").drop("cell")
+    // against the retrained quantizer anyway); `codes` likewise —
+    // derived data re-encoded against the RETRAINED books
+    val base = spark.read.parquet(s"$path/cells").drop("cell", "codes")
     val deltaDir = Paths.get(path, "delta")
     val merged =
       if (IndexLifecycle.hasParquet(deltaDir))
-        base.unionByName(spark.read.parquet(deltaDir.toString).drop("cell"))
+        base.unionByName(
+          spark.read.parquet(deltaDir.toString).drop("cell", "codes"))
       else base
     // one corpus-wide dedup: a rebuild is the repair point for every
     // documented transient-duplicate crash window, so it must
@@ -918,6 +1217,19 @@ object AnnIndex {
     cents.map { case (cid, qc) => (cid, qc.toSeq) }.toDF("cid", "qc")
       .coalesce(1).write.mode("overwrite")
       .parquet(stageDir.resolve("cents").toString)
+    // PQ layout: the codebooks are build artifacts like the quantizer
+    // — retrained (warm-started from the frozen books, deterministic)
+    // and staged beside the centroids; codes are re-derived by the
+    // build from these
+    val meta0 = readMeta(path)
+    if (meta0.pqM > 0) {
+      val newBooks = Similarity.pqTrain(vecsQ.select(col("qv")),
+        readBooks(spark, path), meta0.pqSubDim, trainIters)
+      newBooks.zipWithIndex.flatMap { case (cs, m) =>
+        cs.map { case (cid, qc) => (m, cid, qc.toSeq) }
+      }.toDF("m", "cid", "qc").coalesce(1).write.mode("overwrite")
+        .parquet(stageDir.resolve("books").toString)
+    }
     // carry the gate-append sidecar through the rebuild: the build
     // deletes it, but the IN-FLIGHT batch's exclusion record must
     // survive a mid-trigger rebuild or a crash-redelivery loses the
@@ -1012,7 +1324,15 @@ object AnnIndex {
       val cents = spark.read.parquet(stageDir.resolve("cents").toString)
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).toSeq
-      buildAnnIndex(vecsQ, cents, path) // meta write = commit point
+      val stagedBooks = stageDir.resolve("books")
+      val pqBooks =
+        if (IndexLifecycle.hasParquet(stagedBooks))
+          Some(spark.read.parquet(stagedBooks.toString).collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toSeq))
+        else None
+      buildAnnIndex(vecsQ, cents, path, pqBooks) // meta write = commit point
       restoreStagedSidecar(stageDir, path)
       org.apache.commons.io.FileUtils.deleteDirectory(stageDir.toFile)
       IndexLifecycle.Maintenance(rebuilt = true, 0)
@@ -1029,17 +1349,22 @@ object AnnIndex {
       "dims" -> meta.dims.toString,
       "nVecs" -> meta.nVecs.toString,
       "appendedVecs" -> meta.appendedVecs.toString,
-      "deletedVecs" -> meta.deletedVecs.toString))
+      "deletedVecs" -> meta.deletedVecs.toString,
+      "pqM" -> meta.pqM.toString,
+      "pqSubDim" -> meta.pqSubDim.toString))
 
   def readMeta(path: String): Meta = {
     val props = IndexLifecycle.readMetaProps(
       Paths.get(path), "ann index", FormatVersion)
+    def opt(k: String): Long =
+      Option(props.getProperty(k)).map(_.toLong).getOrElse(0L)
     Meta(props.getProperty("nCells").toInt,
       props.getProperty("dims").toInt,
       props.getProperty("nVecs").toLong,
       props.getProperty("appendedVecs").toLong,
-      // absent in pre-delete indexes: they carry no tombstone drift
-      Option(props.getProperty("deletedVecs")).map(_.toLong).getOrElse(0L))
+      // absent in pre-delete / pre-PQ indexes: no such drift / plain
+      // full-vector layout
+      opt("deletedVecs"), opt("pqM").toInt, opt("pqSubDim").toInt)
   }
 
   /** Driver-held centroid table, memoized ONE LIVE ENTRY PER PATH and

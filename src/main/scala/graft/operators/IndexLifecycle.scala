@@ -133,6 +133,47 @@ object IndexLifecycle {
     }
   }
 
+  /** Hard bound on the id set a single increment-class mutation may
+    * collect to the driver (both families' `deleteFrom*` stage the
+    * fresh tombstone ids through a LOCAL relation — the right fix for
+    * the lineage-reads-the-appended-dir hazard — which makes the
+    * driver heap the budget). 10M longs ≈ 80 MB of payload: far above
+    * any real per-call takedown increment, far below a corpus-class
+    * set that belongs to a rebuild. The contract used to be narrated
+    * ("increment-class by contract"); now a mis-contracted caller gets
+    * a loud error instead of a driver OOM (round-12 What's-wrong #3). */
+  val MaxIncrementIds: Int = 10000000
+
+  /** Collect a slim single-LONG-column id frame under the
+    * increment-class contract: fails loudly past [[MaxIncrementIds]]
+    * rather than collecting toward an OOM (the limit is pushed into
+    * the plan, so an over-budget set ships at most maxIds+1 rows). */
+  def boundedCollectIds(ids: DataFrame, key: String,
+                        maxIds: Int = MaxIncrementIds): Array[Long] = {
+    val rows = ids.select(col(key)).limit(maxIds + 1).collect()
+    require(rows.length <= maxIds,
+      s"increment-class contract violated: more than $maxIds ids in one " +
+        s"mutation call on '$key' — chunk the calls or schedule a rebuild")
+    rows.map(_.getLong(0))
+  }
+
+  /** Copy a PRISTINE cached index into a fresh scratch dir for a
+    * mutation run — the restore-from-snapshot a re-runnable mutation
+    * demonstrator needs: a mutation cannot re-run against an
+    * already-mutated artifact (the delete-once lesson), so the
+    * registry's mutation-loop queries copy the build-once base and
+    * mutate the copy, paying the REAL loop cost on every invocation
+    * instead of serving later calls from a persisted output (the
+    * round-12 bench-honesty item: warm bench passes measured a 0.15 s
+    * read-back against the twin's full sequential replay). The caller
+    * deletes the copy when done. */
+  def freshMutableCopy(basePath: String): String = {
+    val dst = Files.createTempDirectory("graft_idxcopy_")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(basePath), dst.toFile)
+    dst.toString
+  }
+
   // ---- meta properties IO ----------------------------------------------
 
   /** Write the `_INDEX_META` properties stamp (version + the family's

@@ -321,12 +321,13 @@ object SignatureIndex {
     val fresh = tombstoneIds(spark, path).fold(present) { case (prev, bytes) =>
       IndexLifecycle.boundedIdJoin(present, prev, "doc_id", bytes, "left_anti")
     }
-    // increment-class by contract: collect to the driver and append
-    // from a local relation. Writing the joined frame directly (the
-    // round-11 form) appended to tombstones/ through a lineage that
-    // READS tombstones/ — on a cluster, an evicted block recomputing
+    // increment-class ENFORCED (boundedCollectIds fails loudly past
+    // the budget): collect to the driver and append from a local
+    // relation. Writing the joined frame directly (the round-11 form)
+    // appended to tombstones/ through a lineage that READS
+    // tombstones/ — on a cluster, an evicted block recomputing
     // mid-write could scan the half-appended directory.
-    val newIds = fresh.collect().map(_.getLong(0))
+    val newIds = IndexLifecycle.boundedCollectIds(fresh, "doc_id")
     if (newIds.nonEmpty) {
       import spark.implicits._
       // coalesce(1): a LocalTableScan write otherwise fans out to
@@ -459,6 +460,22 @@ object SignatureIndex {
         }
         live.write.mode("overwrite").parquet(
           stageDir.resolve("rows").toString)
+        // LOUD COVERAGE CHECK before the marker commits the staging
+        // (rebuild-priced — one slim doc_id scan each side): the
+        // supplied corpus must cover every live sig doc_id, or the
+        // rebuild would SILENTLY drop indexed docs and later copies
+        // would be re-admitted (round-12 ADVICE: gate-append replay
+        // admissions live under offset ids a naive source rehash
+        // misses). Crash-safe: a thrown require leaves rows without a
+        // marker, and the next attempt restages over them.
+        val missing = liveSig(spark, path).select(col("doc_id"))
+          .join(spark.read.parquet(stageDir.resolve("rows").toString)
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .limit(1).count()
+        require(missing == 0,
+          s"maintainIndex($path): the supplied rehash corpus does not " +
+            "cover every live indexed doc_id — rebuilding would drop " +
+            "documents; widen the corpus (replay/offset ids?) first")
         // carry the gate-append md5 sidecar: the build deletes it, but
         // it is the ONLY exact-dup record for admitted null-signature
         // docs (a short doc has no band rows) — dropping it at rebuild
@@ -823,18 +840,6 @@ object SignatureIndex {
     Dedup.connectedComponents(verts, "doc_id", pairs)
   }
 
-  /** Build-once cache for fixture-derived indexes (the oracle/bench
-    * path, mirroring [[graft.streaming.StreamingOps.stageDocBatches]]'s
-    * discipline): the index for `cacheKey` is built under the JVM tmp
-    * dir on first use and revalidated by stamp; concurrent sessions
-    * race benignly (last overwrite wins on a content-identical build —
-    * everything is a pure function of the fixture). Returns the index
-    * path. */
-  /** Build-once SIDECAR table beside an index (marker-stamped, same
-    * single-writer contract): gate artifacts that are keyed to the
-    * same corpus as the index but not part of the signature format —
-    * e.g. the exact-dedup md5 set. `build` writes parquet at the given
-    * path; the marker commits it. */
   /** One-shot MUTATION guard beside an index: run `mutate` exactly
     * once per (index instance, name) — the delete-once discipline for
     * cached fixture indexes whose mutations are result-idempotent
@@ -847,6 +852,11 @@ object SignatureIndex {
     IndexLifecycle.ensureMarked(
       Paths.get(indexPath, s"_ONCE_${name.toUpperCase}_OK"), "")(mutate)
 
+  /** Build-once SIDECAR table beside an index (marker-stamped, same
+    * single-writer contract): gate artifacts that are keyed to the
+    * same corpus as the index but not part of the signature format —
+    * e.g. the exact-dedup md5 set. `build` writes parquet at the given
+    * path; the marker commits it. */
   def ensureSidecar(indexPath: String, name: String)
                    (build: String => Unit): String = {
     val dir = Paths.get(indexPath, name)
@@ -1010,11 +1020,6 @@ object SignatureIndex {
     (b, admitted)
   }
 
-  /** Sidecar dir holding the md5s of gate-ADMITTED documents —
-    * (c_md5, c_doc) — written by [[gateAndAppendBatch]] so later
-    * batches exact-reject copies of earlier admissions. Carries the
-    * admitting doc_id (unlike the corpus `gate_md5` sidecar) so a
-    * REPLAYED micro-batch never rejects its own rows. */
   /** Sidecar recording the md5 and batch of every gate-ADMITTED
     * document — (c_md5, c_doc, c_batch) — written by
     * [[gateAndAppendBatch]] so later batches exact-reject copies of
@@ -1110,6 +1115,13 @@ object SignatureIndex {
       graft.streaming.StreamingOps.sourceFingerprint(
         Paths.get(sfDir, table))
 
+  /** Build-once cache for fixture-derived indexes (the oracle/bench
+    * path, mirroring [[graft.streaming.StreamingOps.stageDocBatches]]'s
+    * discipline): the index for `cacheKey` is built under the JVM tmp
+    * dir on first use and revalidated by stamp; concurrent sessions
+    * race benignly (last overwrite wins on a content-identical build —
+    * everything is a pure function of the fixture). Returns the index
+    * path. */
   def ensureIndex(hashed: => DataFrame, cacheKey: String,
                   rowsPerBand: Int = 4, capPop: Int = 256,
                   maxExtraBits: Int = 8): String =

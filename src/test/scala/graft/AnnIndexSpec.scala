@@ -670,6 +670,126 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(c1 == 0, "a later copy of an admission must be rejected")
   }
 
+  /** Seed PQ books (M=8, sub=8) from the first n vectors' subvectors
+    * RE-KEYED to dense 0..n-1 code ids (the ADC LUT is positional —
+    * the contract buildAnnIndex enforces), trained one Lloyd round —
+    * the trainedPqBooks arithmetic on an arbitrary seed width. */
+  private def pqBooksOf(src: org.apache.spark.sql.DataFrame,
+                        n: Int): Seq[Seq[(Long, Array[Long])]] = {
+    val seedRows = src.orderBy(col("vec_id")).limit(n)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray).zipWithIndex
+      .map { case (qc, i) => (i.toLong, qc) }
+    val seeds = (0 until 8).map { m =>
+      seedRows.toSeq.map { case (cid, qc) => (cid, qc.slice(m * 8, m * 8 + 8)) }
+    }
+    Similarity.pqTrain(src.select(col("qv")), seeds, 8, iters = 1)
+  }
+
+  test("bulk PQ encode kernel is bit-identical to the inline one") {
+    // 32 codewords × 8 subspaces = 256 > InlinePqCodewordsMax, so a
+    // PQ build at this width dispatches the bulk kernel — compared
+    // against the inline expression invoked directly
+    val books = pqBooksOf(vecsQ, 32)
+    assert(books.map(_.size).sum > AnnIndex.InlinePqCodewordsMax)
+    val inline = vecsQ.withColumn("codes",
+      Similarity.pqEncode(col("qv"), books, 8).cast("array<int>"))
+      .select(col("vec_id"), col("codes"))
+    val bulk = AnnIndex.encodePqBulk(vecsQ, books, 8)
+      .select(col("vec_id"), col("codes"))
+    assert(canon(bulk) == canon(inline))
+  }
+
+  test("PQ layout: append, delete and rebuild work unchanged on coded cells") {
+    val base = vecsQ.filter(col("vec_id") % 5 =!= 4)
+    val incr = vecsQ.filter(col("vec_id") % 5 === 4)
+    val cents = Similarity.kmeansQuantized(base.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val books = pqBooksOf(base, 16)
+    def freshPq(src: org.apache.spark.sql.DataFrame,
+                cs: Seq[(Long, Array[Long])],
+                bs: Seq[Seq[(Long, Array[Long])]]): String = {
+      val p = newIndexDir()
+      AnnIndex.buildAnnIndex(src, cs, p, pqBooks = Some(bs))
+      p
+    }
+    val idx = freshPq(base, cents, books)
+    assert(AnnIndex.readMeta(idx).pqM == 8)
+    // APPEND on the coded layout: increment arrives WITHOUT codes,
+    // gets encoded against the frozen books — probe-equal to a fresh
+    // PQ build over the same frozen artifacts
+    AnnIndex.appendToAnnIndex(incr, idx)
+    val freshAll = freshPq(vecsQ, cents, books)
+    val pAll = canon(AnnIndex.probeAnnIndexPq(spark, idx, probes, 4, 3))
+    assert(pAll.nonEmpty && pAll ==
+      canon(AnnIndex.probeAnnIndexPq(spark, freshAll, probes, 4, 3)))
+    // the full-vector exact probe rides the SAME coded index unchanged
+    // (qv is still a stored column)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndex(spark, freshAll, probes, 4, 3)))
+    // DELETE: tombstoned ids invisible to the compressed probe
+    // immediately
+    val del = vecsQ.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    AnnIndex.deleteFromAnnIndex(del, idx)
+    val survivors = vecsQ.filter(col("vec_id") % 7 =!= 0)
+    val freshSurv = freshPq(survivors, cents, books)
+    assert(canon(AnnIndex.probeAnnIndexPq(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndexPq(spark, freshSurv, probes, 4, 3)))
+    // MAINTAIN: drift crossed (20% append + ~14% delete) → rebuild
+    // retrains quantizer AND books (warm-started, deterministic) and
+    // re-encodes — probe-equal to a fresh build with the same retrain
+    assert(AnnIndex.needsRebuild(AnnIndex.readMeta(idx)))
+    val report = AnnIndex.maintainAnnIndex(spark, idx)
+    assert(report.rebuilt)
+    val metaR = AnnIndex.readMeta(idx)
+    assert(metaR.pqM == 8 && metaR.pqSubDim == 8 &&
+      metaR.nVecs == survivors.count())
+    val centsR = AnnIndex.kmeansBulk(survivors.select(col("qv")),
+      cents, iters = 2)
+    val booksR = Similarity.pqTrain(survivors.select(col("qv")),
+      books, 8, iters = 2)
+    val freshR = freshPq(survivors, centsR, booksR)
+    assert(canon(AnnIndex.probeAnnIndexPq(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndexPq(spark, freshR, probes, 4, 3)))
+  }
+
+  test("the compressed probe scan reads only the code pages") {
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx,
+      pqBooks = Some(pqBooksOf(vecsQ, 16)))
+    // audit the ADC stage's LAZY plan (probeAnnIndexPq collects it —
+    // the hidden-plan lesson of gateBatchPlan): its cells scan must
+    // NOT read qv (column pruning IS the compression win) and must
+    // keep partition pruning
+    val meta = AnnIndex.readMeta(idx)
+    // same probe-cells frame the probe computes (nProbe=4)
+    val distArr = array(cents.sortBy(_._1).map { case (cid, qc) =>
+      struct(Similarity.l2sqLong(col("pqv"),
+        array(qc.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val pcRows = probes.withColumn("_cells", slice(array_sort(distArr), 1, 4))
+      .select(col("probe_id"), col("pqv"), explode(col("_cells")).as("_c"))
+      .select(col("probe_id"), col("pqv"), col("_c.cid").as("cell"))
+      .collect()
+    val (_, shortFrame) = AnnIndex.pqAdcShortlist(spark, idx, pcRows,
+      lit(true), 20, meta)
+    val scans = shortFrame.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("cells")) =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.contains("codes") && !s.contains("qv")),
+      s"ADC scan must project codes without qv: $scans")
+    val plan = shortFrame.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"compressed probe must keep partition pruning:\n$plan")
+    // and the end-to-end compressed probe returns k rows per probe
+    assert(AnnIndex.probeAnnIndexPq(spark, idx, probes, 4, 3).count() == 30)
+  }
+
   test("maintainAnnIndex is a no-op on a healthy index, compacts past the cadence") {
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
       rawCentroids(16), iters = 2)

@@ -99,6 +99,20 @@ class IndexLifecycleSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("boundedCollectIds enforces the increment-class contract loudly") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 100).select(col("id").as("doc_id"))
+    // within budget: the full set, exactly
+    assert(IndexLifecycle.boundedCollectIds(ids, "doc_id", maxIds = 100)
+      .sorted.toSeq == (0L until 100L))
+    // over budget: a loud error, not a driver OOM — and the limit is
+    // in the plan, so at most maxIds+1 rows ever shipped
+    val e = intercept[IllegalArgumentException](
+      IndexLifecycle.boundedCollectIds(ids, "doc_id", maxIds = 99))
+    assert(e.getMessage.contains("increment-class"))
+  }
+
   test("boundedIdJoin picks its strategy from measured bytes, results invariant") {
     import SparkTestSession._
     import org.apache.spark.sql.functions._
