@@ -149,15 +149,29 @@ object AnnIndex {
     // first two are scanned by every search, the third by every
     // gate-append trigger — all three accumulate exactly the per-file
     // drag the cadence bounds (the sidecar exemption was a round-12
-    // self-review finding)
-    val files = Seq("delta", "tombstones", GateAppendBatchesDir).map { side =>
-      val d = Paths.get(path, side)
-      if (!Files.isDirectory(d)) 0
-      else scala.util.Using.resource(Files.list(d))(
+    // self-review finding). Delta/tombstone counts come from the
+    // LAYOUT MANIFEST when one exists: a previous compaction's
+    // retained-for-readers files are already folded/applied and must
+    // not re-trigger the cadence they no longer cost.
+    val root = Paths.get(path)
+    val snapshotCount = IndexLifecycle.readManifest(root) match {
+      case Some(rel) => rel.count(r =>
+        r.startsWith("delta/") || r.startsWith("tombstones/"))
+      case None => Seq("delta", "tombstones").map { side =>
+        val d = root.resolve(side)
+        if (!Files.isDirectory(d)) 0
+        else scala.util.Using.resource(Files.list(d))(
+          _.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet")))
+      }.sum
+    }
+    val gappDir = root.resolve(GateAppendBatchesDir)
+    val gapp =
+      if (!Files.isDirectory(gappDir)) 0
+      else scala.util.Using.resource(Files.list(gappDir))(
         _.iterator().asScala
           .count(_.getFileName.toString.endsWith(".parquet")))
-    }.sum
-    IndexLifecycle.needsCompaction(files)
+    IndexLifecycle.needsCompaction(snapshotCount + gapp)
   }
 
   // ---- assignment kernels ----------------------------------------------
@@ -369,6 +383,10 @@ object AnnIndex {
     assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // fresh layout snapshot at the commit point: the build wiped every
+    // side table, so the manifest is exactly the cells listing
+    IndexLifecycle.updateManifest(root)(_ =>
+      IndexLifecycle.listRelParquet(root, "cells"))
     val meta = Meta(cents.size, dims,
       nVecs = spark.read.parquet(s"$path/cells").count(),
       pqM = pqBooks.map(_.size).getOrElse(0), pqSubDim = pqSubDim)
@@ -443,6 +461,10 @@ object AnnIndex {
           s"$path — deleted ids stay deleted until the next rebuild")
     }
     assigned.write.mode("append").parquet(s"$path/delta")
+    // snapshot commit: make the new delta files visible atomically
+    // (add-only dir — the disk listing is the truth, and a crashed
+    // previous attempt's files collapse at every consumer's dedup)
+    IndexLifecycle.commitSubListing(root, Seq("delta"))
     assigned.unpersist()
     val meta = before.copy(nVecs = before.nVecs + nNew,
       appendedVecs = before.appendedVecs + nNew)
@@ -482,13 +504,10 @@ object AnnIndex {
     // only ids PRESENT in the live index count: broadcast the
     // increment into a semi over the slim vec_id column (output
     // increment-bounded), then drop ids already tombstoned
-    val baseIds = spark.read.parquet(s"$path/cells").select(col("vec_id"))
-    val deltaDir = Paths.get(path, "delta")
-    val liveIds =
-      if (IndexLifecycle.hasParquet(deltaDir))
-        baseIds.unionByName(
-          spark.read.parquet(deltaDir.toString).select(col("vec_id")))
-      else baseIds
+    val baseIds = cellsScan(spark, path).select(col("vec_id"))
+    val liveIds = sideFiles(path, "delta").fold(baseIds)(files =>
+      baseIds.unionByName(spark.read
+        .parquet(files.map(_.toString): _*).select(col("vec_id"))))
     val present = liveIds
       .join(broadcast(ts0), Seq("vec_id"), "left_semi").distinct()
     val fresh = tombstoneIds(spark, path).fold(present) {
@@ -511,6 +530,7 @@ object AnnIndex {
       spark.createDataset(newIds.toSeq).toDF("vec_id")
         .coalesce(1)
         .write.mode("append").parquet(s"$path/tombstones")
+      IndexLifecycle.commitSubListing(root, Seq("tombstones"))
     }
     val nDel = newIds.length.toLong
     val meta = before.copy(nVecs = before.nVecs - nDel,
@@ -524,14 +544,48 @@ object AnnIndex {
     * none exist. `distinct()` collapses whatever duplicate rows
     * crash-retried deletes left behind. */
   private def tombstoneIds(spark: SparkSession,
-                           path: String): Option[(DataFrame, Long)] = {
-    val dir = Paths.get(path, "tombstones")
-    if (IndexLifecycle.hasParquet(dir))
-      Some((spark.read.parquet(dir.toString)
+                           path: String): Option[(DataFrame, Long)] =
+    sideFiles(path, "tombstones").map { files =>
+      (spark.read.parquet(files.map(_.toString): _*)
         .select(col("vec_id")).distinct(),
-        IndexLifecycle.idSideBytes(spark, dir)))
-    else None
-  }
+        IndexLifecycle.idSideBytesFiles(spark, files))
+    }
+
+  /** The live parquet files of a side table, resolved through the
+    * layout manifest when one exists (the snapshot-pinned read path —
+    * a maintenance event's retained superseded files are invisible),
+    * by directory listing on a legacy index. None = the side table is
+    * empty/absent. */
+  private def sideFiles(path: String, sub: String): Option[Seq[Path]] =
+    IndexLifecycle.manifestFilesUnder(Paths.get(path), sub) match {
+      case Some(files) => if (files.nonEmpty) Some(files) else None
+      case None =>
+        val dir = Paths.get(path, sub)
+        if (IndexLifecycle.hasParquet(dir))
+          Some(scala.util.Using.resource(Files.list(dir))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq))
+        else None
+    }
+
+  /** The base cells scan, manifest-pinned when a manifest exists (the
+    * `basePath` option keeps hive-partition `cell` inference + pruning
+    * over an explicit file list). */
+  private def cellsScan(spark: SparkSession, path: String): DataFrame =
+    IndexLifecycle.manifestFilesUnder(Paths.get(path), "cells") match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", s"$path/cells")
+          .parquet(files.map(_.toString): _*)
+      case _ => spark.read.parquet(s"$path/cells")
+    }
+
+  /** Re-commit the add-only side tables' disk listing into the layout
+    * manifest — for harnesses/tools that write `delta/`/`tombstones/`
+    * files directly instead of through append/delete (which commit
+    * their own listings). No-op on a legacy index. */
+  def refreshSideManifest(path: String): Unit =
+    IndexLifecycle.commitSubListing(Paths.get(path),
+      Seq("delta", "tombstones"))
 
   /** Top-k search against the persisted index. `probesQ` must carry
     * (probe_id, pqv) and be broadcast-class (an increment of queries,
@@ -651,15 +705,15 @@ object AnnIndex {
                              excludeIds: Option[DataFrame] = None): DataFrame = {
     def pruned(df: DataFrame): DataFrame =
       cellPred.fold(df)(p => df.filter(p))
-    val base = pruned(spark.read.parquet(s"$path/cells"))
-    // un-compacted appends: increment-class side table (guard on
-    // actual part files — an empty dir is legal residue)
-    val deltaDir = Paths.get(path, "delta")
-    val cands0 =
-      if (IndexLifecycle.hasParquet(deltaDir))
-        base.unionByName(pruned(spark.read.parquet(deltaDir.toString))
+    val base = pruned(cellsScan(spark, path))
+    // un-compacted appends: increment-class side table, snapshot-
+    // resolved (an empty dir / a superseded-but-retained file set is
+    // invisible)
+    val cands0 = sideFiles(path, "delta").fold(base) { files =>
+      base.unionByName(
+        pruned(spark.read.parquet(files.map(_.toString): _*))
           .dropDuplicates("vec_id"))
-      else base
+    }
     // un-compacted deletes: strategy from the side table's MEASURED
     // bytes (the cumulative set is policy-bounded, not code-bounded,
     // so the join must not assume broadcast-class); physically
@@ -1007,121 +1061,154 @@ object AnnIndex {
     * number of cells rewritten (tombstone application + phase 2). */
   def compactCells(spark: SparkSession, path: String,
                    maxFilesPerCell: Int = 4): Int = {
-    val cellsRoot = Paths.get(path, "cells")
-    val deltaDir = Paths.get(path, "delta")
-    if (Files.isDirectory(deltaDir)) {
-      val deltaFiles = scala.util.Using.resource(Files.list(deltaDir))(
-        _.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
-      if (deltaFiles.nonEmpty) {
-        val delta = spark.read.parquet(deltaDir.toString)
-          .dropDuplicates("vec_id")
-          .cache()
-        // touched cells: bounded by min(|delta|, nCells) — control-plane
-        val touched = delta.select(col("cell")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        val baseIds = spark.read.parquet(cellsRoot.toString)
-          .filter(
-            if (touched.length <= IsinCellsMax) col("cell").isin(touched: _*)
-            else array_contains(lit(touched), col("cell")))
-          .select(col("vec_id"))
-        delta.join(baseIds, Seq("vec_id"), "left_anti")
-          .repartition(col("cell"))
-          .write.mode("append").partitionBy("cell")
-          .parquet(cellsRoot.toString)
-        delta.unpersist()
-        deltaFiles.foreach(Files.delete)
+    val root = Paths.get(path)
+    val cellsRoot = root.resolve("cells")
+    val manifestSubs = Seq("cells", "delta", "tombstones")
+    // MAINTENANCE ENTRY: reclaim the files the PREVIOUS maintenance
+    // event retained for its in-flight snapshot readers (superseded
+    // state lives exactly one maintenance interval), then adopt
+    // legacy indexes into the manifest era. After this, disk ==
+    // manifest for the three snapshot dirs.
+    IndexLifecycle.reclaimUnmanifested(root, manifestSubs)
+    IndexLifecycle.ensureManifest(root, manifestSubs)
+    def manifestSet: Set[String] =
+      IndexLifecycle.readManifest(root).getOrElse(Nil).toSet
+    def relOf(f: Path): String = root.relativize(f).toString
+    // one snapshot swap: -removed +added, optionally clearing whole
+    // side tables whose content was folded/applied (their files are
+    // RETAINED on disk for snapshot-N readers)
+    def commitSwap(removed: Seq[Path], added: Seq[Path],
+                   dropSubs: Seq[String]): Unit =
+      IndexLifecycle.updateManifest(root) { cur =>
+        val rem = removed.map(relOf).toSet
+        cur.filterNot(rem.contains)
+          .filterNot(r => dropSubs.exists(sb => r.startsWith(sb + "/"))) ++
+          added.map(relOf)
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(deltaDir.toFile)
+
+    // PHASE 1 (fold): delta rows move into the cell partitions; the
+    // snapshot swap makes the fold atomic for readers (a snapshot-N
+    // reader keeps seeing base+delta, a snapshot-N+1 reader sees the
+    // folded base — never both, never neither). The fold itself stays
+    // idempotent (anti-join vs the touched cells' base ids) so a
+    // crash BEFORE the commit re-runs as the repair, with the
+    // uncommitted fold files reclaimed as orphans at re-entry.
+    val deltaFiles = IndexLifecycle.manifestFilesUnder(root, "delta")
+      .getOrElse(Nil)
+    if (deltaFiles.nonEmpty) {
+      val preCells = manifestSet
+      val delta = spark.read.parquet(deltaFiles.map(_.toString): _*)
+        .dropDuplicates("vec_id")
+        .cache()
+      // touched cells: bounded by min(|delta|, nCells) — control-plane
+      val touched = delta.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val baseIds = cellsScan(spark, path)
+        .filter(
+          if (touched.length <= IsinCellsMax) col("cell").isin(touched: _*)
+          else array_contains(lit(touched), col("cell")))
+        .select(col("vec_id"))
+      delta.join(baseIds, Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(cellsRoot.toString)
+      delta.unpersist()
+      val folded = IndexLifecycle.listRelParquet(root, "cells")
+        .filterNot(preCells.contains).map(root.resolve)
+      commitSwap(removed = Nil, added = folded, dropSubs = Seq("delta"))
     }
     // PHASE 1b (tombstones): physically remove deleted ids by
     // rewriting ONLY the cells that hold them (bounded by the
     // tombstone count — one slim semi scan finds the affected cells),
-    // then drop the tombstone side table. Idempotent across a crash:
-    // tombstones are deleted LAST, and re-applying them to an
-    // already-rewritten cell anti-joins nothing away.
+    // committing the swap once at the end; tombstone and superseded
+    // cell files are retained for snapshot readers. A crash before
+    // the commit leaves snapshot N intact (rewritten files = orphans,
+    // reclaimed at re-entry) and re-applying is a no-op anti.
     var compacted = 0
-    val tombDir = Paths.get(path, "tombstones")
-    if (Files.isDirectory(tombDir)) {
-      tombstoneIds(spark, path).foreach { case (ts0, tsBytes) =>
-        val ts = ts0.cache()
-        // the hive partition column infers as int: cast for the collect
-        val affected = IndexLifecycle.boundedIdJoin(
-            spark.read.parquet(cellsRoot.toString), ts, "vec_id", tsBytes,
-            "left_semi")
-          .select(col("cell").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        def applyTransform(df: DataFrame): DataFrame =
-          IndexLifecycle.boundedIdJoin(df.dropDuplicates("vec_id"), ts,
-            "vec_id", tsBytes, "left_anti")
-        if (affected.length <= BulkApplyMinCells) {
-          // few cells (the takedown shape): per-cell merge keeps every
-          // untouched byte identical and pays no corpus-job fixed cost
-          for (cid <- affected) {
-            val dir = cellsRoot.resolve(s"cell=$cid")
-            val parts = scala.util.Using.resource(Files.list(dir))(
-              _.iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
-            IndexLifecycle.mergeParquetFiles(spark, parts, dir,
-              transform = applyTransform)
-            compacted += 1
-          }
-        } else {
-          // many cells (uniform deletes touch ~every cell): the
-          // per-cell loop is one Spark job PER CELL — measured 713 s
-          // for 2639 cells at the 8M rung, ~all per-job fixed cost
-          // (SCALING.md §4.20). Bulk path: ONE job writes every
-          // rewritten cell to a staging dir, then per-cell file moves
-          // (move-in before delete — the same materialize-first
-          // invariant, at filesystem speed).
-          val tag = java.util.UUID.randomUUID().toString.take(8)
-          // reclaim any staging a crashed previous application left
-          // (dot-prefixed: invisible to scans, but not free disk)
-          scala.util.Using.resource(Files.list(cellsRoot.getParent))(
-            _.iterator().asScala
-              .filter(p => Files.isDirectory(p) &&
-                p.getFileName.toString.startsWith(".apply_")).toSeq)
-            .foreach(p =>
-              org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-          val staging = cellsRoot.resolveSibling(".apply_" + tag)
-          val affectedPred =
-            if (affected.length >= readMeta(path).nCells) lit(true)
-            else array_contains(lit(affected), col("cell"))
-          applyTransform(
-            spark.read.parquet(cellsRoot.toString).filter(affectedPred))
-            .repartition(col("cell"))
-            .write.partitionBy("cell").parquet(staging.toString)
-          for (cid <- affected) {
-            val dir = cellsRoot.resolve(s"cell=$cid")
-            val stagedDir = staging.resolve(s"cell=$cid")
-            val oldParts = scala.util.Using.resource(Files.list(dir))(
-              _.iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
-            val newParts =
-              if (Files.isDirectory(stagedDir))
-                scala.util.Using.resource(Files.list(stagedDir))(
-                  _.iterator().asScala
-                    .filter(_.getFileName.toString.endsWith(".parquet"))
-                    .toSeq)
-              else Seq.empty // every row of this cell was deleted
-            newParts.zipWithIndex.foreach { case (f, i) =>
-              Files.move(f, dir.resolve(s"compact_${tag}_$i.parquet"))
-            }
-            oldParts.foreach(Files.delete)
-            compacted += 1
-          }
-          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    tombstoneIds(spark, path).foreach { case (ts0, tsBytes) =>
+      val ts = ts0.cache()
+      val removed = scala.collection.mutable.ArrayBuffer[Path]()
+      val added = scala.collection.mutable.ArrayBuffer[Path]()
+      // the hive partition column infers as int: cast for the collect
+      val affected = IndexLifecycle.boundedIdJoin(
+          cellsScan(spark, path), ts, "vec_id", tsBytes,
+          "left_semi")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      def applyTransform(df: DataFrame): DataFrame =
+        IndexLifecycle.boundedIdJoin(df.dropDuplicates("vec_id"), ts,
+          "vec_id", tsBytes, "left_anti")
+      val live = manifestSet
+      def manifestParts(cid: Long): Seq[Path] =
+        live.filter(_.startsWith(s"cells/cell=$cid/"))
+          .toSeq.sorted.map(root.resolve)
+      if (affected.length <= BulkApplyMinCells) {
+        // few cells (the takedown shape): per-cell merge keeps every
+        // untouched byte identical and pays no corpus-job fixed cost
+        for (cid <- affected) {
+          val dir = cellsRoot.resolve(s"cell=$cid")
+          val parts = manifestParts(cid)
+          added ++= IndexLifecycle.mergeParquetFiles(spark, parts, dir,
+            transform = applyTransform, retainOriginals = true)
+          removed ++= parts
+          compacted += 1
         }
-        ts.unpersist()
+      } else {
+        // many cells (uniform deletes touch ~every cell): the
+        // per-cell loop is one Spark job PER CELL — measured 713 s
+        // for 2639 cells at the 8M rung, ~all per-job fixed cost
+        // (SCALING.md §4.20). Bulk path: ONE job writes every
+        // rewritten cell to a staging dir, then per-cell file moves
+        // (move-in before the snapshot swap — the same
+        // materialize-first invariant, at filesystem speed).
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        // reclaim any staging a crashed previous application left
+        // (dot-prefixed: invisible to scans, but not free disk)
+        scala.util.Using.resource(Files.list(cellsRoot.getParent))(
+          _.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(".apply_")).toSeq)
+          .foreach(p =>
+            org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+        val staging = cellsRoot.resolveSibling(".apply_" + tag)
+        val affectedPred =
+          if (affected.length >= readMeta(path).nCells) lit(true)
+          else array_contains(lit(affected), col("cell"))
+        applyTransform(
+          cellsScan(spark, path).filter(affectedPred))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(staging.toString)
+        for (cid <- affected) {
+          val dir = cellsRoot.resolve(s"cell=$cid")
+          val stagedDir = staging.resolve(s"cell=$cid")
+          val newParts =
+            if (Files.isDirectory(stagedDir))
+              scala.util.Using.resource(Files.list(stagedDir))(
+                _.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .toSeq)
+            else Seq.empty // every row of this cell was deleted
+          added ++= newParts.zipWithIndex.map { case (f, i) =>
+            val dst = dir.resolve(s"compact_${tag}_$i.parquet")
+            Files.move(f, dst)
+            dst
+          }
+          removed ++= manifestParts(cid)
+          compacted += 1
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+      commitSwap(removed.toSeq, added.toSeq, dropSubs = Seq("tombstones"))
+      ts.unpersist()
     }
     // the gate-append sidecar fragments one file per trigger (it is
     // append-only by the replay invariant — see gateAndAppendAnnBatch)
     // and is scanned by every gate call: merge it down in the same
     // pass, PRUNING superseded batches — only the newest batchId can
     // ever serve a replay (every earlier batch committed before the
-    // newest trigger started), so its rows are the only live ones
+    // newest trigger started), so its rows are the only live ones.
+    // NOT manifest-scoped: only the single-writer gate loop reads it,
+    // never a concurrent snapshot reader.
     val gappDir = Paths.get(path, GateAppendBatchesDir)
     if (Files.isDirectory(gappDir)) {
       val gappFiles = scala.util.Using.resource(Files.list(gappDir))(
@@ -1136,27 +1223,29 @@ object AnnIndex {
             else df.filter(col("batch") === mx.getLong(0)).distinct()
           })
     }
-    val cellDirs = scala.util.Using.resource(Files.list(cellsRoot))(
-      _.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("cell="))
-        .toSeq)
-    def partFiles(dir: Path): Seq[Path] =
-      scala.util.Using.resource(Files.list(dir))(
-        _.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .toSeq)
-    for (dir <- cellDirs) {
-      val parts = partFiles(dir)
-      if (parts.size > maxFilesPerCell) {
-        // merged-first ordering + vec_id dedupe: the rewrite collapses
-        // any duplicates a prior crash window left in this cell, so
+    // PHASE 2 (fragmented-cell merge): part sets come from the
+    // MANIFEST (the disk may hold phase-1b's retained originals);
+    // merges retain originals and the swap commits once.
+    val live2 = manifestSet
+    val byCell = live2.filter(_.startsWith("cells/"))
+      .groupBy(r => r.substring(0, r.lastIndexOf('/')))
+    val removed2 = scala.collection.mutable.ArrayBuffer[Path]()
+    val added2 = scala.collection.mutable.ArrayBuffer[Path]()
+    for ((cellRel, rels) <- byCell.toSeq.sortBy(_._1)) {
+      if (rels.size > maxFilesPerCell) {
+        val dir = root.resolve(cellRel)
+        val parts = rels.toSeq.sorted.map(root.resolve)
+        // vec_id dedupe at merge: the rewrite collapses any
+        // duplicates a prior crash window left in this cell, so
         // re-running compaction IS the repair
-        IndexLifecycle.mergeParquetFiles(spark, parts, dir,
-          transform = _.dropDuplicates("vec_id"))
+        added2 ++= IndexLifecycle.mergeParquetFiles(spark, parts, dir,
+          transform = _.dropDuplicates("vec_id"), retainOriginals = true)
+        removed2 ++= parts
         compacted += 1
       }
     }
+    if (removed2.nonEmpty)
+      commitSwap(removed2.toSeq, added2.toSeq, dropSubs = Nil)
     compacted
   }
 
@@ -1191,14 +1280,14 @@ object AnnIndex {
     // `cell` dropped from both legs (the partition column reads back
     // as int, the delta column is long — and the rebuild reassigns
     // against the retrained quantizer anyway); `codes` likewise —
-    // derived data re-encoded against the RETRAINED books
-    val base = spark.read.parquet(s"$path/cells").drop("cell", "codes")
-    val deltaDir = Paths.get(path, "delta")
-    val merged =
-      if (IndexLifecycle.hasParquet(deltaDir))
-        base.unionByName(
-          spark.read.parquet(deltaDir.toString).drop("cell", "codes"))
-      else base
+    // derived data re-encoded against the RETRAINED books. Reads are
+    // manifest-pinned: a previous compaction's retained superseded
+    // files must not be staged (their rows would be dedup-collapsed
+    // anyway, but the snapshot is the cheaper truth).
+    val base = cellsScan(spark, path).drop("cell", "codes")
+    val merged = sideFiles(path, "delta").fold(base)(files =>
+      base.unionByName(spark.read
+        .parquet(files.map(_.toString): _*).drop("cell", "codes")))
     // one corpus-wide dedup: a rebuild is the repair point for every
     // documented transient-duplicate crash window, so it must
     // collapse them all (retried appends, a crashed phase-2 swap)

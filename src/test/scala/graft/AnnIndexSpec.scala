@@ -148,8 +148,15 @@ class AnnIndexSpec extends AnyFunSuite {
     val filesBefore = nFiles()
     val compacted = AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
     assert(compacted > 0, "the fold must fragment at least one cell")
+    // the delta is folded OUT OF THE SNAPSHOT (its files are retained
+    // on disk for in-flight snapshot readers) and the probe frame is
+    // unchanged
+    assert(graft.operators.IndexLifecycle
+      .manifestFilesUnder(Paths.get(idx), "delta").get.isEmpty)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == before)
+    // the NEXT maintenance entry reclaims the retained files
+    AnnIndex.compactCells(spark, idx, maxFilesPerCell = 1)
     assert(nFiles() < filesBefore)
-    // the delta is folded away and the probe frame is unchanged
     assert(!Files.isDirectory(Paths.get(idx, "delta")))
     assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == before)
   }
@@ -385,8 +392,15 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("tombstoned"))
     // compaction rewrites the affected cells and drops the tombstones
+    // from the SNAPSHOT (files retained for in-flight readers)
     val rewritten = AnnIndex.compactCells(spark, idx)
     assert(rewritten > 0)
+    assert(graft.operators.IndexLifecycle
+      .manifestFilesUnder(Paths.get(idx), "tombstones").get.isEmpty)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expectProbe)
+    // physical reclamation at the next maintenance entry
+    AnnIndex.compactCells(spark, idx)
     assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
     assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
       == expectProbe)
@@ -407,6 +421,12 @@ class AnnIndexSpec extends AnyFunSuite {
     val rewritten = AnnIndex.compactCells(spark, idx)
     assert(rewritten > AnnIndex.BulkApplyMinCells,
       s"fixture must exercise the bulk path (rewrote $rewritten cells)")
+    assert(graft.operators.IndexLifecycle
+      .manifestFilesUnder(Paths.get(idx), "tombstones").get.isEmpty)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expect)
+    // reclaimed physically at the next maintenance entry
+    AnnIndex.compactCells(spark, idx)
     assert(!Files.isDirectory(Paths.get(idx, "tombstones")))
     assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
       == expect)
@@ -472,6 +492,9 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.range(0, 3000000, 1, 8)
       .select(xxhash64(col("id")).as("vec_id"))
       .write.mode("overwrite").parquet(s"$idx/tombstones")
+    // direct side-table writes bypass deleteFromAnnIndex's snapshot
+    // commit: re-commit the listing so manifest-pinned reads see them
+    AnnIndex.refreshSideManifest(idx)
     val bytes = graft.operators.IndexLifecycle.idSideBytes(spark,
       Paths.get(idx, "tombstones"))
     val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
@@ -495,6 +518,7 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.range(1L << 41, (1L << 41) + 16000000, 8, 8)
       .select(col("id").as("vec_id"))
       .write.mode("overwrite").parquet(s"$idx/tombstones")
+    AnnIndex.refreshSideManifest(idx)
     val tombDir = Paths.get(idx, "tombstones")
     assert(graft.operators.IndexLifecycle.parquetBytes(tombDir) <= budget,
       "fixture must compress under the budget on disk")
@@ -509,6 +533,7 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.range(0, 10, 1, 1)
       .select((col("id") + (1L << 41)).as("vec_id"))
       .write.mode("overwrite").parquet(s"$idx/tombstones")
+    AnnIndex.refreshSideManifest(idx)
     val small = AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)
     assert(canon(small) == expect)
     val (smallBroadcast, _) =
@@ -790,6 +815,48 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.probeAnnIndexPq(spark, idx, probes, 4, 3).count() == 30)
   }
 
+  test("manifest-pinned probes see a consistent snapshot across a compaction swap") {
+    import graft.operators.IndexLifecycle
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 400), cents, idx)
+    AnnIndex.appendToAnnIndex(vecsQ.filter(col("vec_id") >= 400), idx)
+    AnnIndex.deleteFromAnnIndex(
+      vecsQ.filter(col("vec_id") % 10 === 7).select(col("vec_id")), idx)
+    val expected = canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+    // resolve a probe under snapshot N: the frame pins its file lists
+    // at construction (the manifest read + explicit-file scans)
+    val pinned = AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)
+    // force the full swap BETWEEN resolution and scan: delta fold +
+    // tombstone application + an every-cell merge — snapshot N+1
+    // committed, every base file superseded
+    AnnIndex.compactCells(spark, idx, maxFilesPerCell = 0)
+    // the in-flight reader sees exactly snapshot N's rows — never a
+    // merged+original duplicate, never a missing file (the old
+    // listing-mid-swap failure modes the quiesce contract papered
+    // over)
+    assert(canon(pinned) == expected,
+      "snapshot-N reader must return exactly the pre-state rows")
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expected, "snapshot-N+1 reader must see the post-state")
+    // superseded files are RETAINED on disk for exactly one
+    // maintenance interval, invisible to the snapshot
+    val root = Paths.get(idx)
+    def onDisk(): Set[String] =
+      Seq("cells", "delta", "tombstones")
+        .flatMap(IndexLifecycle.listRelParquet(root, _)).toSet
+    val live = IndexLifecycle.readManifest(root).get.toSet
+    assert((onDisk() -- live).nonEmpty,
+      "compaction must retain superseded files for in-flight readers")
+    // the next maintenance entry reclaims them; probes unchanged
+    AnnIndex.compactCells(spark, idx)
+    assert(onDisk() == IndexLifecycle.readManifest(root).get.toSet,
+      "after reclamation disk must equal the snapshot")
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3))
+      == expected)
+  }
+
   test("maintainAnnIndex is a no-op on a healthy index, compacts past the cadence") {
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
       rawCentroids(16), iters = 2)
@@ -808,9 +875,12 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.needsCompaction(idx))
     val report = AnnIndex.maintainAnnIndex(spark, idx)
     assert(!report.rebuilt)
-    // the fold ran: delta gone, cadence reset (`compacted` counts
-    // REWRITTEN cells — a pure fold can legitimately report 0)
-    assert(!Files.isDirectory(Paths.get(idx, "delta")))
+    // the fold ran: delta out of the snapshot, cadence reset
+    // (`compacted` counts REWRITTEN cells — a pure fold can
+    // legitimately report 0; the retained files reclaim at the next
+    // maintenance entry)
+    assert(graft.operators.IndexLifecycle
+      .manifestFilesUnder(Paths.get(idx), "delta").get.isEmpty)
     assert(!AnnIndex.needsCompaction(idx))
     incr.unpersist()
   }
