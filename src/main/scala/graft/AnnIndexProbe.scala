@@ -131,6 +131,15 @@ object AnnIndexProbe {
             .map(_.toString).toSet)
       val before = listIdx()
       val metaBytes = java.nio.file.Files.readAllBytes(metaPath)
+      // the append commits the layout manifest too: snapshot it for
+      // the rollback (a restored meta with a post-append manifest
+      // would point probes at deleted delta files)
+      val manPath = java.nio.file.Paths.get(idxDir,
+        graft.operators.IndexLifecycle.ManifestName)
+      val manBytes =
+        if (java.nio.file.Files.isRegularFile(manPath))
+          Some(java.nio.file.Files.readAllBytes(manPath))
+        else None
       val ta = System.nanoTime()
       AnnIndex.appendToAnnIndex(appendQ, idxDir)
       val appendSec = (System.nanoTime() - ta) / 1e9
@@ -140,6 +149,10 @@ object AnnIndexProbe {
       (listIdx() -- before).foreach(f =>
         java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
       java.nio.file.Files.write(metaPath, metaBytes)
+      manBytes match {
+        case Some(b) => java.nio.file.Files.write(manPath, b)
+        case None => java.nio.file.Files.deleteIfExists(manPath)
+      }
 
       def j(v: Double) = if (v.isNaN) "null" else f"$v%.2f"
       println(s"""{"corpus_vecs":$n,"n_cells":$nCells,""" +

@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Dedup, Similarity}
+
+import scala.jdk.CollectionConverters._
+
+/** IVF-PQ probe-IO ladder (SCALING.md §4.25, round-13 judge ask #1):
+  * the persisted full-vector index's probe reads the `qv` column of
+  * the pruned cells; a PQ-coded index's scoring scan reads the M-code
+  * `codes` column instead. Per rung this measures:
+  *
+  *  - probe10_full: the full-vector exact probe (the §4.17 baseline);
+  *  - probe10_pq: the quantized probe (`exactRerank = false` — ranks
+  *    are the ADC order; nothing but codes is read);
+  *  - probe10_pq_exact: ADC shortlist + exact re-rank (adds one
+  *    shortlist-bounded read of the probed cells' qv column);
+  *  - per-pass task-input BYTES, and the exact per-COLUMN compressed
+  *    chunk bytes of `qv` vs `codes` from the cell parquet footers —
+  *    the scoring-scan bytes at any nProbe fraction.
+  *
+  * Two corpora per size: the standard ScaleGen fixture, and a
+  * HIGH-ENTROPY variant (`hient`, hash-uniform quantized dims) —
+  * added because the first run of this rung FOUND that parquet
+  * compression makes the IO claim entropy-dependent: the fixture's
+  * clustered vectors dictionary/RLE-compress to ~25 B/vec, so codes
+  * save little there, while production embeddings are high-entropy
+  * and compress barely below raw width.
+  *
+  * Config: nCells = √N (the §4.17 sizing), books M=8 × K=64
+  * codewords trained on a bounded 262k sample (1 Lloyd round) — the
+  * bulk encode kernel path (M·K=512 > InlinePqCodewordsMax).
+  * All indexes are cached on disk across runs.
+  * Usage: scripts/run_main.sh graft.PqProbe [sizes-csv]
+  */
+object PqProbe {
+
+  private val PQ_M = 8
+  private val PQ_SUBDIM = 8
+  private val PQ_K = 64
+  private val TrainSample = 262144L
+
+  /** Hash-uniform quantized vector in the fixture's value range —
+    * the entropy floor real embedding corpora sit at. */
+  private[graft] def hiEntropyQv(id: Long, dims: Int): Seq[Long] =
+    (0 until dims).map { j =>
+      val h = ScaleGen.mix(id * 64 + j + 987654321L)
+      (Math.floorMod(h, 2001L)) - 1000L
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = (if (args.nonEmpty) args(0) else "4000000,8000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // task-input byte counter (counts bytes delivered to readers —
+    // page-cache-independent, so passes are comparable)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+
+    val maxN = sizes.max
+    val incDir = s"$base/vecinc_from$maxN"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "_SUCCESS"))) {
+      spark.range(maxN, maxN + 20000, 1, 8)
+        .map(i => ScaleGen.vecRow(i))
+        .write.mode("overwrite").parquet(incDir)
+    }
+
+    for (n <- sizes; variant <- Seq("fix", "hient")) {
+      val vecsQ =
+        if (variant == "fix") {
+          val vecDir = s"$base/vecs_n$n"
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(vecDir, "_SUCCESS"))) {
+            val parts = math.max(8, math.min(64, (n / 50000).toInt))
+            spark.range(0, n, 1, parts).map(i => ScaleGen.vecRow(i))
+              .write.mode("overwrite").parquet(vecDir)
+          }
+          spark.read.parquet(vecDir)
+            .select(col("vec_id"), col("label"),
+              Similarity.quantize(col("embedding")).as("qv"))
+        } else {
+          val vecDir = s"$base/vecsq_hient_n$n"
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(vecDir, "_SUCCESS"))) {
+            val parts = math.max(8, math.min(64, (n / 50000).toInt))
+            spark.range(0, n, 1, parts)
+              .map(i => (i, (i % 640).toInt, hiEntropyQv(i, 64)))
+              .toDF("vec_id", "label", "qv")
+              .write.mode("overwrite").parquet(vecDir)
+          }
+          spark.read.parquet(vecDir)
+        }
+      def probesN(k: Long) =
+        if (variant == "fix")
+          spark.read.parquet(incDir)
+            .filter(col("vec_id") < maxN + k)
+            .select(col("vec_id").as("probe_id"),
+              Similarity.quantize(col("embedding")).as("pqv"))
+        else
+          (maxN until maxN + k).map(i =>
+              (i, hiEntropyQv(i, 64)))
+            .toDF("probe_id", "pqv")
+      val probes10 = probesN(10)
+      // the ingest-shaped batch: 1000 diverse probes × nProbe=10 touch
+      // ~every cell, so the scoring scan reads the whole corpus'
+      // scoring column — where the qv-vs-codes width shows up in wall
+      // AND bytes (10-cell probes are footer-read-bound instead)
+      val probes1k = probesN(1000)
+      val nCells = math.max(64, math.round(math.sqrt(n.toDouble))).toInt
+
+      def ensureIdx(dir: String, pq: Boolean): Double = {
+        val metaPath = java.nio.file.Paths.get(dir, "_INDEX_META")
+        if (java.nio.file.Files.isRegularFile(metaPath)) return Double.NaN
+        val t0 = System.nanoTime()
+        val seeds = vecsQ.filter(col("vec_id") < nCells)
+          .select(col("vec_id"), col("qv")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1).toSeq
+        val trainSet = vecsQ.filter(col("vec_id") < TrainSample)
+        val cents = AnnIndex.kmeansBulk(trainSet.select(col("qv")), seeds,
+          iters = 2)
+        val books =
+          if (!pq) None
+          else {
+            // sort before re-keying: collect order is task-completion
+            // order, and nondeterministic seeds would train different
+            // books per run (review finding — rung runs must compare)
+            val seedRows = vecsQ.filter(col("vec_id") < PQ_K)
+              .select(col("vec_id"), col("qv")).collect()
+              .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+              .sortBy(_._1).map(_._2).zipWithIndex
+              .map { case (qc, i) => (i.toLong, qc) }
+            val seedBooks = (0 until PQ_M).map { m =>
+              seedRows.toSeq.map { case (cid, qc) =>
+                (cid, qc.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)) }
+            }
+            Some(Similarity.pqTrain(trainSet.select(col("qv")), seedBooks,
+              PQ_SUBDIM, iters = 1))
+          }
+        AnnIndex.buildAnnIndex(vecsQ, cents, dir, pqBooks = books)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val fullDir =
+        if (variant == "fix") s"$base/annidx_s_n$n" // shared w/ AnnIndexProbe
+        else s"$base/annidx_he_n$n"
+      val pqDir =
+        if (variant == "fix") s"$base/annpqidx_n$n"
+        else s"$base/annpqidx_he_n$n"
+      val buildFull = ensureIdx(fullDir, pq = false)
+      val buildPq = ensureIdx(pqDir, pq = true)
+
+      def measure(f: => Unit): (Double, Long) = {
+        spark.catalog.clearCache()
+        bytesRead.set(0)
+        val t0 = System.nanoTime()
+        f
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // drain async listener events
+        (sec, bytesRead.get)
+      }
+      def min2(f: => Unit): (Double, Long) = {
+        val a = measure(f); val b = measure(f)
+        if (b._1 < a._1) b else a
+      }
+      val pFull = min2(
+        AnnIndex.probeAnnIndex(spark, fullDir, probes10, nProbe = 10, k = 10)
+          .write.format("noop").mode("overwrite").save())
+      val pPq = min2(
+        AnnIndex.probeAnnIndexPq(spark, pqDir, probes10, nProbe = 10, k = 10,
+          exactRerank = false)
+          .write.format("noop").mode("overwrite").save())
+      val pPqEx = min2(
+        AnnIndex.probeAnnIndexPq(spark, pqDir, probes10, nProbe = 10, k = 10)
+          .write.format("noop").mode("overwrite").save())
+      val pFull1k = min2(
+        AnnIndex.probeAnnIndex(spark, fullDir, probes1k, nProbe = 10, k = 10)
+          .write.format("noop").mode("overwrite").save())
+      val pPq1k = min2(
+        AnnIndex.probeAnnIndexPq(spark, pqDir, probes1k, nProbe = 10, k = 10,
+          exactRerank = false)
+          .write.format("noop").mode("overwrite").save())
+      // the unambiguous scoring-scan comparison: one full pass over
+      // each index's scoring column, no pruning, no join — what an
+      // every-cell (ingest/knn-shaped) scoring pass reads
+      val sQv = min2(
+        spark.read.parquet(s"$fullDir/cells")
+          .select(col("vec_id"), col("qv"))
+          .write.format("noop").mode("overwrite").save())
+      val sCodes = min2(
+        spark.read.parquet(s"$pqDir/cells")
+          .select(col("vec_id"), col("codes"))
+          .write.format("noop").mode("overwrite").save())
+
+      def j(v: Double) = if (v.isNaN) "null" else f"$v%.2f"
+      def cellsBytes(dir: String): Long =
+        graft.operators.IndexLifecycle.parquetBytes(
+          java.nio.file.Paths.get(dir, "cells"))
+      // exact per-COLUMN compressed chunk bytes from the cell footers:
+      // what the scoring scan reads per cell, independent of nProbe
+      def columnBytes(dir: String, colName: String): Long = {
+        val conf = spark.sessionState.newHadoopConf()
+        scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir, "cells")))(
+          _.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getBlocks.asScala.flatMap(
+                _.getColumns.asScala).filter(
+                _.getPath.toDotString.startsWith(colName))
+                .map(_.getTotalSize).sum
+              finally r.close()
+            }.sum)
+      }
+      println(s"""{"corpus_vecs":$n,"variant":"$variant",""" +
+        s""""n_cells":$nCells,"pq_m":$PQ_M,"pq_k":$PQ_K,""" +
+        s""""build_full_sec":${j(buildFull)},"build_pq_sec":${j(buildPq)},""" +
+        s""""cells_bytes_full":${cellsBytes(fullDir)},""" +
+        s""""cells_bytes_pq":${cellsBytes(pqDir)},""" +
+        s""""qv_col_bytes":${columnBytes(fullDir, "qv")},""" +
+        s""""codes_col_bytes":${columnBytes(pqDir, "codes")},""" +
+        s""""probe10_full_sec":${j(pFull._1)},"probe10_full_bytes":${pFull._2},""" +
+        s""""probe10_pq_sec":${j(pPq._1)},"probe10_pq_bytes":${pPq._2},""" +
+        s""""probe10_pq_exact_sec":${j(pPqEx._1)},"probe10_pq_exact_bytes":${pPqEx._2},""" +
+        s""""probe1k_full_sec":${j(pFull1k._1)},"probe1k_full_bytes":${pFull1k._2},""" +
+        s""""probe1k_pq_sec":${j(pPq1k._1)},"probe1k_pq_bytes":${pPq1k._2},""" +
+        s""""scan_qv_sec":${j(sQv._1)},"scan_qv_bytes":${sQv._2},""" +
+        s""""scan_codes_sec":${j(sCodes._1)},"scan_codes_bytes":${sCodes._2}}""")
+      Dedup.purgeScratchDirs()
+    }
+    spark.stop()
+  }
+}

@@ -202,20 +202,7 @@ object AnnIndex {
       val cs = bc.value
       rows.map { r =>
         val qv = r.getSeq[Long](qvIdx).toArray
-        var bestD = Long.MaxValue
-        var bestC = Long.MaxValue
-        var i = 0
-        while (i < cs.length) {
-          val qc = cs(i)._2
-          var d = 0L
-          var j = 0
-          while (j < qv.length) {
-            val x = qv(j) - qc(j); d += x * x; j += 1
-          }
-          if (d < bestD) { bestD = d; bestC = cs(i)._1 }
-          i += 1
-        }
-        Row.fromSeq(r.toSeq :+ bestC)
+        Row.fromSeq(r.toSeq :+ Similarity.argminQ(qv, 0, qv.length, cs))
       }
     }(enc)
   }
@@ -281,22 +268,7 @@ object AnnIndex {
         val codes = new Array[Int](bs.length)
         var m = 0
         while (m < bs.length) {
-          val cents = bs(m)
-          val off = m * subDim
-          var bestD = Long.MaxValue
-          var bestC = 0
-          var i = 0
-          while (i < cents.length) {
-            val qc = cents(i)._2
-            var d = 0L
-            var j = 0
-            while (j < subDim) {
-              val x = qv(off + j) - qc(j); d += x * x; j += 1
-            }
-            if (d < bestD) { bestD = d; bestC = cents(i)._1.toInt }
-            i += 1
-          }
-          codes(m) = bestC
+          codes(m) = Similarity.argminQ(qv, m * subDim, subDim, bs(m)).toInt
           m += 1
         }
         Row.fromSeq(r.toSeq :+ codes.toSeq)
@@ -460,11 +432,12 @@ object AnnIndex {
         s"appendToAnnIndex: increment re-uses tombstoned vec_ids at " +
           s"$path — deleted ids stay deleted until the next rebuild")
     }
-    assigned.write.mode("append").parquet(s"$path/delta")
-    // snapshot commit: make the new delta files visible atomically
-    // (add-only dir — the disk listing is the truth, and a crashed
-    // previous attempt's files collapse at every consumer's dedup)
-    IndexLifecycle.commitSubListing(root, Seq("delta"))
+    // snapshot commit of EXACTLY the written files (a full relist
+    // would resurrect a previous compaction's retained folded delta —
+    // round-13 review finding: duplicate probe candidates)
+    IndexLifecycle.commitAddedWrite(root, "delta") {
+      assigned.write.mode("append").parquet(s"$path/delta")
+    }
     assigned.unpersist()
     val meta = before.copy(nVecs = before.nVecs + nNew,
       appendedVecs = before.appendedVecs + nNew)
@@ -527,10 +500,14 @@ object AnnIndex {
       // min(rows, defaultParallelism) part files PER DELETE, inflating
       // the compaction-cadence file count and the per-probe footer
       // reads (round-12 self-review finding)
-      spark.createDataset(newIds.toSeq).toDF("vec_id")
-        .coalesce(1)
-        .write.mode("append").parquet(s"$path/tombstones")
-      IndexLifecycle.commitSubListing(root, Seq("tombstones"))
+      // exact-files snapshot commit (a relist would resurrect a
+      // compaction-applied retained tombstone file, silently
+      // re-hiding a legitimately re-appended id — review finding)
+      IndexLifecycle.commitAddedWrite(root, "tombstones") {
+        spark.createDataset(newIds.toSeq).toDF("vec_id")
+          .coalesce(1)
+          .write.mode("append").parquet(s"$path/tombstones")
+      }
     }
     val nDel = newIds.length.toLong
     val meta = before.copy(nVecs = before.nVecs - nDel,
@@ -570,13 +547,20 @@ object AnnIndex {
 
   /** The base cells scan, manifest-pinned when a manifest exists (the
     * `basePath` option keeps hive-partition `cell` inference + pruning
-    * over an explicit file list). */
+    * over an explicit file list). A manifest listing ZERO cell files
+    * is the fully-deleted degenerate state — falling back to the
+    * directory there would resurrect compaction-retained superseded
+    * files (review finding), so it fails loudly instead: rebuild (or
+    * re-append into) an index whose live set is empty. */
   private def cellsScan(spark: SparkSession, path: String): DataFrame =
     IndexLifecycle.manifestFilesUnder(Paths.get(path), "cells") match {
-      case Some(files) if files.nonEmpty =>
+      case Some(files) =>
+        require(files.nonEmpty,
+          s"index at $path has no live cell files (every row deleted " +
+            "and compacted away) — rebuild it before searching")
         spark.read.option("basePath", s"$path/cells")
           .parquet(files.map(_.toString): _*)
-      case _ => spark.read.parquet(s"$path/cells")
+      case None => spark.read.parquet(s"$path/cells")
     }
 
   /** Re-commit the add-only side tables' disk listing into the layout

@@ -481,17 +481,47 @@ object IndexLifecycle {
     writeManifestAtomic(root, f(readManifest(root).getOrElse(Nil)))
 
   /** Replace the `sub` entries of the snapshot with the CURRENT disk
-    * listing — the add-only dirs' commit (their listing is the truth:
-    * files are only ever added between maintenance events, and
-    * crash-retried duplicates are each family's documented collapse).
-    * NO-OP on a legacy index (creating a partial manifest there would
-    * make readers resolve the UNLISTED dirs as empty). */
+    * listing. ONLY correct for a dir that was just rewritten WHOLESALE
+    * (an overwrite-mode write replaced every file, so the listing is
+    * the truth) — for an APPEND-mode side-table write use
+    * [[commitAddedWrite]]: a full relist there would RESURRECT files a
+    * previous compaction folded/applied and retained for its snapshot
+    * readers (round-13 review finding — duplicate probe candidates
+    * from re-listed delta; silently re-hidden ids from re-listed
+    * tombstones). NO-OP on a legacy index (creating a partial manifest
+    * there would make readers resolve the UNLISTED dirs as empty). */
   def commitSubListing(root: Path, subs: Seq[String]): Unit =
     if (readManifest(root).isDefined)
       updateManifest(root) { cur =>
         cur.filterNot(r => subs.exists(s => r.startsWith(s + "/"))) ++
           subs.flatMap(listRelParquet(root, _))
       }
+
+  /** Run an ADD-ONLY side-table write and commit EXACTLY the files it
+    * created into the snapshot (listing diff, valid under the
+    * single-writer contract). Files already on disk beforehand —
+    * including a previous compaction's retained-but-superseded ones —
+    * never (re-)enter the manifest. A crashed previous attempt's
+    * uncommitted files also stay out: the retry re-writes its rows
+    * into fresh files and the orphans reclaim at the next maintenance
+    * entry. */
+  def commitAddedWrite(root: Path, sub: String)(write: => Unit): Unit = {
+    val pre = listRelParquet(root, sub).toSet
+    write
+    if (readManifest(root).isDefined)
+      updateManifest(root)(cur =>
+        cur ++ listRelParquet(root, sub).filterNot(pre.contains))
+  }
+
+  /** Lifecycle bracket for a mutation run against a pristine cached
+    * index: copy, run, ALWAYS reclaim the copy (the four streaming
+    * mutation loops each hand-rolled this — review finding). */
+  def withMutableCopy[T](basePath: String)(f: String => T): T = {
+    val idx = freshMutableCopy(basePath)
+    try f(idx)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx))
+  }
 
   /** Delete parquet files under `subs` that the committed snapshot
     * does not list — the superseded files a previous maintenance

@@ -209,6 +209,31 @@ object Similarity {
       struct(l2sqLong(qv, array(qc.map(lit): _*)).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")
 
+  /** THE primitive argmin kernel every bulk assignment path shares
+    * (IVF cell assignment, PQ encode, PQ training): nearest centroid
+    * of `qv[off, off+sub)` over a cid-ASCENDING-sorted centroid array,
+    * strict `<` update — the exact tie-break (smallest distance, then
+    * smallest cid) of the inline Catalyst struct-min forms, pinned in
+    * ONE place because three hand-rolled copies had already started
+    * to drift cosmetically (round-13 review finding). */
+  private[operators] def argminQ(qv: Array[Long], off: Int, sub: Int,
+                                 cents: Array[(Long, Array[Long])]): Long = {
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val qc = cents(i)._2
+      var d = 0L
+      var j = 0
+      while (j < sub) {
+        val x = qv(off + j) - qc(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; bestC = cents(i)._1 }
+      i += 1
+    }
+    bestC
+  }
+
   /** Train all M PQ codebooks in ONE pass per Lloyd iteration: each
     * vector explodes to M (subspace, subvector) rows, the subspace-
     * dispatched inline argmin assigns a cell, and a single
@@ -232,11 +257,41 @@ object Similarity {
     }: _*)).as("s"))
       .select(col("s.m").as("m"), col("s.sq").as("qv"))
     for (_ <- 0 until iters) {
-      val cellExpr = books.zipWithIndex.tail.foldLeft(
-        when(col("m") === 0, argminCell(col("qv"), books(0)))) {
-        case (acc, (cents, i)) => acc.when(col("m") === i, argminCell(col("qv"), cents))
-      }
-      val sums = subRows.withColumn("cell", cellExpr)
+      // assignment kernel dispatch, the AnnIndex.InlinePqCodewordsMax
+      // discipline: the inline CaseWhen-of-argmins tree grows as
+      // M × K × subDim literals — at corpus-grade K it blows Janino's
+      // method budget and Spark limps on INTERPRETED (found at the
+      // §4.25 rung: K=64 training spewed codegen-fallback stack
+      // traces); wide books take a primitive per-partition loop,
+      // bit-identical tie-break (strict <, ascending cid)
+      val assigned =
+        if (books.map(_.size).sum <= AnnIndex.InlinePqCodewordsMax) {
+          val cellExpr = books.zipWithIndex.tail.foldLeft(
+            when(col("m") === 0, argminCell(col("qv"), books(0)))) {
+            case (acc, (cents, i)) =>
+              acc.when(col("m") === i, argminCell(col("qv"), cents))
+          }
+          subRows.withColumn("cell", cellExpr)
+        } else {
+          val spark = vecsQ.sparkSession
+          val bc = spark.sparkContext.broadcast(
+            books.map(_.toArray).toArray)
+          val schema = org.apache.spark.sql.types.StructType(
+            subRows.schema.fields :+
+              org.apache.spark.sql.types.StructField("cell",
+                org.apache.spark.sql.types.LongType))
+          val enc = org.apache.spark.sql.Encoders.row(schema)
+          subRows.mapPartitions { rows =>
+            val bs = bc.value
+            rows.map { r =>
+              val mIdx = r.getInt(0)
+              val qv = r.getSeq[Long](1).toArray
+              org.apache.spark.sql.Row(mIdx, r.get(1),
+                argminQ(qv, 0, qv.length, bs(mIdx)))
+            }
+          }(enc)
+        }
+      val sums = assigned
         .groupBy(col("m"), col("cell"))
         .agg(org.apache.spark.sql.graft.VectorMeanAgg
           .vector_sum_long(col("qv")).as("sn"))

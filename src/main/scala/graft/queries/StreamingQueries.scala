@@ -521,7 +521,7 @@ object StreamingQueries {
     *
     * The BASE index is a cached PRISTINE artifact (a corpus event);
     * every invocation copies it into a fresh scratch dir
-    * ([[graft.operators.IndexLifecycle.freshMutableCopy]]) and runs
+    * ([[graft.operators.IndexLifecycle.withMutableCopy]]) and runs
     * the full mutation loop against the copy — a mutation cannot
     * re-run against an already-mutated artifact (the delete-once
     * lesson), and serving later invocations from a persisted output
@@ -554,8 +554,7 @@ object StreamingQueries {
         .select(md5(col("text")).as("c_md5")).distinct()
         .write.mode("overwrite").parquet(p)
     }
-    val idx = IndexLifecycle.freshMutableCopy(base)
-    try {
+    IndexLifecycle.withMutableCopy(base) { idx =>
       // the staged stream carries a trailing REPLAY batch (exact
       // copies of batch-0's increment rows under fresh ids) so the
       // cross-batch rejection is non-vacuous at oracle SFs; the
@@ -597,8 +596,7 @@ object StreamingQueries {
         // eager checkpoint makes the frame self-contained)
         .localCheckpoint(true)
         .orderBy(col("doc_id"))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(idx))
+    }
   }
 
   /** stream_embed_gate_append: the ANN twin of [[stream_gate_append]]
@@ -640,8 +638,7 @@ object StreamingQueries {
             Similarity.quantize(col("embedding")).as("qv")),
         DataPipelineQueries.trainedIvfCentroidsBase(s, d, t), p)
     }
-    val idx = IndexLifecycle.freshMutableCopy(base)
-    try {
+    IndexLifecycle.withMutableCopy(base) { idx =>
       val inc = StreamingOps.embeddingsStreamWithReplay(s, d, nBatches)
       StreamingOps.runForeachBatch(s, inc,
         s"graft_stream_embed_gapp_$nBatches",
@@ -657,8 +654,7 @@ object StreamingQueries {
         })
         .localCheckpoint(true)
         .orderBy(col("vec_id"))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(idx))
+    }
   }
 
   /** stream_takedown: DELETES ARRIVING AS A STREAM — the reference's
@@ -688,8 +684,7 @@ object StreamingQueries {
           Similarity.quantize(col("embedding")).as("qv")),
         DataPipelineQueries.trainedIvfCentroids(s, d), p)
     }
-    val idx = IndexLifecycle.freshMutableCopy(base)
-    try {
+    IndexLifecycle.withMutableCopy(base) { idx =>
       val delStream = StreamingOps.embeddingsStream(s, d, nBatches)
         .select(col("vec_id"))
       StreamingOps.runForeachBatch(s, delStream,
@@ -712,8 +707,7 @@ object StreamingQueries {
         })
         .localCheckpoint(true)
         .orderBy(col("stage"), col("probe_id"), col("rank"))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(idx))
+    }
   }
 
   /** stream_sig_takedown: the SIGNATURE-family streaming takedown —
@@ -741,9 +735,8 @@ object StreamingQueries {
       "doc_id", "text", DataPipelineQueries.SHINGLE_K)
     // pristine shared corpus index (dedup_incremental's artifact);
     // the loop mutates a copy — every invocation pays the real loop
-    val idx = IndexLifecycle.freshMutableCopy(
-      DataPipelineQueries.docs90Index(s, d))
-    try {
+    IndexLifecycle.withMutableCopy(
+      DataPipelineQueries.docs90Index(s, d)) { idx =>
       val inc = hashedAll.withColumn("bucket", bucket)
         .filter(col("bucket") >= 90).drop("bucket")
       val delStream = StreamingOps.documentsStream(s, d, nBatches)
@@ -775,8 +768,7 @@ object StreamingQueries {
         })
         .localCheckpoint(true)
         .orderBy(col("stage"), col("id_new"), col("id_old"))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(idx))
+    }
   }
 
   val queries: Map[String, Q] = Map(

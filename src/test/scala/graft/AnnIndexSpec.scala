@@ -857,6 +857,43 @@ class AnnIndexSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("append/delete after a compaction never resurrect retained side files") {
+    // the round-13 review findings: a full side-table RELIST at
+    // append/delete commit time would re-manifest the files a
+    // previous compaction folded/applied and RETAINED for its
+    // snapshot readers — duplicate probe candidates from stale delta,
+    // silently re-hidden ids from stale tombstones
+    val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
+      rawCentroids(16), iters = 2)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 350), cents, idx)
+    AnnIndex.appendToAnnIndex(
+      vecsQ.filter(col("vec_id") >= 350 && col("vec_id") < 400), idx)
+    AnnIndex.compactCells(spark, idx) // folds the delta, RETAINS its file
+    AnnIndex.appendToAnnIndex(
+      vecsQ.filter(col("vec_id") >= 400 && col("vec_id") < 450), idx)
+    // stale-delta resurrection would duplicate every 350..400 row
+    val fresh1 = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ.filter(col("vec_id") < 450), cents, fresh1)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndex(spark, fresh1, probes, 4, 3)))
+    // tombstone half: delete x, compact (applies + retains the
+    // tombstone file), re-append x (legal: its tombstone is gone from
+    // the snapshot), then delete y — x must STAY visible
+    val x = vecsQ.filter(col("vec_id") === 5)
+    AnnIndex.deleteFromAnnIndex(x.select(col("vec_id")), idx)
+    AnnIndex.compactCells(spark, idx)
+    AnnIndex.appendToAnnIndex(x, idx)
+    AnnIndex.deleteFromAnnIndex(
+      vecsQ.filter(col("vec_id") === 6).select(col("vec_id")), idx)
+    val fresh2 = newIndexDir()
+    AnnIndex.buildAnnIndex(
+      vecsQ.filter(col("vec_id") < 450 && col("vec_id") =!= 6),
+      cents, fresh2)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) ==
+      canon(AnnIndex.probeAnnIndex(spark, fresh2, probes, 4, 3)))
+  }
+
   test("maintainAnnIndex is a no-op on a healthy index, compacts past the cadence") {
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
       rawCentroids(16), iters = 2)
