@@ -28,8 +28,8 @@ import graft.operators.{AnnIndex, Dedup, Similarity}
   * every rung — the IndexProbe id-reuse lesson, round-9 ADVICE). */
 object AnnIndexProbe {
 
-  private val ProbeBig = 10000L
-  private val AppendVecs = 10000L
+  private[graft] val ProbeBig = 10000L
+  private[graft] val AppendVecs = 10000L
 
   /** Training-sample size for the `sample` variant: the corpus-
     * independent quantizer-training bound every production IVF uses

@@ -5,8 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, IndexLifecycle, SignatureIndex}
 
-import scala.jdk.CollectionConverters._
-
 /** Gate→append COMPOSITION ladder (SCALING.md §4.24, round-12 judge
   * ask #4): §4.18 prices the stateless gate and §4.16 the append, but
   * the composed production loop — gate the batch, append the
@@ -16,11 +14,12 @@ import scala.jdk.CollectionConverters._
   * .maintainIndex]] per trigger) over a fixed 100k-doc increment cut
   * into 4 × 25k batches, against corpora of growing size, on a fresh
   * mutable copy of the cached per-rung index ([[IndexLifecycle
-  * .freshMutableCopy]] — a mutation cannot re-run against a mutated
-  * artifact). The claim under measurement: per-trigger cost is ~FLAT
-  * across corpus doublings (batch-sized broadcasts semi-pruning
-  * persisted scans + increment-sized appends + an O(1) maintenance
-  * consult — nothing corpus-shaped per trigger).
+  * .withMutableCopy]] — a mutation cannot re-run against a mutated
+  * artifact). The claim under measurement: per-trigger cost grows
+  * SUBLINEARLY across corpus doublings (batch-sized broadcasts
+  * semi-pruning the corpus-banded scan before any exchange +
+  * increment-sized appends + the maintenance consult — nothing
+  * corpus-SHUFFLED per trigger; the pruned scan is the §4.15 term).
   * Usage: scripts/run_main.sh graft.GateAppendProbe [sizes-csv]
   */
 object GateAppendProbe {
@@ -31,6 +30,13 @@ object GateAppendProbe {
   def main(args: Array[String]): Unit = {
     val sizes = (if (args.nonEmpty) args(0) else "1000000,2000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
+    // the per-trigger claim assumes the rebuild arm CANNOT fire: the
+    // cumulative 100k admissions must stay under RebuildFraction of
+    // the corpus, or maintainIndex silently rebuilds mid-loop (wiping
+    // admissions and corrupting the measurement — review finding)
+    require(sizes.forall(_ * IndexLifecycle.RebuildFraction > IncrementDocs),
+      s"corpus sizes must exceed ${(IncrementDocs / IndexLifecycle.RebuildFraction).toLong} " +
+        "docs or the drift policy rebuilds mid-loop")
     val base = sys.env.getOrElse("GRAFT_SCALE_BASE", "target/scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -71,8 +77,7 @@ object GateAppendProbe {
         docs.select(md5(col("text")).as("c_md5")).distinct()
           .write.mode("overwrite").parquet(p)
       }
-      val idx = IndexLifecycle.freshMutableCopy(idxDir)
-      try {
+      IndexLifecycle.withMutableCopy(idxDir) { idx =>
         val triggerSecs = new Array[Double](Triggers)
         val admitted = new Array[Long](Triggers)
         val maintSecs = new Array[Double](Triggers)
@@ -100,11 +105,8 @@ object GateAppendProbe {
           s""""trigger_secs":${arr(triggerSecs)},""" +
           s""""maint_consult_secs":${arr(maintSecs)},""" +
           s""""admitted":${admitted.mkString("[", ",", "]")}}""")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(idx))
-        Dedup.purgeScratchDirs()
       }
+      Dedup.purgeScratchDirs()
     }
     spark.stop()
   }

@@ -22,12 +22,14 @@ import scala.jdk.CollectionConverters._
   *    the scoring-scan bytes at any nProbe fraction.
   *
   * Two corpora per size: the standard ScaleGen fixture, and a
-  * HIGH-ENTROPY variant (`hient`, hash-uniform quantized dims) —
-  * added because the first run of this rung FOUND that parquet
-  * compression makes the IO claim entropy-dependent: the fixture's
-  * clustered vectors dictionary/RLE-compress to ~25 B/vec, so codes
-  * save little there, while production embeddings are high-entropy
-  * and compress barely below raw width.
+  * HIGH-ENTROPY control (`hient`, hash-uniform quantized dims) —
+  * added when the first capture's task-byte numbers looked
+  * compression-confounded. The column-chunk measurement settled it:
+  * both variants store qv at ~92 B/vec and codes at ~6.2 B/vec
+  * (14.8× — the fixture was never the problem; the task-level
+  * bytesRead metric under-reports local column reads and 10-cell
+  * probes are footer-bound). The control stays: it pins the claim
+  * against the entropy objection at zero marginal interpretation.
   *
   * Config: nCells = √N (the §4.17 sizing), books M=8 × K=64
   * codewords trained on a bounded 262k sample (1 Lloyd round) — the
@@ -81,7 +83,12 @@ object PqProbe {
     val incDir = s"$base/vecinc_from$maxN"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(incDir, "_SUCCESS"))) {
-      spark.range(maxN, maxN + 20000, 1, 8)
+      // the dir is SHARED with AnnIndexProbe (same path, same
+      // _SUCCESS-keyed cache): size it from that probe's own
+      // constants so neither harness can silently reshape the
+      // other's cached increment (review finding)
+      spark.range(maxN,
+          maxN + AnnIndexProbe.ProbeBig + AnnIndexProbe.AppendVecs, 1, 8)
         .map(i => ScaleGen.vecRow(i))
         .write.mode("overwrite").parquet(incDir)
     }

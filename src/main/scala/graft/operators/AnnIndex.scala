@@ -386,18 +386,21 @@ object AnnIndex {
     * in the frozen quantizer) — only quantizer STALENESS drifts,
     * bounded by [[RebuildFraction]]/[[needsRebuild]].
     *
-    * Partial-failure contract (single-writer), now UNIFORM with
-    * [[SignatureIndex.appendToIndex]]: if delta files land but the
-    * meta rewrite doesn't, probes stay CORRECT (they scan `delta/`
-    * directly; meta is bookkeeping), and RE-RUNNING the append is
-    * duplicate-safe — every consumer collapses delta duplicates
-    * (probes and k-NN joins dedupe the delta scan on `vec_id`;
-    * [[compactCells]]' fold dedupes before folding), so the retry
-    * costs only the duplicate's bytes until the next compaction.
-    * Requires `vec_id` unique within the increment (the same
-    * uniqueness the candidate frame's contract already assumes). Meta
-    * counters may double-count a retried append — conservative: the
-    * only effect is an EARLIER [[needsRebuild]]. */
+    * Partial-failure contract (single-writer) — ATOMIC since the
+    * manifest era (the round-13 second review pass retired the old
+    * "landed delta files are immediately probed" wording this
+    * docstring used to carry): the append is visible all-or-nothing
+    * at the snapshot commit. A crash BEFORE the commit leaves the
+    * written files as unlisted orphans — probes never see them, the
+    * retry re-appends the rows into fresh files, and the orphans
+    * reclaim at the next maintenance entry. A caller MUST treat a
+    * failed append as not-applied and retry (duplicate-safe: even a
+    * doubly-committed retry collapses at every consumer's `vec_id`
+    * dedup — probes/k-NN joins dedupe the delta scan,
+    * [[compactCells]]' fold dedupes before folding). Requires
+    * `vec_id` unique within the increment. Meta counters may
+    * double-count a retried append — conservative: the only effect
+    * is an EARLIER [[needsRebuild]]. */
   def appendToAnnIndex(newVecsQ: DataFrame, path: String): Meta = {
     val spark = newVecsQ.sparkSession
     val root = Paths.get(path)
@@ -407,13 +410,17 @@ object AnnIndex {
     // On a PQ-coded layout the increment arrives WITHOUT codes (they
     // are derived data, encoded here against the frozen books — the
     // same frozen-artifact contract as the cell assignment).
-    val existing = spark.read.parquet(s"$path/cells")
-      .schema.fieldNames.toSet - "cell" -
-      (if (before.pqM > 0) "codes" else "")
     val incoming = newVecsQ.schema.fieldNames.toSet
-    require(incoming == existing,
-      s"appendToAnnIndex: increment columns $incoming do not match the " +
-        s"indexed cell columns $existing at $path")
+    // a fully-deleted-and-reclaimed index has no live schema source —
+    // the reviving increment re-seeds it (None arm)
+    cellsScanOpt(spark, path)
+      .orElse(sideFiles(path, "delta").map(files =>
+        spark.read.parquet(files.map(_.toString): _*)))
+      .map(_.schema.fieldNames.toSet - "cell" -
+        (if (before.pqM > 0) "codes" else ""))
+      .foreach(existing => require(incoming == existing,
+        s"appendToAnnIndex: increment columns $incoming do not match " +
+          s"the indexed cell columns $existing at $path"))
     val cents = readCentroids(spark, path)
     val assigned0 = assign(newVecsQ, cents)
     val assigned = (if (before.pqM > 0)
@@ -459,10 +466,13 @@ object AnnIndex {
     * every consumer through [[IndexLifecycle.boundedIdJoin]]
     * (broadcast below the session threshold, size-driven SHUFFLE_HASH
     * above — the drift bound is advisory, so no code path bets an OOM
-    * on it). RE-RUNNING a half-failed delete is duplicate-safe (ids
-    * already tombstoned drop out before counting or writing); meta is
-    * bookkeeping (probes consult `tombstones/` directly). Deleting a
-    * never-indexed id is a TRUE no-op — the increment is semi-joined
+    * on it). ATOMIC since the manifest era: the delete is visible
+    * all-or-nothing at the snapshot commit — a crash before it leaves
+    * the tombstone file an unlisted orphan (probes unaffected), and
+    * the caller MUST treat the delete as not-applied and retry
+    * (duplicate-safe: already-tombstoned ids drop out before counting
+    * or writing). Deleting a never-indexed id is a TRUE no-op — the
+    * increment is semi-joined
     * against the slim vec_id column of base+delta first (one
     * maintenance-priced columnar scan), so foreign ids touch neither
     * the side table nor the drift counters (round-11 What's-wrong #2:
@@ -477,10 +487,16 @@ object AnnIndex {
     // only ids PRESENT in the live index count: broadcast the
     // increment into a semi over the slim vec_id column (output
     // increment-bounded), then drop ids already tombstoned
-    val baseIds = cellsScan(spark, path).select(col("vec_id"))
-    val liveIds = sideFiles(path, "delta").fold(baseIds)(files =>
-      baseIds.unionByName(spark.read
-        .parquet(files.map(_.toString): _*).select(col("vec_id"))))
+    val baseIds = cellsScanOpt(spark, path).map(_.select(col("vec_id")))
+    val deltaIds = sideFiles(path, "delta").map(files => spark.read
+      .parquet(files.map(_.toString): _*).select(col("vec_id")))
+    val liveIds = (baseIds, deltaIds) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      // nothing live: every delete is a foreign-id TRUE no-op
+      case (None, None) => return before
+    }
     val present = liveIds
       .join(broadcast(ts0), Seq("vec_id"), "left_semi").distinct()
     val fresh = tombstoneIds(spark, path).fold(present) {
@@ -547,20 +563,22 @@ object AnnIndex {
 
   /** The base cells scan, manifest-pinned when a manifest exists (the
     * `basePath` option keeps hive-partition `cell` inference + pruning
-    * over an explicit file list). A manifest listing ZERO cell files
-    * is the fully-deleted degenerate state — falling back to the
+    * over an explicit file list). None = a manifest listing ZERO cell
+    * files — the fully-deleted degenerate state: falling back to the
     * directory there would resurrect compaction-retained superseded
-    * files (review finding), so it fails loudly instead: rebuild (or
-    * re-append into) an index whose live set is empty. */
-  private def cellsScan(spark: SparkSession, path: String): DataFrame =
+    * files (review finding #1 of round 13), and throwing made the
+    * state UNRECOVERABLE (review finding of the second pass: rebuild
+    * and re-append both read through this scan) — so callers compose
+    * with the delta instead: an all-delta index probes fine, and only
+    * a base-less AND delta-less search fails loudly. */
+  private def cellsScanOpt(spark: SparkSession,
+                           path: String): Option[DataFrame] =
     IndexLifecycle.manifestFilesUnder(Paths.get(path), "cells") match {
-      case Some(files) =>
-        require(files.nonEmpty,
-          s"index at $path has no live cell files (every row deleted " +
-            "and compacted away) — rebuild it before searching")
-        spark.read.option("basePath", s"$path/cells")
-          .parquet(files.map(_.toString): _*)
-      case None => spark.read.parquet(s"$path/cells")
+      case Some(files) if files.nonEmpty =>
+        Some(spark.read.option("basePath", s"$path/cells")
+          .parquet(files.map(_.toString): _*))
+      case Some(_) => None
+      case None => Some(spark.read.parquet(s"$path/cells"))
     }
 
   /** Re-commit the add-only side tables' disk listing into the layout
@@ -689,14 +707,21 @@ object AnnIndex {
                              excludeIds: Option[DataFrame] = None): DataFrame = {
     def pruned(df: DataFrame): DataFrame =
       cellPred.fold(df)(p => df.filter(p))
-    val base = pruned(cellsScan(spark, path))
     // un-compacted appends: increment-class side table, snapshot-
     // resolved (an empty dir / a superseded-but-retained file set is
-    // invisible)
-    val cands0 = sideFiles(path, "delta").fold(base) { files =>
-      base.unionByName(
-        pruned(spark.read.parquet(files.map(_.toString): _*))
-          .dropDuplicates("vec_id"))
+    // invisible). A base-less index (everything deleted + compacted)
+    // serves from delta alone — appends REVIVE it.
+    val base = cellsScanOpt(spark, path).map(pruned)
+    val delta = sideFiles(path, "delta").map(files =>
+      pruned(spark.read.parquet(files.map(_.toString): _*))
+        .dropDuplicates("vec_id"))
+    val cands0 = (base, delta) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => throw new IllegalStateException(
+        s"index at $path has no live rows (every row deleted and " +
+          "compacted away) — rebuild it or append fresh data first")
     }
     // un-compacted deletes: strategy from the side table's MEASURED
     // bytes (the cumulative set is policy-bounded, not code-bounded,
@@ -1087,12 +1112,17 @@ object AnnIndex {
       // touched cells: bounded by min(|delta|, nCells) — control-plane
       val touched = delta.select(col("cell")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val baseIds = cellsScan(spark, path)
-        .filter(
-          if (touched.length <= IsinCellsMax) col("cell").isin(touched: _*)
-          else array_contains(lit(touched), col("cell")))
-        .select(col("vec_id"))
-      delta.join(baseIds, Seq("vec_id"), "left_anti")
+      // base may be EMPTY (fully-deleted index being revived by
+      // appends): the fold then lands every delta row
+      val folded0 = cellsScanOpt(spark, path).fold(delta) { cells =>
+        val baseIds = cells
+          .filter(
+            if (touched.length <= IsinCellsMax) col("cell").isin(touched: _*)
+            else array_contains(lit(touched), col("cell")))
+          .select(col("vec_id"))
+        delta.join(baseIds, Seq("vec_id"), "left_anti")
+      }
+      folded0
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(cellsRoot.toString)
@@ -1113,12 +1143,17 @@ object AnnIndex {
       val ts = ts0.cache()
       val removed = scala.collection.mutable.ArrayBuffer[Path]()
       val added = scala.collection.mutable.ArrayBuffer[Path]()
-      // the hive partition column infers as int: cast for the collect
-      val affected = IndexLifecycle.boundedIdJoin(
-          cellsScan(spark, path), ts, "vec_id", tsBytes,
-          "left_semi")
-        .select(col("cell").cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
+      // the hive partition column infers as int: cast for the collect.
+      // No base cells → tombstones cannot touch any (the fold above
+      // already ran, so delta-held tombstoned ids were folded first
+      // and a live base would exist).
+      val affected = cellsScanOpt(spark, path).fold(Array.empty[Long]) {
+        cells =>
+          IndexLifecycle.boundedIdJoin(cells, ts, "vec_id", tsBytes,
+            "left_semi")
+            .select(col("cell").cast("long")).distinct()
+            .collect().map(_.getLong(0)).sorted
+      }
       def applyTransform(df: DataFrame): DataFrame =
         IndexLifecycle.boundedIdJoin(df.dropDuplicates("vec_id"), ts,
           "vec_id", tsBytes, "left_anti")
@@ -1158,8 +1193,9 @@ object AnnIndex {
         val affectedPred =
           if (affected.length >= readMeta(path).nCells) lit(true)
           else array_contains(lit(affected), col("cell"))
+        // affected nonEmpty on this branch ⇒ base cells exist
         applyTransform(
-          cellsScan(spark, path).filter(affectedPred))
+          cellsScanOpt(spark, path).get.filter(affectedPred))
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(staging.toString)
         for (cid <- affected) {
@@ -1267,11 +1303,19 @@ object AnnIndex {
     // derived data re-encoded against the RETRAINED books. Reads are
     // manifest-pinned: a previous compaction's retained superseded
     // files must not be staged (their rows would be dedup-collapsed
-    // anyway, but the snapshot is the cheaper truth).
-    val base = cellsScan(spark, path).drop("cell", "codes")
-    val merged = sideFiles(path, "delta").fold(base)(files =>
-      base.unionByName(spark.read
-        .parquet(files.map(_.toString): _*).drop("cell", "codes")))
+    // anyway, but the snapshot is the cheaper truth). A base-less
+    // index rebuilds from its delta alone; base-less AND delta-less
+    // has nothing to rebuild — fail loudly.
+    val base = cellsScanOpt(spark, path).map(_.drop("cell", "codes"))
+    val deltaDf = sideFiles(path, "delta").map(files => spark.read
+      .parquet(files.map(_.toString): _*).drop("cell", "codes"))
+    val merged = (base, deltaDf) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => throw new IllegalStateException(
+        s"index at $path has no live rows — nothing to rebuild")
+    }
     // one corpus-wide dedup: a rebuild is the repair point for every
     // documented transient-duplicate crash window, so it must
     // collapse them all (retried appends, a crashed phase-2 swap)

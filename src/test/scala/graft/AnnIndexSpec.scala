@@ -894,6 +894,43 @@ class AnnIndexSpec extends AnyFunSuite {
       canon(AnnIndex.probeAnnIndex(spark, fresh2, probes, 4, 3)))
   }
 
+  test("a fully-deleted index fails loudly on probes but is revivable by appends") {
+    // the second review pass: the first cut THREW from the shared
+    // cells scan, making the state unrecoverable (rebuild and append
+    // both read through it). Now only a base-less AND delta-less
+    // SEARCH fails; deletes are no-ops and appends revive the index.
+    // 80 cells forces the BULK tombstone application (the arm that
+    // can empty the manifest outright).
+    val cents = rawCentroids(80)
+    val idx = newIndexDir()
+    AnnIndex.buildAnnIndex(vecsQ, cents, idx)
+    AnnIndex.deleteFromAnnIndex(vecsQ.select(col("vec_id")), idx)
+    AnnIndex.compactCells(spark, idx)
+    assert(graft.operators.IndexLifecycle
+      .manifestFilesUnder(Paths.get(idx), "cells").get.isEmpty)
+    val e = intercept[IllegalStateException](
+      AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3).collect())
+    assert(e.getMessage.contains("no live rows"))
+    // deleting against the empty index is a TRUE no-op
+    val m0 = AnnIndex.readMeta(idx)
+    assert(AnnIndex.deleteFromAnnIndex(
+      vecsQ.limit(5).select(col("vec_id")), idx) == m0)
+    // a fresh-id append REVIVES it: probes serve from delta alone
+    val revived = vecsQ.filter(col("vec_id") < 200)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    AnnIndex.appendToAnnIndex(revived, idx)
+    val fresh = newIndexDir()
+    AnnIndex.buildAnnIndex(revived, cents, fresh)
+    val expect = canon(AnnIndex.probeAnnIndex(spark, fresh, probes, 4, 3))
+    assert(expect.nonEmpty)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == expect)
+    // compaction folds the reviving delta back into base cells
+    AnnIndex.compactCells(spark, idx)
+    assert(graft.operators.IndexLifecycle
+      .manifestFilesUnder(Paths.get(idx), "cells").get.nonEmpty)
+    assert(canon(AnnIndex.probeAnnIndex(spark, idx, probes, 4, 3)) == expect)
+  }
+
   test("maintainAnnIndex is a no-op on a healthy index, compacts past the cadence") {
     val cents = Similarity.kmeansQuantized(vecsQ.select(col("qv")),
       rawCentroids(16), iters = 2)
