@@ -71,6 +71,23 @@ object Sketches {
       .groupBy(col("r"), col("pos"))
       .agg(count(lit(1)).as("c"))
 
+  /** [[cmCounters]] from an ALREADY-AGGREGATED (value, weight) frame:
+    * cell counts are the weight SUM of the values hashing into the
+    * cell — integer-identical to hashing each occurrence (the sketch
+    * is additive), but the d-way position explode runs over DISTINCT
+    * values instead of the corpus. The consumer that already
+    * wordcounts (heavy hitters needs the exact top anyway) builds the
+    * matrix from the vocabulary-sized result for free — one corpus
+    * pass instead of two (equivalence spec-pinned in
+    * TemporalJoinsSpec). */
+  def cmCountersWeighted(counts: DataFrame, valueCol: String,
+                         weightCol: String): DataFrame =
+    counts
+      .select(col(weightCol).as("_w"), posexplode(array((0 until CmDepth)
+        .map(r => cmPosition(col(valueCol), r)): _*)).as(Seq("r", "pos")))
+      .groupBy(col("r"), col("pos"))
+      .agg(sum(col("_w")).as("c"))
+
   /** Point-estimate the counts of `probes` (a small frame with
     * `valueCol`) against a counter matrix: est(v) = min over rows r of
     * counter[r, pos_r(v)] — never an underestimate, overestimate

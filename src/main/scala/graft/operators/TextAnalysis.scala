@@ -126,4 +126,101 @@ object TextAnalysis {
             concat(acc, x))
             .otherwise(concat(acc, lit(BpeSep), x))),
       BpeSep)
+
+  // ---- driver-local BPE trainer (small-vocabulary strategy switch) ------
+
+  /** Vocabulary-row budget for the DRIVER-LOCAL trainer arm: ≤ this
+    * many distinct words train locally (one collect + K in-memory
+    * rounds instead of 2K+ scheduled jobs over a cached vocab frame —
+    * the per-round argmax job dominated the trainer at bench scale);
+    * above it the distributed loop runs unchanged. 512k words ×
+    * ~100 B ≈ 50 MB driver heap — the same bounded-collect class as
+    * [[IndexLifecycle.boundedCollectIds]]. A 100-TB corpus vocabulary
+    * (hundreds of millions of distinct words) stays on the
+    * distributed arm by construction. */
+  val LocalBpeVocabMax: Int = 512 * 1024
+
+  /** Collect a (w, n) vocabulary frame for the local arm iff it fits
+    * [[LocalBpeVocabMax]] — `limit(max+1)` is pushed into the plan, so
+    * an over-budget vocabulary ships max+1 rows, not everything. */
+  def bpeLocalVocab(vocab: org.apache.spark.sql.DataFrame): Option[Array[(String, Long)]] = {
+    val rows = vocab.limit(LocalBpeVocabMax + 1).collect()
+    if (rows.length > LocalBpeVocabMax) None
+    else Some(rows.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  /** UTF-8 unsigned-byte string ordering — exactly Spark's UTF8String
+    * binary comparison, so the local argmax tie-break matches the
+    * distributed `orderBy(cnt desc, l, r)` byte-for-byte (plain
+    * String.compareTo diverges on supplementary characters). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** One greedy left-to-right merge — the EXACT local twin of
+    * [[bpeMergeOnce]]'s fold (merging rewrites the last segment to
+    * left+right, which can never equal `left` again; "aaa" → [aa, a]).
+    * Equivalence is property-pinned in DataMixSpec. */
+  private[graft] def bpeMergeOnceLocal(syms: Array[String], left: String,
+                                       right: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out(out.length - 1) == left && x == right)
+        out(out.length - 1) = left + x
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Driver-local BPE training: `rounds` greedy merges over a
+    * collected (word, count) vocabulary. Returns the merge table
+    * (rank, l, r, pair_count) and the final per-word symbol arrays —
+    * the SAME results as the distributed loop (weighted adjacent-pair
+    * counts, argmax by (count desc, l, r) in UTF-8 byte order, greedy
+    * fold per round), without its 2×rounds scheduled jobs. Symbols
+    * start as the word's single-char splits (split-on-empty minus
+    * empties, identical to the Column form). */
+  def bpeTrainLocal(vocab: Array[(String, Long)], rounds: Int):
+      (Seq[(Long, String, String, Long)], Array[(String, Array[String])]) = {
+    var words: Array[(String, Array[String], Long)] = vocab.map { case (w, n) =>
+      (w, w.split("").filter(_.nonEmpty), n)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + n)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        "BPE training needs at least one 2-symbol word")
+      val ((bl, br), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }(
+        Ordering.Tuple3(Ordering.Long,
+          Ordering.fromLessThan(utf8Lt), Ordering.fromLessThan(utf8Lt)))
+      merges += ((k.toLong, bl, br, cnt))
+      // encode consumers need the FINAL state, so the last round's
+      // merge is applied too (the distributed merges-only loop skips
+      // it — its callers never read the state after the last argmax)
+      words = words.map { case (w, syms, n) =>
+        (w, bpeMergeOnceLocal(syms, bl, br), n)
+      }
+    }
+    (merges.result(), words.map { case (w, syms, _) => (w, syms) })
+  }
 }

@@ -231,13 +231,16 @@ object DataPipelineQueries {
     * is rare in the corpus (≤ [[ContainGramCap]] holders). Scored on
     * the shingle-hash sets: containment of the smaller side ≥ 80%.
     *
-    * Shape at scale: grams are per-row distinct BEFORE the explode
-    * (array_distinct — no dedup shuffle); the gram groupBy is
-    * wordcount-shaped; pair formation happens only inside rare-gram
-    * buckets (population-capped, so the pair space is bucket-bounded
-    * exactly like the LSH band join); candidate pairs stay SLIM
-    * (ids only) through the gram self-join and collapse to DISTINCT
-    * pairs BEFORE the two payload-fetch joins score them.
+    * Shape at scale: ONE tokenize+hash pass produces hashed gram
+    * memberships (intra-doc repeats collapse map-side in the
+    * (doc, gram) aggregate, whose exchange every consumer reuses);
+    * the gram groupBy is wordcount-shaped; pair formation happens only
+    * inside rare-gram buckets (population-capped, so the pair space is
+    * bucket-bounded exactly like the LSH band join); candidate pairs
+    * stay SLIM (ids only) through the gram self-join, collapse to
+    * DISTINCT pairs, and the payload-fetch joins hash ONLY the docs a
+    * pair references (semi-pruned scan — the corpus is never hashed
+    * for documents no candidate touches).
     *
     * Why this deliberately does NOT co-locate payloads in the gram
     * join (§4.4's discipline for LSH — tried in round 9, measured,
@@ -270,34 +273,73 @@ object DataPipelineQueries {
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
     // same 96-bit hashed gram key as dedup_span_ngrams (§4.10): the
     // gram string never rides a shuffle — count, rare-filter and the
-    // pair self-join all key on (xxhash64, murmur32)
-    val grams = base.filter(col("n_tok") >= DupSpanK)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), col("n_tok") - (DupSpanK - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(DupSpanK)))))).as("gram"))
+    // pair self-join all key on (xxhash64, murmur32). Round-13 opt:
+    // the kernel is the span-ngram SHAPE too (posexplode start
+    // positions + multi-arg hash over element_at token refs — zero
+    // HOFs, no per-gram string allocation; the old
+    // explode(array_distinct(transform(.. concat_ws ..))) form built
+    // and hashed a ~50-byte string per gram INTERPRETED), and the
+    // per-doc distinct moves from the row-local array_distinct into
+    // the (doc_id, g1, g2) aggregate below — whose exchange is then
+    // REUSED by every consumer, so the tokenize+hash pass runs ONCE
+    // instead of four times (rare count, holders, and both self-join
+    // legs each re-evaluated it; plan audit: 4 Generate nodes over
+    // 4 parquet scans → 1).
+    val toks8 = (0 until DupSpanK).map(o =>
+      element_at(col("toks"), col("start") + o))
+    val gramsAll = base.filter(col("n_tok") >= DupSpanK)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), col("n_tok") - (DupSpanK - 1)))
+          .as(Seq("_i", "start")))
       .select(col("doc_id"),
-        xxhash64(col("gram")).as("g1"), hash(col("gram")).as("g2"))
+        xxhash64(toks8: _*).as("g1"), hash(toks8: _*).cast("long").as("g2"))
+    // distinct (doc, gram) memberships: intra-doc repeats collapse in
+    // the map-side partial aggregate (a doc's gram rows are co-located
+    // with their scan task), so the exchange ships ~distinct rows —
+    // the same bytes the old row-local array_distinct form shipped
+    val grams = gramsAll.dropDuplicates("doc_id", "g1", "g2")
     val rare = grams.groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt").between(2, gramCap))
       .select(col("g1"), col("g2"))
-    // sorted shifted int sets (the fatJoinPairs payload form): the
-    // per-pair set op is one allocation-free merge, half the bytes of
-    // the long arrays, and cardinalities are shift-invariant
-    val sets = Dedup.shingleHashSets(Tables.documents(s, d),
-        "doc_id", "text", SHINGLE_K)
-      .select(col("doc_id"),
-        array_sort(transform(col("hs"),
-          h => (h - 2147483648L).cast("int"))).as("hsi"),
-        size(col("hs")).cast("long").as("n_set"))
     // slim (ids-only) pair generation; memberships collapse ~90:1 to
     // distinct pairs BEFORE any payload moves (see the scaladoc above
     // for why co-locating payloads here is the wrong trade)
     val holders = grams.join(rare, Seq("g1", "g2"))
+    // pairs are bucket-bounded (≤ cap²/2 per rare gram): checkpoint the
+    // slim id pairs so the two payload-fetch joins and the survivor-id
+    // prune below read a materialized bounded frame instead of
+    // re-running the gram self-join per consumer
     val cand = holders.as("a").join(holders.as("b"),
         col("a.g1") === col("b.g1") && col("a.g2") === col("b.g2") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    // round-13 opt (§3.2's semi-prune discipline): only docs that
+    // appear in a candidate pair need their shingle-hash payload — the
+    // old form hashed the WHOLE corpus twice (once per fetch join).
+    // The survivor ids are pair-bounded, so the semi prunes the scan
+    // to survivors before any hashing; the join strategy is
+    // size-driven off the CHECKPOINTED pair count (boundedIdJoin:
+    // broadcast under the session threshold, width-governed
+    // SHUFFLE_HASH above — a plain join here planned SortMergeJoin
+    // with a full corpus exchange+sort per fetch, because the
+    // checkpoint's id frame carries no size estimate).
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val candIdBytes = 2L * 8L * cand.count() // ≥ distinct ids × 8 B
+    // sorted shifted int sets (the fatJoinPairs payload form): the
+    // per-pair set op is one allocation-free merge, half the bytes of
+    // the long arrays, and cardinalities are shift-invariant
+    val sets = Dedup.shingleHashSets(
+        graft.operators.IndexLifecycle.boundedIdJoin(
+          Tables.documents(s, d), candIds, "doc_id", candIdBytes,
+          "left_semi"),
+        "doc_id", "text", SHINGLE_K)
+      .select(col("doc_id"),
+        array_sort(transform(col("hs"),
+          h => (h - 2147483648L).cast("int"))).as("hsi"),
+        size(col("hs")).cast("long").as("n_set"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hsi").as("sa"),
         col("n_set").as("n_a")), "id_a")
@@ -1746,34 +1788,50 @@ object DataPipelineQueries {
     * class as broadcast-threshold decisions). Output: the learned merge
     * table, K rows. */
   private val text_bpe_merges: Q = (s, d) => {
+    import s.implicits._
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    // char symbols; split-on-empty keeps a trailing "" in Spark but not
-    // in DuckDB — filter to the common semantics
-    var state = vocab.select(col("w"), col("n"),
-      filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (k <- 1 to BPE_MERGES) {
-      val best = state
-        .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
-      val (bl, br) = (best.getAs[String]("l"), best.getAs[String]("r"))
-      merges += ((k.toLong, bl, br, best.getAs[Long]("cnt")))
-      if (k < BPE_MERGES) {
-        val next = state.withColumn("syms",
-          TextAnalysis.bpeMergeOnce(col("syms"), bl, br)).cache()
-        state.unpersist()
-        state = next
+    // round-13 opt — size-driven trainer arm (the CC local/distributed
+    // pattern): the trainer state is vocabulary-sized, so when the
+    // vocabulary fits the bounded-collect budget the K merge rounds run
+    // driver-local (one wordcount job + one collect instead of 2K
+    // scheduled argmax/merge jobs over a cached frame — the per-round
+    // job floor WAS the query at bench scale). Identical results by
+    // construction (UTF-8-byte argmax tie-break, same greedy fold;
+    // arm-equivalence property-pinned in DataMixSpec); a 100-TB
+    // vocabulary exceeds the budget and trains on the distributed arm
+    // below, unchanged.
+    val merged: Seq[(Long, String, String, Long)] =
+      TextAnalysis.bpeLocalVocab(vocab) match {
+        case Some(v) => TextAnalysis.bpeTrainLocal(v, BPE_MERGES)._1
+        case None =>
+          // char symbols; split-on-empty keeps a trailing "" in Spark
+          // but not in DuckDB — filter to the common semantics
+          var state = vocab.select(col("w"), col("n"),
+            filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
+          val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+          for (k <- 1 to BPE_MERGES) {
+            val best = state
+              .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
+              .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+              .agg(sum(col("n")).as("cnt"))
+              .orderBy(col("cnt").desc, col("l"), col("r"))
+              .limit(1).collect()(0)
+            val (bl, br) = (best.getAs[String]("l"), best.getAs[String]("r"))
+            merges += ((k.toLong, bl, br, best.getAs[Long]("cnt")))
+            if (k < BPE_MERGES) {
+              val next = state.withColumn("syms",
+                TextAnalysis.bpeMergeOnce(col("syms"), bl, br)).cache()
+              state.unpersist()
+              state = next
+            }
+          }
+          state.unpersist()
+          merges.toSeq
       }
-    }
-    state.unpersist()
-    import s.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    merged.toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy(col("merge_rank"))
   }
 
@@ -1812,9 +1870,17 @@ object DataPipelineQueries {
   private val pipeline_cm_heavyhitters: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
-    val counters = Sketches.cmCounters(toks, "token")
-    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token")).limit(20)
+    // round-13 opt: ONE corpus tokenize+wordcount feeds both the exact
+    // top-20 and the counter matrix (cmCountersWeighted sums the
+    // wordcount weights — additivity makes it integer-identical to
+    // hashing every occurrence; the old form exploded the corpus a
+    // second time just to rebuild counts the wordcount already had).
+    // The wordcount aggregate's exchange is shared by both consumers
+    // (identical subtree → reused shuffle), so the corpus is scanned
+    // and tokenized once.
+    val wc = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val counters = Sketches.cmCountersWeighted(wc, "token", "n")
+    val top = wc.orderBy(col("n").desc, col("token")).limit(20)
     Sketches.cmEstimate(counters, top, "token")
       .select(col("token"), col("n"), col("cm_estimate"),
         (col("cm_estimate") - col("n")).as("overestimate"))
@@ -1832,28 +1898,41 @@ object DataPipelineQueries {
     * and a per-doc rollup; the corpus-sized passes are exactly the
     * wordcount and the scoring join, the same shape as text_ngram_lm. */
   private val text_bpe_encode: Q = (s, d) => {
+    import s.implicits._
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    var state = vocab.select(col("w"), col("n"),
-      filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
-    for (_ <- 1 to BPE_MERGES) {
-      val best = state
-        .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
-      val next = state.withColumn("syms",
-        TextAnalysis.bpeMergeOnce(col("syms"),
-          best.getAs[String]("l"), best.getAs[String]("r"))).cache()
-      state.unpersist()
-      state = next
+    // round-13 opt: same size-driven trainer arm as text_bpe_merges —
+    // a small vocabulary trains driver-local and the per-word token
+    // costs come back as a LOCAL relation (vocabulary-sized, broadcast
+    // into the scoring join); a 100-TB vocabulary takes the
+    // distributed loop below, unchanged.
+    val tokPerWord: DataFrame = TextAnalysis.bpeLocalVocab(vocab) match {
+      case Some(v) =>
+        TextAnalysis.bpeTrainLocal(v, BPE_MERGES)._2.toSeq
+          .map { case (w, syms) => (w, syms.length.toLong) }
+          .toDF("w", "tok")
+      case None =>
+        var state = vocab.select(col("w"), col("n"),
+          filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
+        for (_ <- 1 to BPE_MERGES) {
+          val best = state
+            .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1).collect()(0)
+          val next = state.withColumn("syms",
+            TextAnalysis.bpeMergeOnce(col("syms"),
+              best.getAs[String]("l"), best.getAs[String]("r"))).cache()
+          state.unpersist()
+          state = next
+        }
+        // final state stays cached: the output plan reads it
+        // (Verify/Bench clear the cache between queries)
+        state.select(col("w"), size(col("syms")).cast("long").as("tok"))
     }
-    // final state stays cached: the output plan reads it (Verify/Bench
-    // clear the cache between queries)
-    val tokPerWord = state.select(col("w"), size(col("syms")).cast("long").as("tok"))
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")

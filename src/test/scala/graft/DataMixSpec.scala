@@ -95,6 +95,47 @@ class DataMixSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE local trainer arm equals the distributed loop (round-13 strategy switch)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // the REAL corpus vocabulary at the test SF, trained by both arms
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val local = TextAnalysis.bpeTrainLocal(
+      TextAnalysis.bpeLocalVocab(vocab).get, 3)
+    // distributed reference: the exact pre-round-13 loop
+    var state = vocab.select(col("w"), col("n"),
+      filter(split(col("w"), ""), x => x =!= "").as("syms")).cache()
+    val distMerges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to 3) {
+      val best = state
+        .select(col("n"), explode(TextAnalysis.adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      distMerges += ((k.toLong, best.getAs[String]("l"),
+        best.getAs[String]("r"), best.getAs[Long]("cnt")))
+      val next = state.withColumn("syms",
+        TextAnalysis.bpeMergeOnce(col("syms"),
+          best.getAs[String]("l"), best.getAs[String]("r"))).cache()
+      state.unpersist()
+      state = next
+    }
+    assert(local._1 == distMerges.toSeq,
+      s"merge tables diverge: local=${local._1} dist=${distMerges.toSeq}")
+    // final per-word symbol arrays agree too (the encode consumer)
+    val distState = state.select(col("w"), col("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    state.unpersist()
+    local._2.foreach { case (w, syms) =>
+      assert(distState(w) == syms.toSeq, s"word '$w' state diverges")
+    }
+    assert(local._2.length == distState.size)
+  }
+
   test("centroid sums: vector counts conserve the corpus per dim") {
     val rows = SparkEntry.queries("embed_centroids")(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()

@@ -243,6 +243,12 @@ class TemporalJoinsSpec extends AnyFunSuite {
     val whole = counters.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val got = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == whole)
+    // round-13: the weighted form over the exact wordcount rebuilds the
+    // SAME matrix (additivity — one corpus pass instead of two in the
+    // heavy-hitters consumer)
+    val weighted = Sketches.cmCountersWeighted(exact, "v", "n")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(weighted == whole, "weighted-from-wordcount matrix diverged")
   }
 
   test("hll estimate is within 20% of truth and registers merge by max across shards") {
