@@ -423,10 +423,13 @@ object AnnIndex {
           s"the indexed cell columns $existing at $path"))
     val cents = readCentroids(spark, path)
     val assigned0 = assign(newVecsQ, cents)
+    // cached for the (conditional) tombstone-clash probe below + the
+    // write; the appended-row COUNT is read from the new part files'
+    // footers after the write (round-13 opt: one fewer scheduled job
+    // per append — the gate→append loops pay this per trigger)
     val assigned = (if (before.pqM > 0)
       encodePq(assigned0, readBooks(spark, path), before.pqSubDim)
     else assigned0).cache()
-    val nNew = assigned.count()
     // a TOMBSTONED id stays deleted until the next rebuild (the
     // search anti-join and the compaction fold would both destroy the
     // re-appended row SILENTLY — the one failure mode the lifecycle
@@ -442,10 +445,14 @@ object AnnIndex {
     // snapshot commit of EXACTLY the written files (a full relist
     // would resurrect a previous compaction's retained folded delta —
     // round-13 review finding: duplicate probe candidates)
+    val preFiles = IndexLifecycle.listRelParquet(root, "delta").toSet
     IndexLifecycle.commitAddedWrite(root, "delta") {
       assigned.write.mode("append").parquet(s"$path/delta")
     }
     assigned.unpersist()
+    val nNew = IndexLifecycle.parquetRowCount(spark,
+      IndexLifecycle.listRelParquet(root, "delta")
+        .filterNot(preFiles.contains).map(root.resolve(_)))
     val meta = before.copy(nVecs = before.nVecs + nNew,
       appendedVecs = before.appendedVecs + nNew)
     writeMeta(root, meta)
@@ -600,22 +607,44 @@ object AnnIndex {
                     nProbe: Int, k: Int,
                     candidateFilter: Column = lit(true),
                     excludeIds: Option[DataFrame] = None): DataFrame = {
-    val cents = readCentroids(spark, path)
-    // the probe side is broadcast-class BY CONTRACT and the search
-    // broadcasts it anyway (a broadcast collects to the driver first),
-    // so the probe cells are materialized ONCE into a driver-LOCAL
-    // relation: the upstream probe plan runs a single time, the
-    // distinct-cell collect for partition pruning reads local rows,
-    // and nothing registers with the CacheManager (round-11 ADVICE:
-    // the cached frame was never unpersisted, and the streaming embed
-    // gate calls this once per micro-batch — a long-lived driver
-    // accumulated one cache entry per trigger without bound)
-    val pc = probeCellsOf(probesQ, cents, nProbe)
-    val probeCells = spark.createDataFrame(
+    searchCells(spark, path,
+      broadcast(materializedProbeCells(spark, path, probesQ, nProbe)),
+      candidateFilter, k, pruneCells = true, excludeIds = excludeIds)
+  }
+
+  /** The probe side of [[probeAnnIndex]] as a driver-LOCAL relation.
+    * The probe side is broadcast-class BY CONTRACT and the search
+    * broadcasts it anyway (a broadcast collects to the driver first),
+    * so the probe cells are materialized ONCE: the upstream probe plan
+    * runs a single time, the distinct-cell collect for partition
+    * pruning reads local rows, and nothing registers with the
+    * CacheManager (round-11 ADVICE: the cached frame was never
+    * unpersisted, and the streaming embed gate calls this once per
+    * micro-batch — a long-lived driver accumulated one cache entry per
+    * trigger without bound). Split out (round-13 opt) so a mutation
+    * loop probing a FIXED probe set between triggers evaluates the
+    * probe plan once per invocation instead of once per trigger — the
+    * cells depend only on the probes and the centroid table, so the
+    * caller must re-materialize after a maintenance REBUILD (retrained
+    * centroids; `Maintenance.rebuilt` is the signal) and is unaffected
+    * by compaction (cell layout moves, assignments don't). */
+  def materializedProbeCells(spark: SparkSession, path: String,
+                             probesQ: DataFrame, nProbe: Int): DataFrame = {
+    val pc = probeCellsOf(probesQ, readCentroids(spark, path), nProbe)
+    spark.createDataFrame(
       java.util.Arrays.asList(pc.collect(): _*), pc.schema)
+  }
+
+  /** [[probeAnnIndex]] over ALREADY-MATERIALIZED probe cells
+    * ([[materializedProbeCells]]) — reads the index state fresh per
+    * call, so per-trigger probes between mutations see every delete/
+    * append immediately; only the probe-side evaluation is reused. */
+  def probeAnnIndexCells(spark: SparkSession, path: String,
+                         probeCells: DataFrame, k: Int,
+                         candidateFilter: Column = lit(true),
+                         excludeIds: Option[DataFrame] = None): DataFrame =
     searchCells(spark, path, broadcast(probeCells), candidateFilter, k,
       pruneCells = true, excludeIds = excludeIds)
-  }
 
   /** k-NN JOIN against the persisted index: EVERY input vector probes
     * for its top-k — the k-NN-graph build a semantic-dedup or

@@ -169,9 +169,34 @@ object IndexLifecycle {
     * read-back against the twin's full sequential replay). The caller
     * deletes the copy when done. */
   def freshMutableCopy(basePath: String): String = {
+    val src = Paths.get(basePath)
     val dst = Files.createTempDirectory("graft_idxcopy_")
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(basePath), dst.toFile)
+    // Round-13 opt: HARDLINK the parquet part files instead of copying
+    // their bytes — parquet parts are immutable in every lifecycle
+    // (appends/compactions/rebuilds write NEW files and at most DELETE
+    // old ones; deleting a link never touches the pristine original),
+    // so the copy's only byte-copies are the small mutable metadata
+    // files (_INDEX_META is rewritten IN PLACE by writeMetaProps — a
+    // linked inode there would corrupt the pristine base; _MANIFEST,
+    // markers and sidecar stamps are copied too for uniformity). The
+    // mutation loops pay the real gate/append/delete/maintain work
+    // every invocation either way — the copy is setup, not the
+    // operator under measurement. Falls back to a byte copy when the
+    // filesystem refuses links (cross-device scratch).
+    scala.util.Using.resource(Files.walk(src))(_.iterator().asScala.toVector)
+      .foreach { p =>
+        val rel = src.relativize(p)
+        val out = dst.resolve(rel.toString)
+        if (Files.isDirectory(p)) Files.createDirectories(out)
+        else if (p.getFileName.toString.endsWith(".parquet"))
+          try Files.createLink(out, p)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, out,
+                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        else Files.copy(p, out)
+      }
     dst.toString
   }
 
@@ -330,6 +355,43 @@ object IndexLifecycle {
       scala.util.Using.resource(Files.list(dir))(
         _.iterator().asScala
           .exists(_.getFileName.toString.endsWith(".parquet")))
+
+  /** True when the parquet table under `dir` holds at least one ROW —
+    * answered from the file FOOTERS, driver-side (round-13 opt: the
+    * hot/hot2 emptiness consult was a `df.isEmpty`, i.e. one scheduled
+    * Spark job per probe call — two jobs per probe, per trigger in the
+    * takedown loops — for a question a footer read answers in
+    * microseconds; the part-file count is bounded by the build, which
+    * writes these side tables wholesale). */
+  def parquetHasRows(spark: SparkSession, dir: Path): Boolean = {
+    if (!Files.isDirectory(dir)) return false
+    val files = scala.util.Using.resource(Files.walk(dir))(
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toVector)
+    val conf = spark.sessionState.newHadoopConf()
+    files.exists { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount > 0 finally r.close()
+    }
+  }
+
+  /** Exact row count of a parquet file set from the FOOTERS,
+    * driver-side — the post-write count an append reads back instead
+    * of scheduling a cache+count job over the increment (round-13
+    * opt; the file set is the write's own listing diff, bounded). */
+  def parquetRowCount(spark: SparkSession, files: Seq[Path]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Total parquet bytes under a directory — the sizing input of the
     * join-width policy and compaction thresholds. */

@@ -65,16 +65,58 @@ object Multimodal {
       (bytes(2) & 0xff) == 0xff) Some("jpeg")
     else None
 
+  /** Per-thread ImageReader cache, keyed by sniffed format (round-13
+    * opt): `ImageIO.read` pays a service-registry scan + reader
+    * construction + disposal PER CALL — for the small frames a video
+    * container holds, that fixed cost dominated the whole decode
+    * (multimodal_video_scenes decodes 12 frames per doc). A reused
+    * reader is reset by `setInput` per image; readers are not
+    * thread-safe, so the cache is a ThreadLocal (bounded: ≤ 2 readers
+    * per executor task thread, process-lifetime — the X7 per-executor
+    * resource-cache pattern). Decoded pixels are identical: the same
+    * installed PNG/JPEG reader runs either way (spec: codec round-trip
+    * + scene-cut oracles unchanged). */
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]()
+    }
+
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val m = readerCache.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      require(it.hasNext, s"no ImageIO reader for format '$fmt'")
+      r = it.next()
+      m.put(fmt, r)
+    }
+    r
+  }
+
   /** REAL image decode via `javax.imageio` — payload bytes → (width,
     * height, packed row-major RGB bytes). None when no installed reader
     * understands the payload OR the body is malformed (a truncated
     * JPEG makes ImageIO.read THROW, not return null — a corrupt blob
     * in a 100 TB corpus must degrade to the fallback, never kill the
-    * task). */
+    * task). Payloads with a known magic take the cached-reader fast
+    * path; anything else falls back to the full `ImageIO.read`
+    * registry dispatch (same result, just slower). */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException | _: RuntimeException => null }
+    val img = sniffFormat(bytes) match {
+      case Some(fmt) =>
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val r = cachedReader(fmt) // thread-confined via ThreadLocal
+            r.setInput(iis, true, true)
+            try r.read(0) finally r.setInput(null)
+          } finally iis.close()
+        } catch { case _: java.io.IOException | _: RuntimeException => null }
+      case None =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+    }
     if (img == null) None
     else {
       val w = img.getWidth

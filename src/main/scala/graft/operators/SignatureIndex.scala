@@ -241,8 +241,6 @@ object SignatureIndex {
   def appendToIndex(newHashed: DataFrame, path: String): Meta = {
     val root = Paths.get(path)
     val before = readMeta(path)
-    val appended = newHashed.select(sigColumns: _*).cache()
-    val nNew = appended.count()
     // the staged pair graph is INVALIDATED on append: it was
     // materialized over the pre-append corpus, and serving it would
     // drop every cluster edge involving appended docs. Incremental
@@ -257,8 +255,18 @@ object SignatureIndex {
     // the graph valid via the read-side filter in [[ensureSelfPairs]].
     val pairsMarker = root.resolve("pairs").resolve("_PAIRS_OK")
     if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
-    appended.write.mode("append").parquet(s"$path/sig")
-    appended.unpersist()
+    // round-13 opt: ONE evaluation of the increment (the write), with
+    // the appended-row count read back from the new part files'
+    // FOOTERS (listing diff under the single-writer contract) —
+    // the cache+count+write form scheduled an extra job per append,
+    // per trigger in the gate→append loops
+    val preFiles = IndexLifecycle.listRelParquet(root, "sig").toSet
+    newHashed.select(sigColumns: _*)
+      .write.mode("append").parquet(s"$path/sig")
+    val newFiles = IndexLifecycle.listRelParquet(root, "sig")
+      .filterNot(preFiles.contains).map(root.resolve(_))
+    val nNew = IndexLifecycle.parquetRowCount(
+      newHashed.sparkSession, newFiles)
     val meta = before.copy(
       nDocs = before.nDocs + nNew,
       sigBytes = parquetBytes(Paths.get(path, "sig")),
@@ -655,26 +663,49 @@ object SignatureIndex {
     * keys before any shuffle), one increment-bounded pair join. The
     * corpus is never re-hashed and nothing corpus-sized is written. */
   def probeSignatureIndex(newHashed: DataFrame, indexPath: String): DataFrame = {
-    val spark = newHashed.sparkSession
-    val meta = readMeta(indexPath)
-    val nBands = MinHashCoeffs.length / meta.rowsPerBand
-    val hotDf = spark.read.parquet(s"$indexPath/hot")
-    val (hot, hot2) =
-      if (hotDf.isEmpty) (None, None)
-      else {
-        val h2 = spark.read.parquet(s"$indexPath/hot2")
-        (Some(hotDf), if (h2.isEmpty) None else Some(h2))
-      }
     // stage the increment's signatures to scratch (increment-sized):
     // the frame feeds the distinct-key broadcast AND a join leg, and
     // re-evaluating the md5/MinHash kernels per reference is the exact
     // cost probeKeyed's staging exists to avoid
+    val (incDir, incBytes) = stageIncrement(newHashed)
+    probeStagedIncrement(newHashed.sparkSession, incDir, incBytes, indexPath)
+  }
+
+  /** Hash+stage an increment's signature columns to a scratch parquet
+    * dir, returning (path, bytes). Split out of [[probeSignatureIndex]]
+    * (round-13 opt) so a mutation loop probing the SAME increment
+    * between triggers stages it ONCE per invocation — the takedown
+    * loop re-ran the corpus-scan + shingle/MinHash kernels and
+    * re-wrote the staging on every trigger for an increment that is
+    * fixed by construction. */
+  def stageIncrement(newHashed: DataFrame): (String, Long) = {
     val incDir = Files.createTempDirectory("graft_inc_sig_")
     Dedup.registerScratchDir(incDir)
     newHashed.select(sigColumns: _*)
       .write.mode("overwrite").parquet(incDir.toString)
-    val incSig = spark.read.parquet(incDir.toString)
-    val incBytes = parquetBytes(incDir)
+    (incDir.toString, parquetBytes(incDir))
+  }
+
+  /** [[probeSignatureIndex]] body over an ALREADY-STAGED increment —
+    * reads the index state (live sig minus tombstones, hot/hot2) fresh
+    * on every call, so per-trigger probes between mutations see each
+    * mutation immediately; only the increment staging is reused. */
+  def probeStagedIncrement(spark: SparkSession, stagedIncDir: String,
+                           incBytes: Long, indexPath: String): DataFrame = {
+    val meta = readMeta(indexPath)
+    val nBands = MinHashCoeffs.length / meta.rowsPerBand
+    // hot/hot2 presence from the parquet footers (driver-side; a
+    // df.isEmpty here was one scheduled job per table per probe call)
+    val (hot, hot2) =
+      if (!IndexLifecycle.parquetHasRows(spark, Paths.get(indexPath, "hot")))
+        (None, None)
+      else {
+        val h2present = IndexLifecycle.parquetHasRows(
+          spark, Paths.get(indexPath, "hot2"))
+        (Some(spark.read.parquet(s"$indexPath/hot")),
+          if (h2present) Some(spark.read.parquet(s"$indexPath/hot2")) else None)
+      }
+    val incSig = spark.read.parquet(stagedIncDir)
 
     val sigScan = liveSig(spark, indexPath)
     // SLIM corpus side for the prune: the hsi set payload is ~90% of
@@ -746,12 +777,15 @@ object SignatureIndex {
     * width-governed SHUFFLE_HASH band self-join. */
   def selfPairsFromIndex(spark: SparkSession, indexPath: String): DataFrame = {
     val meta = readMeta(indexPath)
-    val hotDf = spark.read.parquet(s"$indexPath/hot")
+    // footer-read presence check — no scheduled job (round-13 opt)
     val (hot, hot2) =
-      if (hotDf.isEmpty) (None, None)
+      if (!IndexLifecycle.parquetHasRows(spark, Paths.get(indexPath, "hot")))
+        (None, None)
       else {
-        val h2 = spark.read.parquet(s"$indexPath/hot2")
-        (Some(hotDf), if (h2.isEmpty) None else Some(h2))
+        val h2present = IndexLifecycle.parquetHasRows(
+          spark, Paths.get(indexPath, "hot2"))
+        (Some(spark.read.parquet(s"$indexPath/hot")),
+          if (h2present) Some(spark.read.parquet(s"$indexPath/hot2")) else None)
       }
     val keyed = keyedFromSig(
       liveSig(spark, indexPath), meta, hot, hot2)

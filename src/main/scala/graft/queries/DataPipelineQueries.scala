@@ -16,7 +16,7 @@ import graft.operators._
 object DataPipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private[queries] val SHINGLE_K = 5
+  private[graft] val SHINGLE_K = 5
 
   /** dedup_exact: hash-groupBy exact duplicate groups. */
   private val dedup_exact: Q = (s, d) => {
@@ -109,7 +109,7 @@ object DataPipelineQueries {
     * the streaming ingest gate (StreamingQueries.ingestGate): both
     * probe the same curated corpus, so they must amortize the same
     * build. Keyed by source dir + fingerprint (stale on regeneration). */
-  private[queries] def docs90Index(s: SparkSession, d: String): String = {
+  private[graft] def docs90Index(s: SparkSession, d: String): String = {
     val corpusHashed = Dedup.shingleHashSets(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", SHINGLE_K)
@@ -1014,7 +1014,7 @@ object DataPipelineQueries {
   }
 
   /** The 10 standard probe vectors, quantized. */
-  private[queries] def annProbes(s: SparkSession, d: String): DataFrame =
+  private[graft] def annProbes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("probe_id"),
