@@ -145,14 +145,19 @@ object Sketches {
     val cum = bins
       .withColumn("cum", sum(col("c")).over(w))
       .crossJoin(broadcast(bins.agg(sum(col("c")).as("n_total"))))
-    qsBp.map { q =>
-      cum.filter(col("cum") * 10000 >= col("n_total") * q)
-        .orderBy(col("bin"))
-        .limit(1)
-        .select(lit(q.toLong).as("q_bp"),
-          (col("bin") * binWidth).as("q_value"),
-          col("n_total"))
-    }.reduce(_ unionByName _)
+    // round-13 opt: ONE aggregation answers every requested quantile —
+    // the first qualifying bin is min(bin | cum·10⁴ ≥ N·q) — instead
+    // of one filter+sort+limit(1) plan (and job) per quantile; stack()
+    // unrolls the single result row back into the (q_bp, q_value,
+    // n_total) rows the report shape wants, in qsBp order.
+    val agg = cum.agg(
+      qsBp.map(q => min(when(col("cum") * 10000 >= col("n_total") * q,
+          col("bin"))).as(s"_b$q")).head,
+      qsBp.tail.map(q => min(when(col("cum") * 10000 >= col("n_total") * q,
+          col("bin"))).as(s"_b$q")) :+ max(col("n_total")).as("_nt"): _*)
+    agg.select(expr("stack(" + qsBp.length + ", " +
+      qsBp.map(q => s"${q}L, _b$q * $binWidth, _nt").mkString(", ") +
+      ") as (q_bp, q_value, n_total)"))
   }
 
   /** Per-value (bucket, rho) pair: bucket = low P bits of the 32-bit

@@ -1593,7 +1593,11 @@ object DataPipelineQueries {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // round-13 opt: the corpus token total is Σn over the wordcount —
+    // the old `toks.agg(count)` re-scanned and re-exploded the corpus
+    // a second time for a number the wordcount already holds (its
+    // aggregate exchange is reused by both consumers)
+    val total = counts.agg(sum(col("n")).as("n_total"))
     val top = counts.orderBy(col("n").desc, col("token")).limit(200)
     val w = Window.orderBy(col("n").desc, col("token"))
     top
