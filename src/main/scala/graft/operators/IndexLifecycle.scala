@@ -393,6 +393,47 @@ object IndexLifecycle {
     }.sum
   }
 
+  /** Exact MAX of a non-null long column across the parquet files
+    * under `dir`, answered from the footers' column STATISTICS,
+    * driver-side — the `agg(max(id)).head()` job several fixture-slice
+    * thresholds scheduled per query invocation (round-13 opt). None
+    * when any chunk lacks stats (older writers) or the dir is empty —
+    * callers fall back to the Spark aggregate, so this is a fast path,
+    * never a semantic change. */
+  def parquetColumnMaxLong(spark: SparkSession, dir: Path,
+                           column: String): Option[Long] = {
+    if (!Files.exists(dir)) return None
+    val files =
+      if (Files.isRegularFile(dir)) Vector(dir)
+      else scala.util.Using.resource(Files.walk(dir))(
+        _.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toVector)
+    if (files.isEmpty) return None
+    val conf = spark.sessionState.newHadoopConf()
+    val maxes = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getFooter.getBlocks.asScala.map { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .map(_.getStatistics) match {
+            case Some(st) if st != null && !st.isEmpty &&
+                st.isInstanceOf[org.apache.parquet.column.statistics.LongStatistics] =>
+              Some(st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics].getMax)
+            case _ => None
+          }
+        }.toVector
+      } finally r.close()
+    }
+    // every row group must carry stats or the max could be understated
+    if (maxes.isEmpty || maxes.exists(_.isEmpty)) None
+    else Some(maxes.flatten.max)
+  }
+
   /** Total parquet bytes under a directory — the sizing input of the
     * join-width policy and compaction thresholds. */
   def parquetBytes(dir: Path): Long =

@@ -16,6 +16,17 @@ import graft.operators._
 object DataPipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Max vec_id of the embeddings fixture — the 90/10 slice threshold
+    * several index queries derive per invocation. Round-13 opt:
+    * answered from the parquet footers' column statistics driver-side
+    * (no scheduled job); falls back to the aggregate when any row
+    * group lacks stats, so the value is identical by construction. */
+  private[graft] def embeddingsMaxVecId(s: SparkSession, d: String): Long =
+    IndexLifecycle.parquetColumnMaxLong(s,
+      java.nio.file.Paths.get(d, "embeddings.parquet"), "vec_id")
+      .getOrElse(Tables.embeddings(s, d)
+        .agg(max(col("vec_id"))).head().getLong(0))
+
   private[graft] val SHINGLE_K = 5
 
   /** dedup_exact: hash-groupBy exact duplicate groups. */
@@ -266,25 +277,17 @@ object DataPipelineQueries {
     * EVERY cap — the cap excludes corpus boilerplate, never the
     * containment class itself (a contained doc shares grams with its
     * container only, so its gram populations sit far below any cap). */
-  private[graft] def containmentPairs(s: SparkSession, d: String,
-                                      gramCap: Int): DataFrame = {
+  /** The LAZY candidate-pair plan of [[containmentPairs]] — distinct
+    * (id_a, id_b) document pairs sharing a rare gram. Split out so the
+    * plan-shape audits (PlanAuditSpec: hashed gram keys on every
+    * exchange, slim ids-only self-join, distinct-pair collapse) can
+    * inspect the physical plan that [[containmentPairs]]' eager
+    * checkpoint otherwise hides behind a Scan ExistingRDD. */
+  private[graft] def containmentCandidates(s: SparkSession, d: String,
+                                           gramCap: Int): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
-    // same 96-bit hashed gram key as dedup_span_ngrams (§4.10): the
-    // gram string never rides a shuffle — count, rare-filter and the
-    // pair self-join all key on (xxhash64, murmur32). Round-13 opt:
-    // the kernel is the span-ngram SHAPE too (posexplode start
-    // positions + multi-arg hash over element_at token refs — zero
-    // HOFs, no per-gram string allocation; the old
-    // explode(array_distinct(transform(.. concat_ws ..))) form built
-    // and hashed a ~50-byte string per gram INTERPRETED), and the
-    // per-doc distinct moves from the row-local array_distinct into
-    // the (doc_id, g1, g2) aggregate below — whose exchange is then
-    // REUSED by every consumer, so the tokenize+hash pass runs ONCE
-    // instead of four times (rare count, holders, and both self-join
-    // legs each re-evaluated it; plan audit: 4 Generate nodes over
-    // 4 parquet scans → 1).
     val toks8 = (0 until DupSpanK).map(o =>
       element_at(col("toks"), col("start") + o))
     val gramsAll = base.filter(col("n_tok") >= DupSpanK)
@@ -302,19 +305,39 @@ object DataPipelineQueries {
       .filter(col("cnt").between(2, gramCap))
       .select(col("g1"), col("g2"))
     // slim (ids-only) pair generation; memberships collapse ~90:1 to
-    // distinct pairs BEFORE any payload moves (see the scaladoc above
+    // distinct pairs BEFORE any payload moves (see [[containmentPairs]]
     // for why co-locating payloads here is the wrong trade)
     val holders = grams.join(rare, Seq("g1", "g2"))
-    // pairs are bucket-bounded (≤ cap²/2 per rare gram): checkpoint the
-    // slim id pairs so the two payload-fetch joins and the survivor-id
-    // prune below read a materialized bounded frame instead of
-    // re-running the gram self-join per consumer
-    val cand = holders.as("a").join(holders.as("b"),
+    holders.as("a").join(holders.as("b"),
         col("a.g1") === col("b.g1") && col("a.g2") === col("b.g2") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .localCheckpoint(true)
+  }
+
+  private[graft] def containmentPairs(s: SparkSession, d: String,
+                                      gramCap: Int): DataFrame = {
+    // same 96-bit hashed gram key as dedup_span_ngrams (§4.10): the
+    // gram string never rides a shuffle — count, rare-filter and the
+    // pair self-join all key on (xxhash64, murmur32). Round-13 opt:
+    // the kernel is the span-ngram SHAPE too (posexplode start
+    // positions + multi-arg hash over element_at token refs — zero
+    // HOFs, no per-gram string allocation; the old
+    // explode(array_distinct(transform(.. concat_ws ..))) form built
+    // and hashed a ~50-byte string per gram INTERPRETED), and the
+    // per-doc distinct moves from the row-local array_distinct into
+    // the (doc_id, g1, g2) aggregate below — whose exchange is then
+    // REUSED by every consumer, so the tokenize+hash pass runs ONCE
+    // instead of four times (rare count, holders, and both self-join
+    // legs each re-evaluated it; plan audit: 4 Generate nodes over
+    // 4 parquet scans → 1).
+    // pairs are bucket-bounded (≤ cap²/2 per rare gram): checkpoint the
+    // slim id pairs so the two payload-fetch joins and the survivor-id
+    // prune below read a materialized bounded frame instead of
+    // re-running the gram self-join per consumer (the LAZY candidate
+    // plan stays separately constructible so PlanAuditSpec can pin the
+    // §4.10/§4.15 shape the checkpoint otherwise hides)
+    val cand = containmentCandidates(s, d, gramCap).localCheckpoint(true)
     // round-13 opt (§3.2's semi-prune discipline): only docs that
     // appear in a candidate pair need their shingle-hash payload — the
     // old form hashed the WHOLE corpus twice (once per fetch join).
@@ -1112,8 +1135,7 @@ object DataPipelineQueries {
   private val ann_index_append: Q = (s, d) => {
     // threshold from the source (bounded collect of one row); integer
     // arithmetic matches the twin's ((max+1)*9)//10 truncating form
-    val maxId = Tables.embeddings(s, d)
-      .agg(max(col("vec_id"))).head().getLong(0)
+    val maxId = embeddingsMaxVecId(s, d)
     val t = (maxId + 1) * 9 / 10
     val path = AnnIndex.ensureAnnIndex(
       SignatureIndex.sourceCacheKey("annivf_app", d, "embeddings.parquet"),
@@ -1181,8 +1203,7 @@ object DataPipelineQueries {
     * embedding store, so they amortize the same build (the docs90Index
     * pattern for vectors). */
   private[graft] def annBaseIndexPath(s: SparkSession, d: String): String = {
-    val maxId = Tables.embeddings(s, d)
-      .agg(max(col("vec_id"))).head().getLong(0)
+    val maxId = embeddingsMaxVecId(s, d)
     val t = (maxId + 1) * 9 / 10
     AnnIndex.ensureAnnIndex(
       SignatureIndex.sourceCacheKey("annivf_base", d, "embeddings.parquet"),
@@ -1206,8 +1227,7 @@ object DataPipelineQueries {
     * shuffled (the same contract the signature index gives MinHash
     * dedup). */
   private val dedup_embed_incremental: Q = (s, d) => {
-    val maxId = Tables.embeddings(s, d)
-      .agg(max(col("vec_id"))).head().getLong(0)
+    val maxId = embeddingsMaxVecId(s, d)
     val t = (maxId + 1) * 9 / 10
     val path = annBaseIndexPath(s, d)
     val probes = Tables.embeddings(s, d).filter(col("vec_id") >= t)

@@ -623,8 +623,7 @@ object StreamingQueries {
   private[graft] def embedGateAppendLoop(s: SparkSession, d: String,
                                          nBatches: Int): DataFrame = {
     import graft.operators.{AnnIndex, IndexLifecycle, Similarity, SignatureIndex}
-    val maxId = graft.Tables.embeddings(s, d)
-      .agg(max(col("vec_id"))).head().getLong(0)
+    val maxId = DataPipelineQueries.embeddingsMaxVecId(s, d)
     val t = (maxId + 1) * 9 / 10
     // pristine base-corpus index — every invocation mutates a COPY
     // (same bench-honesty rework as gateAppendLoop)

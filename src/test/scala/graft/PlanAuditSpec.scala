@@ -501,14 +501,27 @@ class PlanAuditSpec extends AnyFunSuite {
   test("gram channel never shuffles the gram STRING (§4.10: 96-bit hashed keys)") {
     // the corpus-position-sized exchanges must carry (g1, g2), not the
     // ~50-byte 8-token gram text — the 4M-rung defect was exactly a
-    // string-keyed hashpartitioning(gram) here
-    for (q <- Seq("dedup_span_ngrams", "dedup_containment")) {
-      val p = plan(q)
-      assert(p.contains("hashpartitioning(g1"),
-        s"$q must exchange on the hashed gram key:\n$p")
-      assert(!p.contains("hashpartitioning(gram"),
-        s"$q shuffles raw gram strings (§4.10 regression):\n$p")
-    }
+    // string-keyed hashpartitioning(gram) here. dedup_containment's
+    // gram phase is audited through its LAZY candidate plan (round 13
+    // checkpoints the pair set, hiding the phase behind a Scan
+    // ExistingRDD in the full query plan).
+    val spanP = plan("dedup_span_ngrams")
+    assert(spanP.contains("hashpartitioning(g1"),
+      s"span must exchange on the hashed gram key:\n$spanP")
+    assert(!spanP.contains("hashpartitioning(gram"),
+      s"span shuffles raw gram strings (§4.10 regression):\n$spanP")
+    val containP = graft.queries.DataPipelineQueries
+      .containmentCandidates(spark, sf, 64)
+      .queryExecution.explainString(FormattedMode)
+    // the membership-dedup exchange carries (doc_id, g1, g2); every
+    // other gram exchange (rare count, self-join legs when shuffled)
+    // carries (g1, g2) — no exchange may carry a gram STRING (the
+    // kernel never materializes one at all since round 13)
+    assert(containP.contains(", g1#"),
+      s"containment must key its gram exchanges on the hashed key:\n$containP")
+    assert(!containP.contains("hashpartitioning(gram") &&
+      !containP.contains("concat_ws"),
+      s"containment materializes/shuffles gram strings (§4.10 regression):\n$containP")
   }
 
   test("q28_grouping_sets: all grains from ONE scan through ONE Expand") {
@@ -544,19 +557,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // collapses memberships to DISTINCT pairs first and fetches
     // payloads by pair id (|pairs| ≈ memberships/90). This pins the
     // choice: the gram self-join must NOT carry the set payload...
-    val p = plan("dedup_containment")
+    // round 13: the pair channel is checkpointed, so the gram phase is
+    // audited on the LAZY candidate plan and the payload-fetch shape
+    // on the full query plan (where the checkpoint appears as the slim
+    // Scan ExistingRDD the fetch joins read).
+    val c = graft.queries.DataPipelineQueries
+      .containmentCandidates(spark, sf, 64)
+      .queryExecution.explainString(FormattedMode)
     // gram-keyed self-join present (detail section lists join keys)
-    assert("""keys \[2\]: \[g1#""".r.findFirstIn(p).isDefined,
-      s"gram self-join missing:\n$p")
+    assert("""keys \[2\]: \[g1#""".r.findFirstIn(c).isDefined,
+      s"gram self-join missing:\n$c")
+    // the candidate channel is SLIM: no shingle-set payload column may
+    // appear anywhere in the pair-generation plan
+    assert(!c.contains("hsi") && !c.contains("shingle"),
+      s"payload riding the gram join (§4.15 regression):\n$c")
+    // memberships collapse to distinct pairs before any payload moves
+    assert("""Keys \[2\]: \[id_a#""".r.findFirstIn(c).isDefined,
+      s"distinct pair collapse missing:\n$c")
+    assert(!c.contains("CartesianProduct") &&
+      !c.contains("BroadcastNestedLoopJoin"), c)
+    val p = plan("dedup_containment")
     // the payload-fetch joins BY PAIR ID are the chosen shape — the
     // co-located form has no id_a-keyed join, so their presence is the
     // regression guard against re-introducing the §4.15 blow-up
     assert("""keys \[1\]: \[id_a#""".r.findFirstIn(p).isDefined &&
            """keys \[1\]: \[id_b#""".r.findFirstIn(p).isDefined,
       s"pair-id payload fetch missing (payload riding the gram join?):\n$p")
-    // memberships collapse to distinct pairs before any payload moves
-    assert("""Keys \[2\]: \[id_a#""".r.findFirstIn(p).isDefined,
-      s"distinct pair collapse missing:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
