@@ -48,8 +48,11 @@ object MutLoopProbe {
         graft.Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", DataPipelineQueries.SHINGLE_K)
       val base = DataPipelineQueries.docs90Index(s, d)
-      val idx = t("freshMutableCopy(sig)")(IndexLifecycle.freshMutableCopy(base))
-      try {
+      // the canonical copy/run/reclaim bracket (hand-rolling it was
+      // itself a prior review finding); the copy is timed inside
+      var tCopy = System.nanoTime()
+      IndexLifecycle.withMutableCopy(base) { idx =>
+        println(f"[mutprobe]   ${"freshMutableCopy(sig)"}%-34s ${(System.nanoTime() - tCopy) / 1e9}%6.2f s")
         val inc = hashedAll.withColumn("bucket", bucket)
           .filter(col("bucket") >= 90).drop("bucket")
         val (incDir, incBytes) = t("stageIncrement")(
@@ -60,14 +63,21 @@ object MutLoopProbe {
               pmod(col("doc_id"), lit(3)) === b)
             .select(col("doc_id"))
           t(s"deleteFromIndex b$b")(SignatureIndex.deleteFromIndex(ids, idx))
+          // the SAME rehash frame sigTakedownLoop passes (hashedAll
+          // semi-joined to the live sig doc_ids) — the unfiltered
+          // corpus would time a different plan, and a drift-fired
+          // rebuild would rebuild over the wrong corpus (review
+          // finding)
           t(s"maintainIndex consult b$b")(
-            SignatureIndex.maintainIndex(s, idx)(hashedAll))
+            SignatureIndex.maintainIndex(s, idx)(
+              hashedAll.join(
+                s.read.parquet(s"$idx/sig").select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")))
           t(s"probeStagedIncrement b$b")(
             SignatureIndex.probeStagedIncrement(s, incDir, incBytes, idx)
               .write.format("noop").mode("overwrite").save())
         }
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(idx))
+      }
 
       println(s"[mutprobe] ===== pass $p (ann takedown shape) =====")
       val abase = AnnIndex.ensureAnnIndex(
@@ -79,12 +89,12 @@ object MutLoopProbe {
             Similarity.quantize(col("embedding")).as("qv")),
           DataPipelineQueries.trainedIvfCentroids(s, d), pth)
       }
-      val aidx = t("freshMutableCopy(ann)")(IndexLifecycle.freshMutableCopy(abase))
-      try {
+      tCopy = System.nanoTime()
+      IndexLifecycle.withMutableCopy(abase) { aidx =>
+        println(f"[mutprobe]   ${"freshMutableCopy(ann)"}%-34s ${(System.nanoTime() - tCopy) / 1e9}%6.2f s")
         // the ORACLE's delete batches: the last-tenth increment slice in
         // vec_id-contiguous thirds (cumulative ~10% drift — no rebuild)
-        val idMax = graft.Tables.embeddings(s, d)
-          .agg(max(col("vec_id"))).head().getLong(0)
+        val idMax = DataPipelineQueries.embeddingsMaxVecId(s, d)
         val idMin = (idMax + 1) * 9 / 10
         val span = math.max(idMax - idMin, 1L)
         for (b <- 0 until 3) {
@@ -100,8 +110,7 @@ object MutLoopProbe {
               DataPipelineQueries.annProbes(s, d), nProbe = 4, k = 3)
               .write.format("noop").mode("overwrite").save())
         }
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(aidx))
+      }
     }
     spark.stop()
   }

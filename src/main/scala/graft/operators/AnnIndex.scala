@@ -444,15 +444,14 @@ object AnnIndex {
     }
     // snapshot commit of EXACTLY the written files (a full relist
     // would resurrect a previous compaction's retained folded delta —
-    // round-13 review finding: duplicate probe candidates)
-    val preFiles = IndexLifecycle.listRelParquet(root, "delta").toSet
-    IndexLifecycle.commitAddedWrite(root, "delta") {
+    // round-13 review finding: duplicate probe candidates); the
+    // commit's own listing diff also yields the appended-row count
+    // from the new files' footers (no cache+count job, no second walk)
+    val added = IndexLifecycle.commitAddedWrite(root, "delta") {
       assigned.write.mode("append").parquet(s"$path/delta")
     }
     assigned.unpersist()
-    val nNew = IndexLifecycle.parquetRowCount(spark,
-      IndexLifecycle.listRelParquet(root, "delta")
-        .filterNot(preFiles.contains).map(root.resolve(_)))
+    val nNew = IndexLifecycle.parquetRowCount(spark, added)
     val meta = before.copy(nVecs = before.nVecs + nNew,
       appendedVecs = before.appendedVecs + nNew)
     writeMeta(root, meta)

@@ -421,7 +421,12 @@ object IndexLifecycle {
           block.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .map(_.getStatistics) match {
-            case Some(st) if st != null && !st.isEmpty &&
+            // hasNonNullValue guards the all-null row group: its stats
+            // are non-empty (numNulls set) but getMax is the type's
+            // uninitialized default — accepting it would return a
+            // silently wrong max instead of forcing the fallback
+            // (review finding)
+            case Some(st) if st != null && !st.isEmpty && st.hasNonNullValue &&
                 st.isInstanceOf[org.apache.parquet.column.statistics.LongStatistics] =>
               Some(st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics].getMax)
             case _ => None
@@ -607,13 +612,17 @@ object IndexLifecycle {
     * never (re-)enter the manifest. A crashed previous attempt's
     * uncommitted files also stay out: the retry re-writes its rows
     * into fresh files and the orphans reclaim at the next maintenance
-    * entry. */
-  def commitAddedWrite(root: Path, sub: String)(write: => Unit): Unit = {
+    * entry. Returns the ADDED files (absolute paths) so callers that
+    * need the write's row count read their footers instead of walking
+    * the dir again (review finding: three hand-rolled copies of this
+    * diff, each walking the growing side table twice per trigger). */
+  def commitAddedWrite(root: Path, sub: String)(write: => Unit): Seq[Path] = {
     val pre = listRelParquet(root, sub).toSet
     write
+    val added = listRelParquet(root, sub).filterNot(pre.contains)
     if (readManifest(root).isDefined)
-      updateManifest(root)(cur =>
-        cur ++ listRelParquet(root, sub).filterNot(pre.contains))
+      updateManifest(root)(cur => cur ++ added)
+    added.map(root.resolve(_))
   }
 
   /** Lifecycle bracket for a mutation run against a pristine cached

@@ -257,16 +257,16 @@ object SignatureIndex {
     if (Files.isRegularFile(pairsMarker)) Files.delete(pairsMarker)
     // round-13 opt: ONE evaluation of the increment (the write), with
     // the appended-row count read back from the new part files'
-    // FOOTERS (listing diff under the single-writer contract) —
-    // the cache+count+write form scheduled an extra job per append,
-    // per trigger in the gate→append loops
-    val preFiles = IndexLifecycle.listRelParquet(root, "sig").toSet
-    newHashed.select(sigColumns: _*)
-      .write.mode("append").parquet(s"$path/sig")
-    val newFiles = IndexLifecycle.listRelParquet(root, "sig")
-      .filterNot(preFiles.contains).map(root.resolve(_))
-    val nNew = IndexLifecycle.parquetRowCount(
-      newHashed.sparkSession, newFiles)
+    // FOOTERS (commitAddedWrite's listing diff, valid under the
+    // single-writer contract; the signature index carries no manifest,
+    // so the snapshot half is a no-op) — the cache+count+write form
+    // scheduled an extra job per append, per trigger in the
+    // gate→append loops
+    val added = IndexLifecycle.commitAddedWrite(root, "sig") {
+      newHashed.select(sigColumns: _*)
+        .write.mode("append").parquet(s"$path/sig")
+    }
+    val nNew = IndexLifecycle.parquetRowCount(newHashed.sparkSession, added)
     val meta = before.copy(
       nDocs = before.nDocs + nNew,
       sigBytes = parquetBytes(Paths.get(path, "sig")),

@@ -149,11 +149,15 @@ object Sketches {
     // the first qualifying bin is min(bin | cum·10⁴ ≥ N·q) — instead
     // of one filter+sort+limit(1) plan (and job) per quantile; stack()
     // unrolls the single result row back into the (q_bp, q_value,
-    // n_total) rows the report shape wants, in qsBp order.
+    // n_total) rows the report shape wants, in qsBp order (duplicate
+    // q values aggregate once and stack twice — same rows as the old
+    // per-q union form; review finding: duplicate column names were an
+    // ambiguous-reference error).
+    val qsDistinct = qsBp.distinct
     val agg = cum.agg(
-      qsBp.map(q => min(when(col("cum") * 10000 >= col("n_total") * q,
+      qsDistinct.map(q => min(when(col("cum") * 10000 >= col("n_total") * q,
           col("bin"))).as(s"_b$q")).head,
-      qsBp.tail.map(q => min(when(col("cum") * 10000 >= col("n_total") * q,
+      qsDistinct.tail.map(q => min(when(col("cum") * 10000 >= col("n_total") * q,
           col("bin"))).as(s"_b$q")) :+ max(col("n_total")).as("_nt"): _*)
     agg.select(expr("stack(" + qsBp.length + ", " +
       qsBp.map(q => s"${q}L, _b$q * $binWidth, _nt").mkString(", ") +

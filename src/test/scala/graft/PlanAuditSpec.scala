@@ -513,11 +513,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val containP = graft.queries.DataPipelineQueries
       .containmentCandidates(spark, sf, 64)
       .queryExecution.explainString(FormattedMode)
-    // the membership-dedup exchange carries (doc_id, g1, g2); every
-    // other gram exchange (rare count, self-join legs when shuffled)
-    // carries (g1, g2) — no exchange may carry a gram STRING (the
-    // kernel never materializes one at all since round 13)
-    assert(containP.contains(", g1#"),
+    // the rare-count aggregate exchanges on the hashed (g1, g2) key —
+    // no exchange may carry a gram STRING (the kernel never
+    // materializes one since round 13)
+    assert(containP.contains("hashpartitioning(g1"),
       s"containment must key its gram exchanges on the hashed key:\n$containP")
     assert(!containP.contains("hashpartitioning(gram") &&
       !containP.contains("concat_ws"),
