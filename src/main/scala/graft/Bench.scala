@@ -173,7 +173,14 @@ object Bench {
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_results.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullJson + "\n").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cold_total":$coldTotal,"n_queries":${names.size},"failed":$failedJson,"warm_pass_totals":$passTotals,"calibration_ms":[$calBefore,$calAfter],"contended_passes_retried":$contendedRetried,"sf":"$sfDir","full_results":"$artifact"}""")
+    // The printed line CARRIES the per-query maps (round-13 verdict #1):
+    // the driver parses stdout, and the file-only design left PERF_r*'s
+    // per_query empty for 11 straight rounds. A keys-sorted compact map
+    // of ~131 doubles is ~4 kB — far under any line-capture limit (the
+    // round-6 truncation predated the compact format). The full
+    // artifact (cold pass, GC, per-pass brackets) still goes to the
+    // committed file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(warmMed)},"queries_min":${qjson(warmMin)},"min_total":$minTotal,"cold_total":$coldTotal,"n_queries":${names.size},"failed":$failedJson,"warm_pass_totals":$passTotals,"calibration_ms":[$calBefore,$calAfter],"contended_passes_retried":$contendedRetried,"sf":"$sfDir","full_results":"$artifact"}""")
     spark.stop()
   }
 }

@@ -1105,7 +1105,7 @@ object DataPipelineQueries {
     * increment existed. Same artifact pattern as
     * [[trainedIvfCentroids]]; `t` derives from the source, so the
     * fingerprinted cache key stays consistent. */
-  private[queries] def trainedIvfCentroidsBase(s: SparkSession, d: String,
+  private[graft] def trainedIvfCentroidsBase(s: SparkSession, d: String,
                                       t: Long): Seq[(Long, Array[Long])] = {
     val path = graft.storage.PartitionedStore.cached(
       d, "ann_ivf_centroids_base_v1", source = "embeddings.parquet") { p =>
@@ -1613,11 +1613,20 @@ object DataPipelineQueries {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-    // round-13 opt: the corpus token total is Σn over the wordcount —
-    // the old `toks.agg(count)` re-scanned and re-exploded the corpus
-    // a second time for a number the wordcount already holds (its
-    // aggregate exchange is reused by both consumers)
-    val total = counts.agg(sum(col("n")).as("n_total"))
+    // round-14 fix (r13 verdict #2): the r13 "Σn over the wordcount"
+    // total never reused the wordcount exchange (separate analysis →
+    // different expr-ids; no ReusedExchange in the plan dump), so the
+    // total branch paid a SECOND token-keyed aggregation. The total is
+    // the exploded row count = Σ size(split(text)) — same split, and
+    // explode emits exactly size(array) rows per non-null text (null
+    // text explodes to 0 rows and is counted 0 here) — so the scalar
+    // comes from a plain scan+sum with no Generate and no token-keyed
+    // exchange at all.
+    val total = Tables.documents(s, d)
+      .select(when(col("text").isNotNull,
+        size(split(col("text"), " "))).otherwise(lit(0))
+        .cast("long").as("tc"))
+      .agg(sum(col("tc")).as("n_total"))
     val top = counts.orderBy(col("n").desc, col("token")).limit(200)
     val w = Window.orderBy(col("n").desc, col("token"))
     top
