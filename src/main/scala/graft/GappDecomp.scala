@@ -45,9 +45,16 @@ object GappDecomp {
     val d = sfDir
 
     val jobs = new AtomicInteger(0)
+    val verbose = sys.env.contains("GRAFT_GAPP_VERBOSE")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val names = j.stageInfos.map(_.name.takeWhile(_ != '\n').take(70))
+            .mkString(" | ")
+          println(s"[gapp-job] ${j.jobId} stages=${j.stageInfos.size} $names")
+        }
+      }
     })
     def t[A](what: String)(f: => A): A = {
       val j0 = jobs.get()
@@ -96,10 +103,37 @@ object GappDecomp {
           println(s"[gapp]  -- trigger $bid (${f.getFileName}) --")
           val batch = s.read.schema(StreamingOps.documentsRawSchema)
             .parquet(f.toString).filter(origBucket >= 90)
-          val admitted = t("gateAndAppendBatch")(
-            SignatureIndex.gateAndAppendBatch(
-              batch, idx, keep = Seq("doc_id", "lang", "source"),
-              batchId = bid.toLong))
+          // inline replica of gateAndAppendBatch's body, step-timed
+          val admitted = {
+            val appDir = java.nio.file.Paths.get(idx, "gateapp_md5")
+            val (extraMd5, excludeDocIds) = t("  sidecar read") {
+              if (IndexLifecycle.hasParquet(appDir)) {
+                val sc = s.read.parquet(appDir.toString)
+                (Some(sc.filter(col("c_batch") =!= bid.toLong)
+                   .select(col("c_md5"))),
+                 Some(sc.filter(col("c_batch") === bid.toLong)
+                   .select(col("c_doc").as("doc_id")).distinct()))
+              } else (None, None)
+            }
+            val (b, admittedLazy) = t("  gateBatchPlan construct")(
+              SignatureIndex.gateBatchPlan(batch, idx,
+                Seq("doc_id", "lang", "source"), 5, 2, extraMd5,
+                excludeDocIds, carryForAppend = true))
+            val adm = t("  gate checkpoint")(admittedLazy.localCheckpoint(true))
+            b.unpersist()
+            val empty = t("  isEmpty")(adm.isEmpty)
+            if (!empty) {
+              t("  sidecar write")(
+                adm.select(col("i_md5").as("c_md5"),
+                    col("doc_id").as("c_doc"), lit(bid.toLong).as("c_batch"))
+                  .coalesce(1)
+                  .write.mode("append").parquet(appDir.toString))
+              t("  appendToIndex")(
+                SignatureIndex.appendToIndex(
+                  adm.select(col("doc_id"), col("hs")), idx))
+            }
+            adm.select(Seq("doc_id", "lang", "source").map(col): _*)
+          }
           t("sink write (foreachBatch twin)") {
             admitted.write.format("noop").mode("overwrite").save()
           }
@@ -143,12 +177,39 @@ object GappDecomp {
           println(s"[gapp]  -- trigger $bid (${f.getFileName}) --")
           val batch = s.read.schema(StreamingOps.embeddingsRawSchema)
             .parquet(f.toString)
-          val admitted = t("gateAndAppendAnnBatch")(
-            AnnIndex.gateAndAppendAnnBatch(
-              batch.select(col("vec_id"), col("label"),
-                Similarity.quantize(col("embedding")).as("qv")),
-              aidx, DataPipelineQueries.EmbedDupThreshold,
-              batchId = bid.toLong, nProbe = 4))
+          // inline replica of gateAndAppendAnnBatch's body, step-timed
+          val admitted = {
+            val rows = batch.select(col("vec_id"), col("label"),
+              Similarity.quantize(col("embedding")).as("qv"))
+            val appDir = java.nio.file.Paths.get(aidx, "gapp_batches")
+            val excl = t("  sidecar read") {
+              if (IndexLifecycle.hasParquet(appDir))
+                Some(s.read.parquet(appDir.toString)
+                  .filter(col("batch") === bid.toLong)
+                  .select(col("vec_id")).distinct())
+              else None
+            }
+            val probes = rows.select(col("vec_id").as("probe_id"),
+              col("qv").as("pqv"))
+            val admLazy = t("  gate plan construct")(
+              AnnIndex.gateBatchThroughAnnIndex(probes, aidx,
+                DataPipelineQueries.EmbedDupThreshold, 4, excludeIds = excl))
+            val adm = t("  gate checkpoint")(admLazy.localCheckpoint(true))
+            val empty = t("  isEmpty")(adm.isEmpty)
+            if (!empty) {
+              t("  sidecar write")(
+                adm.select(col("probe_id").as("vec_id"),
+                    lit(bid.toLong).as("batch"))
+                  .coalesce(1).write.mode("append").parquet(appDir.toString))
+              t("  appendToAnnIndex") {
+                val admRows = rows.join(
+                  adm.select(col("probe_id").as("vec_id")),
+                  Seq("vec_id"), "left_semi")
+                AnnIndex.appendToAnnIndex(admRows, aidx)
+              }
+            }
+            adm
+          }
           t("sink write (foreachBatch twin)") {
             admitted.write.format("noop").mode("overwrite").save()
           }
